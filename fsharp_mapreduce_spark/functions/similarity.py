@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k as the exact baseline, an LSH
+(random-hyperplane) bucketed variant as the scale path, and array
+math statistics.
+
+Cross-engine float determinism: cosine is computed as an explicit
+left fold over index order (zip_with + aggregate in Spark,
+list_reduce over a comprehension in DuckDB), with every element cast
+to double first — both engines then execute the identical IEEE
+operation sequence, so scores are bit-identical, not merely close.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import register, table
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+N_PLANES = 8  # 2^8 = 256 LSH buckets
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two float arrays as double."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "[{a}[i]::DOUBLE * {b}[i]::DOUBLE for i in generate_series(1, len({a}))]), "
+    "(x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)})))"
+    )
+
+
+@register(
+    "s01_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_cosine_sql('q.qe', 'e.embedding')} AS sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{5}: broadcast the probe set against the corpus
+    (never the corpus against itself), score with an expression-fold
+    dot product, take per-query top-k with a window. At 100 TB the
+    corpus side stays partition-parallel and only k rows per query per
+    partition survive the window's partial top-k."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register("s02_knn_lsh", oracle=None, tags=("similarity", "lsh", "ann"))
+def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH: 8 sign bits from
+    xxhash64-derived pseudo-random hyperplanes bucket the corpus into
+    256 cells; probes only score their own cell. Recall vs
+    s01_knn_bruteforce is pinned (loosely — it IS approximate) in
+    tests/test_similarity.py. Scale path: the self-join becomes a
+    bucket-equi-join instead of a cross join."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    # Deterministic pseudo-random hyperplanes: component d of plane p is
+    # a hash of (p, d) mapped to [-1, 1). No driver-side RNG state.
+    def bucket_of(vec: Column) -> Column:
+        bits = []
+        for p in range(N_PLANES):
+            comp = F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda d, p=p: (
+                    (F.xxhash64(F.lit(p), d) % 10007).cast("double") / 10007.0
+                ),
+            )
+            dot = F.aggregate(
+                F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    tagged = emb.withColumn("bucket", bucket_of(F.col("embedding")))
+    q = tagged.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        tagged.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+@register(
+    "s03_embedding_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 6) AS avg_norm,
+           ROUND(MIN(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 6) AS min_norm,
+           ROUND(MAX(sqrt({_DOT_SQL.format(a='embedding', b='embedding')})), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "array_math"),
+)
+def s03_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-math aggregation: L2-norm statistics per label — the
+    sanity profile every embedding corpus gets before indexing."""
+    emb = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )

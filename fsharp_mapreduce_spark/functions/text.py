@@ -1,0 +1,213 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+extensions, BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything here is pure Catalyst expression work — array/lambda
+higher-order functions, regexes, folds — no Python UDF in any hot
+path, so the plans stay inside whole-stage codegen and scale linearly
+with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import register, table
+
+# Minimal per-language stopword lists. A deterministic heuristic, not a
+# model: predicted language = argmax of distinct-stopword overlap, ties
+# broken in the fixed order en > de > es > fr > zh.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "por", "que", "para"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "que", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(text), " ")
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _score(tokens: Column, lang: str) -> Column:
+    lits = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(tokens, lits)).cast("bigint")
+
+
+@register(
+    "t05_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        {", ".join(
+            f"CAST(len(list_intersect(string_split(lower(text), ' '), {_sql_list(STOPWORDS[lang])})) AS BIGINT) AS s_{lang}"
+            for lang in LANG_ORDER
+        )}
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           s_en, s_de, s_es, s_fr, s_zh
+    FROM scored
+    """,
+    tags=("text", "langid"),
+)
+def t05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-overlap language ID: per-language distinct
+    stopword hit counts + deterministic argmax. Expression-only
+    (array_intersect over a literal array — broadcast-free, the
+    stopword lists live in the plan)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[_score(toks, lang).alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_ORDER}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        predicted.alias("predicted_lang"),
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        "s_zh",
+    )
+
+
+@register(
+    "t06_quality_score",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[\\.,;:!?]')) AS BIGINT) AS n_punct,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  x -> list_contains(['the','and','of','to','a','in','is','it','that','for'], x))) AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars_m), 6)  AS avg_chars,
+           ROUND(AVG(n_tokens), 6)   AS avg_tokens,
+           ROUND(AVG(n_punct  * 1.0 / n_chars_m), 6) AS punct_ratio,
+           ROUND(AVG(n_stop   * 1.0 / n_tokens), 6)  AS stopword_ratio,
+           ROUND(AVG(n_chars_m * 1.0 / n_tokens), 6) AS avg_token_len
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality signals (length / punctuation / stopword
+    ratios), aggregated per source — the standard pre-training corpus
+    quality triage, as pure column expressions."""
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars_m"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[\.,;:!?]"), 0))
+        .cast("bigint")
+        .alias("n_punct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(en_stop, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_punct") / F.col("n_chars_m")), 6).alias("punct_ratio"),
+        F.round(F.avg(F.col("n_stop") / F.col("n_tokens")), 6).alias("stopword_ratio"),
+        F.round(F.avg(F.col("n_chars_m") / F.col("n_tokens")), 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "t07_token_count",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]'))), 6) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def t07_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: alphanumeric runs plus individual
+    non-space symbols (the pre-tokenizer split every BPE vocabulary
+    starts from), counted per language."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
+    )
+    return (
+        docs.withColumn("n_tok", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "t08_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_filter(string_split(text, ''), x -> x <> ''),
+                 x -> CAST(ascii(x) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def t08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint
+    (h = fold(h*31 + codepoint mod 1e9+7)) as an expression fold —
+    deterministic, order-sensitive, cross-engine reproducible (unlike
+    xxhash64, which only Spark has)."""
+    docs = table(spark, sf_dir, "documents")
+    chars = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % 1000000007,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

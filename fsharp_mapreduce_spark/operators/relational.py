@@ -1,0 +1,550 @@
+"""Relational operator library (SURVEY.md §2c) — scans, filter/project,
+joins (broadcast/semi/anti/range), aggregations (incl. distinct,
+cube/rollup/grouping sets), set ops, scalar functions, pivot, and the
+reproduced dice query.
+
+The reference has NO dedicated operators for any of this (its whole
+surface is the generic map/reduce kernel, Common.fs:23-45); a reference
+user would hand-write each as map/reduce closures. Here each is the
+idiomatic Catalyst-optimized DataFrame plan: filters/projections push
+into the parquet scan, small dims broadcast, aggregations get map-side
+partial combine — all things the reference cannot do (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import register, table
+
+
+def _rnd(col, n=4):
+    return F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# Scans / filter / projection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_returnflag = 'N'
+    """,
+    tags=("scan", "filter", "project"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection. Both the predicate and the
+    5-column read schema must reach the parquet scan (pushdown audit in
+    tests/test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_returnflag") == "N")
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)               AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 6)      AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6)      AS avg_disc,
+           COUNT(*)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "groupby"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the hash-aggregate workhorse.
+    Spark runs partial (map-side) aggregation then a final stage — the
+    upgrade over the reference's per-pair shuffle (Worker.fs:81)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _rnd(F.sum("l_quantity")).alias("sum_qty"),
+            _rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _rnd(F.sum(disc_price)).alias("sum_disc_price"),
+            _rnd(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            _rnd(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            _rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q09_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def q09_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (expand + two-phase agg in
+    Spark; the reference user would need one MR pass per distinct)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q10_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube"),
+)
+def q10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus (all 2^2 grouping sets)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _rnd(F.sum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q11_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 4) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup"),
+)
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → ()."""
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        _rnd(F.sum("o_totalprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q12_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 6) AS avg_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("agg", "grouping_sets"),
+)
+def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets — SQL path through Spark (same Catalyst
+    Expand node the DataFrame cube/rollup emit)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROUND(AVG(o_totalprice), 6) AS avg_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_broadcast_dim_join",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def q03_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two tiny dims. Both dims are explicitly
+    broadcast — zero shuffles on the fact side until the final agg."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _rnd(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q04_revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+    tags=("join", "agg"),
+)
+def q04_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem ⋈ orders shuffles on orderkey)
+    followed by dim hops. At 100 TB the fact-fact join dominates; both
+    sides bucket/co-partition on orderkey, dims broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q05_semi_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "semi"),
+)
+def q05_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS): customers holding at least one big order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_orders"))
+    )
+
+
+@register(
+    "q06_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS): customers with no orders at all."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@register(
+    "q07_range_join",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 6) AS avg_price
+    FROM part
+    JOIN (VALUES ('budget', 900.0, 930.0),
+                 ('mid',    930.0, 970.0),
+                 ('premium',970.0, 1000.0)) AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def q07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a small band table. The band side is
+    broadcast so the non-equi condition becomes a broadcast
+    nested-loop join — the only sane physical plan for theta joins."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _rnd(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q18_union",
+    oracle="""
+    SELECT kind, COUNT(*) AS n, ROUND(SUM(acctbal), 4) AS total_bal
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS kind, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY kind
+    """,
+    tags=("setop", "union"),
+)
+def q18_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogenous sources normalized to one schema
+    (the reference analogue: concatenating two loaders)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_acctbal").alias("acctbal")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"), _rnd(F.sum("acctbal")).alias("total_bal"))
+    )
+
+
+@register(
+    "q19_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "intersect"),
+)
+def q19_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics): nations having both customers
+    and suppliers."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q20_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    tags=("setop", "except"),
+)
+def q20_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): nations with customers but no
+    suppliers."""
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "q21_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty_int
+    FROM lineitem
+    """,
+    tags=("distinct",),
+)
+def q21_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates over a 3-column projection (hash-agg distinct)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("bigint").alias("qty_int")
+    ).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library / CASE / pivot / dice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderstatus)                            AS status_upper,
+           SUBSTR(o_orderpriority, 1, 1)                   AS prio_code,
+           CONCAT(o_orderstatus, '-', o_orderpriority)     AS status_prio,
+           CAST(LENGTH(o_orderpriority) AS BIGINT)         AS prio_len,
+           CAST(YEAR(o_orderdate) AS BIGINT)               AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT)              AS order_month,
+           o_totalprice / 1000.0                           AS price_k,
+           ABS(o_totalprice - 150000.0)                    AS dist_from_150k,
+           CAST(o_orderkey % 97 AS BIGINT)                 AS key_mod
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+    tags=("scalar",),
+)
+def q22_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions — the reference user calls
+    .NET BCL inside closures (Example-Job.fs:53,69); here they are
+    codegen'd JVM expressions, never Python."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        # No rounding: scalar IEEE ops are bit-identical across engines
+        # (rounding only exists to kill aggregation-order noise).
+        (F.col("o_totalprice") / 1000.0).alias("price_k"),
+        F.abs(F.col("o_totalprice") - 150000.0).alias("dist_from_150k"),
+        (F.col("o_orderkey") % 97).cast("bigint").alias("key_mod"),
+    )
+
+
+@register(
+    "q23_case_bucketize",
+    oracle="""
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("scalar", "case"),
+)
+def q23_case_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN bucketing + frequency count — the generalized form of
+    the example job's Win/Lose projection (Example-Job.fs:52-54)."""
+    li = table(spark, sf_dir, "lineitem")
+    bucket = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    return (
+        li.groupBy(bucket.alias("qty_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _rnd(F.sum("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q28_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 4) AS qty_open,
+           ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def q28_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list so Spark
+    skips the extra distinct-values job)."""
+    li = table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_rnd(F.sum("l_quantity")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )
+
+
+@register(
+    "q27_dice_frequency",
+    oracle="""
+    SELECT CASE WHEN (event_id % 6) + 1 = 3 THEN 'Win' ELSE 'Lose' END AS outcome,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("mapreduce", "flagship"),
+)
+def q27_dice_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden query (Example-Job.fs:52-61) made
+    deterministic: die face derived from event_id instead of
+    System.Random, Win on face 3, frequency-counted. Same plan shape
+    as the compat path: project → hash-aggregate."""
+    ev = table(spark, sf_dir, "events")
+    roll = (F.col("event_id") % 6) + 1
+    outcome = F.when(roll == 3, "Win").otherwise("Lose")
+    return ev.groupBy(outcome.alias("outcome")).agg(F.count(F.lit(1)).alias("n"))

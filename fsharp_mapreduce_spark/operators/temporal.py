@@ -1,0 +1,182 @@
+"""Temporal operators: as-of join, time-bucketed aggregation, gap
+sessionization, and JSON extraction over the events stream table.
+
+Spark has no native ASOF JOIN; ``q08_asof_join`` implements the
+scalable union-and-last-value pattern (one shuffle, no per-key Python)
+and is checked against DuckDB's native ASOF JOIN as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import register, table
+
+
+@register(
+    "q08_asof_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(ev_value, 4) AS last_event_value
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.ev_value
+      FROM orders o
+      ASOF LEFT JOIN (
+        SELECT user_id, ts, ROUND(MAX(value), 6) AS ev_value
+        FROM events GROUP BY user_id, ts
+      ) e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    )
+    WHERE o_custkey < 150
+    """,
+    tags=("join", "asof"),
+)
+def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each order, the value of that user's most recent
+    event at or before the order date.
+
+    Implementation is the union trick: tag both sides, sort-by-time
+    within each key via a window, carry the last non-null event value
+    forward, keep the probe rows. One shuffle on the key — scales to
+    arbitrarily large fact tables (contrast per-group merge_asof which
+    needs the whole group in pandas memory).
+
+    Events are pre-deduplicated to one row per (user_id, ts) —
+    otherwise "the" as-of row is ambiguous in any engine.
+    """
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("ev_value"))
+    )
+
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "o_orderkey",
+        F.lit(None).cast("double").alias("ev_value"),
+    )
+    build = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "ev_value",
+    )
+    # Events sort before probes at equal t (is_probe asc) so ts ==
+    # orderdate counts as "at or before".
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = probe.unionByName(build).withColumn(
+        "last_ev", F.last("ev_value", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("is_probe") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        F.round("last_ev", 4).alias("last_event_value"),
+    )
+
+
+@register(
+    "q25_time_bucket",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("temporal", "window_agg"),
+)
+def q25_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregation — the batch shape of the streaming
+    windowed agg (same F.window expression works under readStream)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").getField("start").alias("bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+@register(
+    "q26_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    tags=("temporal", "session"),
+)
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    sum of session-start flags — the classic batch sessionizer (the
+    streaming twin uses session_window, tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # Microsecond-exact gap (second-truncation would disagree with the
+    # oracle's interval arithmetic on sub-second boundaries).
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    cum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(cum))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q24_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_high,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+    tags=("json", "scalar"),
+)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props string column, filter on
+    the extracted value, aggregate (get_json_object — JVM-side, no
+    Python in the loop)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .where(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Central query registry — the engine's declared capability surface.
+
+Every operator from SURVEY.md §2 (and the north-star extensions) is
+declared here as a named query: a Spark callable ``(spark, sf_dir) ->
+DataFrame`` plus, when SQL-expressible, a DuckDB oracle string over the
+same parquet tables. ``__spark_entry__.py`` exposes this registry to
+the driver; ``tests/test_oracle_differential.py`` runs the identical
+comparison locally so regressions never reach the driver gate.
+
+Cross-engine determinism rules (every query obeys them):
+- alias every computed column identically in Spark and SQL;
+- round double aggregates (4 dp; ratios 6 dp) on BOTH sides — Spark
+  and DuckDB sum floats in different orders, ULP noise must not reach
+  the value hash;
+- cast integer-family results to bigint on both sides (DuckDB
+  sum(int) is HUGEINT, year() is bigint, Spark's are int/long);
+- any windowed/limited query orders by a unique key set.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: declare a named query with an optional DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(name, fn, oracle, tuple(tags), fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Plain parquet read — keeps Catalyst's
+    pushdown/pruning path intact (no caching layer in between).
+
+    ``events`` carries nanosecond parquet timestamps, which Spark 4
+    refuses by default; read them as int64 nanos and floor-convert to
+    a microsecond timestamp (integer DIV — converting ~1.7e18 ns
+    through double would lose precision). DuckDB reads the same file
+    as TIMESTAMP_NS and floors on cast, so both engines agree."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all_query_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import fsharp_mapreduce_spark.functions.dedup  # noqa: F401
+    import fsharp_mapreduce_spark.functions.similarity  # noqa: F401
+    import fsharp_mapreduce_spark.functions.text  # noqa: F401
+    import fsharp_mapreduce_spark.functions.multimodal  # noqa: F401
+    import fsharp_mapreduce_spark.operators.relational  # noqa: F401
+    import fsharp_mapreduce_spark.operators.windows  # noqa: F401
+    import fsharp_mapreduce_spark.operators.temporal  # noqa: F401
+    import fsharp_mapreduce_spark.streaming.queries  # noqa: F401

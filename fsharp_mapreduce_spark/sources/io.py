@@ -1,0 +1,83 @@
+"""Batch sources & sinks (SURVEY.md §2c "file formats / connectors").
+
+The reference has exactly one source abstraction — the user-supplied
+``dataLoadFn : skip -> take -> obj list`` (Loader.fs:17) — and no sink
+beyond the driver callback. Here every standard format is a first-class
+reader/writer; Spark owns split planning (the skip/take cursor,
+Loader.fs:14,38) and parallel writes.
+
+All readers take explicit schemas where the format needs one —
+inference is a driver-side full scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+READ_FORMATS = ("parquet", "orc", "csv", "json", "text")
+
+
+def read(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    if fmt not in READ_FORMATS and fmt != "jdbc":
+        raise ValueError(f"unsupported format: {fmt}")
+    if fmt == "jdbc":
+        return read_jdbc(spark, **options)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write(
+    df: DataFrame,
+    fmt: str,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    **options,
+) -> None:
+    """Parallel write. ``partition_by`` gives hive-style directory
+    partitioning (the pruning handle for downstream readers);
+    ``num_files`` coalesces tiny outputs (small-file problem)."""
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def read_jdbc(spark: SparkSession, url: str = "", dbtable: str = "", **options) -> DataFrame:
+    """JDBC source — needs a driver jar on the classpath, which this
+    container doesn't ship; the call path is real, the environment
+    gate is explicit."""
+    if not url:
+        raise NotImplementedError(
+            "JDBC requires a database driver jar on the Spark classpath; "
+            "pass url/dbtable/driver options on a real cluster"
+        )
+    return spark.read.format("jdbc").options(url=url, dbtable=dbtable, **options).load()
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_cols: list[str], n_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write so later
+    joins/aggs on ``bucket_cols`` skip their exchange — the standard
+    co-location play for repeatedly-joined 100 TB facts."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table_name)
+    )
