@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md table of record).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the sum of per-query median wall-clock (seconds, median
+of --runs measured runs after one warm-up). ``--duckdb`` additionally
+times the DuckDB oracles on the same files — that populates the
+BASELINE.md ratio table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Shapes chosen to cover the engine surface: scan/agg, fact-fact join,
+# window, distinct, JSON, sessionize, dedup (exact-jaccard + LSH),
+# text, similarity, and the flagship MapReduce query.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q04_revenue_by_nation",
+    "q09_agg_distinct",
+    "q13_window_topk_per_group",
+    "q17_topk_global",
+    "q24_json_extract",
+    "q26_sessionize",
+    "q27_dice_frequency",
+    "t02_ngram_jaccard_pairs",
+    "t03_minhash_lsh_pairs",
+    "t06_quality_score",
+    "t08_fingerprint",
+    "s01_knn_bruteforce",
+]
+
+
+def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+    from fsharp_mapreduce_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark(app_name="fsharp_mapreduce_spark-bench")
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            # noop sink: full execution, no driver collect bottleneck
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    return timings
+
+
+def run_duckdb(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
+    import duckdb
+
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = QUERIES[name].oracle
+        if not sql:
+            continue
+        con.sql(sql).fetchall()  # warm-up
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--duckdb", action="store_true", help="also time DuckDB oracles")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    names = args.queries or HEADLINE
+
+    timings = run_spark(sf_dir, args.runs, names)
+    result = {
+        "metric": "sum of per-query median wall-clock, headline queries",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if args.duckdb:
+        duck = run_duckdb(sf_dir, args.runs, names)
+        result["duckdb_queries"] = duck
+        result["duckdb_value"] = round(sum(duck.values()), 4)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,13 +112,35 @@ def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     e = exploded_shingles(docs)
     sz = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = e.alias("a")
-    b = e.alias("b")
+
+    # Pair generation WITHOUT a self-join: group each shingle's posting
+    # list, expand ordered pairs with a nested array comprehension,
+    # then count co-occurrences. Two shuffles total (shingle, pair) vs
+    # the self-join's three; the posting-list expansion is the exact
+    # same O(d²)-per-hot-shingle work the join would do, minus the
+    # duplicated exchange of the probe side.
+    postings = (
+        e.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pair_list = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_list).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sz is one row per document: small at bench SF (AQE switches these
+    # joins to broadcast at runtime), shuffle-join at corpus scale — so
+    # no forced broadcast hint here.
     ja = (
         pairs.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -140,27 +162,36 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py::test_minhash_recall against t02's exact
     output."""
     docs = table(spark, sf_dir, "documents")
-    e = exploded_shingles(docs)
 
-    # 32 permutations via explode of a literal range: (doc, perm, h)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(NUM_PERM - 1))).alias("perm")
-    sigs = (
-        e.select("doc_id", "shingle", perms)
-        .select("doc_id", "perm", F.xxhash64("perm", "shingle").alias("h"))
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("mh"))
+    # Whole signature as ONE expression fold per document: a running
+    # elementwise-min of the 32 permutation hashes across the shingle
+    # array. Zero shuffles and no 32× row blowup — the projection runs
+    # inside the scan stage (contrast the naive explode(perm) →
+    # groupBy(doc, perm) shape, which shuffles |shingles|×32 rows).
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("shingles"),
+        F.array_repeat(F.lit(max_long), NUM_PERM),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
+                lambda p: F.xxhash64(p, s),
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    bands = (
-        sigs.withColumn("band", (F.col("perm") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.xxhash64(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s.getField("mh"),
-                )
-            ).alias("band_sig")
-        )
+    sigs = shingle_sets(docs).where(F.size("shingles") > 0).select(
+        "doc_id", sig.alias("sig")
+    )
+    # 8 bands of 4 minhashes; band signature = hash of the slice.
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(NUM_PERM // BAND_ROWS - 1)),
+        lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS)),
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(band_arr).alias("band", "band_sig"),
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
