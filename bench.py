@@ -42,7 +42,10 @@ HEADLINE = [
     "t03_minhash_lsh_pairs",
     "t06_quality_score",
     "t08_fingerprint",
+    "t09_embedding_neardup",
     "s01_knn_bruteforce",
+    "s04_knn_ivf",
+    "m03_frame_sample",
 ]
 
 

@@ -162,6 +162,12 @@ class MapReduceJob:
         (Start chunkSize, Orchestrator.fs:134-140); batching is owned
         by Spark's scheduler so it only influences partition count.
         """
+        from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+        # User closures may reference package helpers (dice_map_fn et
+        # al.); guarantee executors can import them regardless of the
+        # driver's cwd.
+        ensure_package_shipped(spark)
         pairs = self._pair_rdd(spark)
         n = self.num_partitions or spark.sparkContext.defaultParallelism
 

@@ -228,6 +228,54 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
 
 
+# Calibrated to the synthetic fixture: its embeddings are random, so
+# the max pairwise cosine is ~0.5-0.6 — 0.4 yields a real (non-empty)
+# near-dup set to verify against. On a production corpus this is the
+# usual 0.95-0.99.
+COSINE_DUP_THRESHOLD = 0.4
+
+# Oracle reuses the similarity module's sequential-fold cosine SQL so
+# both engines execute the identical IEEE operation order (bit-equal
+# scores, not merely close).
+from fsharp_mapreduce_spark.functions.similarity import _cosine_sql  # noqa: E402
+
+_NEARDUP_ORACLE = f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "t09_embedding_neardup",
+    oracle=_NEARDUP_ORACLE,
+    tags=("dedup", "embedding", "cosine"),
+)
+def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (a < b) pair with
+    cosine ≥ threshold over the ``embeddings`` table — the exact verifier
+    formulation (all-pairs within a range-partitioned self-join).
+
+    Scale path at 100 TB: candidate generation moves to hyperplane-LSH
+    bucketing (the s02_knn_lsh machinery) or t03-style banding, and
+    THIS query becomes the verify stage over candidates only — exact
+    cosine is always the last word. The self-join here shuffles both
+    sides on a block key (vec_id ranges) so no executor ever holds the
+    full corpus."""
+    from fsharp_mapreduce_spark.functions.similarity import cosine
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
+
+
 @register("t04_simhash", oracle=None, tags=("dedup", "simhash"))
 def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: each token votes ±1 on each bit of

@@ -97,6 +97,10 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     no shuffle. This is the template the real decode/resize/
     frame-sample stages drop into."""
 
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -129,4 +133,91 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.length("payload").cast("bigint").alias("byte_len"),
         F.sha2("payload", 256).alias("digest"),
+    )
+
+
+@register("m02_feature_extract", oracle=None, tags=("multimodal", "mapInPandas"))
+def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas, zero shuffle): per-payload 16-dim pseudo-embedding +
+    an aggregate per feature dimension so the result is small and
+    stable. The decode stub is deterministic (sha256-seeded), so the
+    pipeline is asserted end-to-end in tests/test_multimodal.py."""
+    media = documents_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_digest", T.StringType(), True),
+    ]
+)
+
+FRAME_STRIDE = 256  # bytes per fake "frame"
+
+
+def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame, via
+    mapInPandas (a row-multiplying Arrow transform — the shape a real
+    video frame-sampler has). Frames are STUB-decoded as fixed-stride
+    byte windows; a real codec drops into `window_bytes` untouched."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, digests = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                body = payload or b""
+                for i in range(0, max(len(body), 1), stride):
+                    window_bytes = body[i : i + stride]
+                    ids.append(mid)
+                    nos.append(i // stride)
+                    digests.append(hashlib.sha256(window_bytes).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": pd.array(nos, dtype="int32"),
+                 "frame_digest": digests}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+@register(
+    "m03_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             CAST(UNNEST(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0) // 256))
+               AS INTEGER) AS frame_no
+      FROM documents
+    )
+    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(frame_no) AS BIGINT) AS last_frame
+    FROM frames GROUP BY media_id
+    """,
+    tags=("multimodal", "frame_sample"),
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample a binary column (video frame-extraction shape):
+    mapInPandas multiplies each payload into fixed-stride frames; the
+    aggregate (frames per media) is SQL-checkable from byte lengths
+    even though the stub 'decode' itself is not."""
+    media = documents_as_media(spark, sf_dir)
+    frames = sample_frames(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("frame_no").cast("bigint").alias("last_frame"),
     )

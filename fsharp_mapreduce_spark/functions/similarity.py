@@ -153,6 +153,79 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse cells
+N_PROBE = 4  # cells searched per query
+
+
+@register("s04_knn_ivf", oracle=None, tags=("similarity", "ivf", "ann"))
+def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index skeleton:
+
+    1. coarse quantizer — {16} deterministic centroids (the
+       highest-vec_id vectors stand in for k-means means; on a real
+       corpus this is one `mapInPandas` k-means pass or a sampled
+       sklearn fit shipped via broadcast);
+    2. assign: every vector joins its nearest centroid (broadcast the
+       tiny centroid table, score with the expression-fold cosine) —
+       this is the inverted file, naturally partitioned by cell_id;
+    3. probe: each query searches only its {4} nearest cells'
+       posting lists (bucket equi-join on cell_id), then exact cosine
+       + per-query window top-k.
+
+    At 100 TB the posting lists are written out partitioned by
+    cell_id, so a probe prunes to nprobe/ncells of the corpus at the
+    parquet-scan level. Recall vs s01_knn_bruteforce pinned in
+    tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    cents = (
+        emb.where(F.col("vec_id") > max_id - N_CELLS)
+        .select(F.col("vec_id").alias("cell_raw"), F.col("embedding").alias("ce"))
+    )
+    # dense 0..N_CELLS-1 cell ids keep downstream partition math simple
+    cents = cents.withColumn(
+        "cell_id", F.dense_rank().over(W.orderBy("cell_raw")) - 1
+    ).select("cell_id", "ce")
+
+    scored_cells = emb.join(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cell_id", cosine(F.col("embedding"), F.col("ce")).alias("csim")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
+    assigned = (
+        scored_cells.withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+    probes = (
+        scored_cells.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cell_id",
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes),
+            (assigned.cell_id == probes.cell_id) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 @register(
     "s03_embedding_stats",
     oracle=f"""

@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "96g"))
+        # Managed tables (bucketed writes) land in /tmp, never the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/fsmr_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -65,6 +70,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_shipped_apps: set[str] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``fsharp_mapreduce_spark`` importable on executors even when
+    the driver launched outside the repo (the external-driver case):
+    zip the package once per application and ``addPyFile`` it. Pure
+    JVM-expression queries never need this; every path that ships a
+    Python closure referencing package code calls it first — the
+    PySpark analogue of the reference's closure shipping
+    (Common.fs:14, pickled fns at Example-Job.fs:72-75)."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    appid = spark.sparkContext.applicationId
+    if appid in _shipped_apps:
+        return
+    pkg_root = Path(__file__).resolve().parent
+    dest = Path(tempfile.gettempdir()) / f"fsmr_pkg_{appid}.zip"
+    if not dest.exists():
+        with zipfile.ZipFile(dest, "w") as z:
+            for p in sorted(pkg_root.rglob("*.py")):
+                z.write(p, str(Path("fsharp_mapreduce_spark") / p.relative_to(pkg_root)))
+    spark.sparkContext.addPyFile(str(dest))
+    _shipped_apps.add(appid)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):

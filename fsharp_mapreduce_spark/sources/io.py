@@ -51,6 +51,8 @@ def write(
     ``num_files`` coalesces tiny outputs (small-file problem)."""
     if num_files is not None:
         df = df.coalesce(num_files)
+    if fmt == "csv":
+        options.setdefault("header", "true")
     writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

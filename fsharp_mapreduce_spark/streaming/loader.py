@@ -14,17 +14,56 @@ loop itself. ``handleResults`` (Orchestrator.fs:175) maps to
 from __future__ import annotations
 
 import math
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-def stage_as_chunked_files(df: DataFrame, n_chunks: int, out_dir: str | None = None) -> str:
+def stage_as_chunked_files(
+    df: DataFrame,
+    n_chunks: int,
+    out_dir: str | None = None,
+    order_by: list[str] | None = None,
+) -> str:
     """Materialize a DataFrame as ``n_chunks`` parquet files so a file
     stream with maxFilesPerTrigger=1 replays it in n_chunks pulls —
-    the test harness for Gimme-chunkSize semantics."""
+    the test harness for Gimme-chunkSize semantics.
+
+    ``order_by`` stages the chunks in sorted order (chunk i strictly
+    precedes chunk i+1) and stamps strictly increasing file mtimes so
+    the file source replays them in that order — an event-time-ordered
+    source, which is what watermark semantics assume. Without it,
+    chunks are a random partition of the input (an out-of-order
+    source). The global sort here is harness-only code on fixture-
+    sized data, not an engine path."""
     out_dir = out_dir or tempfile.mkdtemp(prefix="fsmr_stream_")
-    df.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+    if order_by is None:
+        df.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+        return out_dir
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.orderBy(*order_by)
+    chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(w))
+    seen: set[str] = set()
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.where(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        # FileStreamSource orders new files by modification time; pin
+        # it explicitly (sub-second writes can collide).
+        now = 1_700_000_000 + i * 10
+        for f in os.listdir(out_dir):
+            p = os.path.join(out_dir, f)
+            if f.endswith(".parquet") and p not in seen:
+                os.utime(p, (now, now))
+                seen.add(p)
     return out_dir
 
 

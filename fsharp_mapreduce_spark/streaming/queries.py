@@ -50,6 +50,119 @@ def st01_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "st03_stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session_window"),
+)
+def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min inactivity) computed BY THE
+    STREAMING ENGINE: ``session_window`` merges overlapping per-event
+    windows in the state store across micro-batches. The oracle is the
+    classic batch lag+cumsum sessionizer — stream/batch parity again.
+    session_window end = last event + gap, mirrored in the oracle.
+    The source replays in event-time order (order_by=ts) — the
+    contract watermarks assume; an out-of-order replay would
+    legitimately drop late events."""
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"]
+    )
+    ev = read_pull_stream(spark, staged)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, "st03_out", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.col("session_window").getField("start").alias("session_start"),
+        F.col("session_window").getField("end").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "st04_stream_stateful_running_max",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user state (count, max, sum) folded across micro-batches —
+    the arbitrary-stateful analogue of the reference's per-worker
+    reduce dictionary (Worker.fs:32, 89-96), with the state store
+    replacing the in-memory Dictionary. Emits each user's running
+    totals every batch; the memory sink keeps the last update per user
+    (update mode), which after processAllAvailable equals the batch
+    answer."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    ev = read_pull_stream(spark, staged)
+
+    out_schema = "user_id bigint, n_events bigint, max_value double, total_value double"
+    state_schema = "n bigint, mx double, sm double"
+
+    def fold(key, pdfs, state: GroupState):
+        n, mx, sm = state.get if state.exists else (0, float("-inf"), 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                sm += float(pdf["value"].sum())
+        state.update((n, mx, sm))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [mx], "total_value": [sm]}
+        )
+
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = run_to_completion(folded, "st04_out", output_mode="update")
+    # The memory sink in update mode keeps every emission; the final
+    # running totals are the emission with the highest n_events per
+    # user (strictly increasing across batches), selected atomically
+    # via struct-max so the three columns always come from one row.
+    last = F.max(F.struct("n_events", "max_value", "total_value")).alias("s")
+    return out.groupBy("user_id").agg(last).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.max_value", 4).alias("max_value"),
+        F.round("s.total_value", 4).alias("total_value"),
+    )
+
+
 @register("st02_stream_dedup", oracle=None, tags=("streaming", "dedup"))
 def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-once dedup on event_id across micro-batches

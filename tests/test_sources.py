@@ -1,0 +1,102 @@
+"""Source/sink round-trips (SURVEY.md §2c file formats): every format
+the engine claims must write-then-read to the identical DataFrame,
+partitioned writes must prune, and bucketed tables must pre-shuffle
+joins away."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import table
+from fsharp_mapreduce_spark.sources import io as sio
+from tests.conftest import SF_SMOKE
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return table(spark, SF_SMOKE, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_roundtrip(spark, nation, fmt, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp(f"rt_{fmt}"))
+    sio.write(nation, fmt, d)
+    got = sio.read(spark, fmt, d, schema=nation.schema)
+    assert got.schema == nation.schema
+    assert rows_set(got) == rows_set(nation)
+
+
+def test_text_roundtrip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("rt_text"))
+    df = spark.range(10).select(F.concat(F.lit("line-"), F.col("id")).alias("value"))
+    sio.write(df, "text", d)
+    got = sio.read(spark, "text", d)
+    assert rows_set(got) == rows_set(df)
+
+
+def test_unsupported_format_rejected(spark):
+    with pytest.raises(ValueError):
+        sio.read(spark, "avro-nope", "/tmp/x")
+
+
+def test_jdbc_gate_is_explicit(spark):
+    with pytest.raises(NotImplementedError):
+        sio.read_jdbc(spark)
+
+
+def test_partitioned_write_prunes(spark, tmp_path_factory):
+    """partitionBy writes hive-style dirs and a filtered read plans
+    only the matching partition (partition pruning — the 100 TB
+    pattern for date-partitioned facts)."""
+    d = str(tmp_path_factory.mktemp("part"))
+    orders = table(spark, SF_SMOKE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    sio.write(orders, "parquet", d, partition_by=["o_year"])
+    years = [p for p in os.listdir(d) if p.startswith("o_year=")]
+    assert len(years) > 1
+    got = spark.read.parquet(d).where(F.col("o_year") == 1995)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # files from exactly one partition directory are planned
+    assert got.count() == orders.where(F.col("o_year") == 1995).count()
+    assert "o_year=1995" not in plan or "o_year=1996" not in plan
+
+
+def test_num_files_coalesce(spark, nation, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nf"))
+    sio.write(nation, "parquet", d, num_files=1)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+
+def test_bucketed_table_join_skips_exchange(spark):
+    """Joining two tables bucketed on the same key must not shuffle:
+    the physical plan for the join contains no Exchange on the join
+    key (the co-location payoff bucketing buys at 100 TB)."""
+    lineitem = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    orders = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_lineitem", "b_orders"):
+        # in-memory catalog forgets tables between sessions but the
+        # warehouse dirs persist; clear both metadata and files
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    sio.write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 4)
+    sio.write_bucketed(orders, "b_orders", ["o_orderkey"], 4)
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    joined = bl.join(
+        bo.hint("merge"), bl.l_orderkey == bo.o_orderkey
+    )  # force SMJ so broadcast doesn't mask the bucketing
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    want = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+    assert joined.count() == want
