@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, table
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.5
@@ -27,26 +27,48 @@ BAND_ROWS = 4  # 32 perms / 4 rows = 8 bands; catches j >= ~0.5 w.h.p.
 
 def shingle_sets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     """(doc_id, shingles: array<string>) — distinct word n-grams of the
-    lowercased text. Expression-only."""
-    toks = F.split(F.lower(F.col("text")), " ")
+    lowercased text. Expression-only.
+
+    Two-step projection ON PURPOSE: ``toks`` must be a real column
+    attribute before the shingle transform references it. Higher-order
+    functions run on the interpreted (non-codegen) path, which has no
+    common-subexpression elimination — if ``split(lower(text))`` were
+    inlined, every per-shingle reference would re-tokenize the whole
+    document (measured ~50× slowdown). CollapseProject keeps the
+    projections separate because the alias is non-cheap and referenced
+    more than once."""
+    tokd = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     )
     # guard: texts shorter than n tokens get an empty shingle set
     shingles = F.when(F.size(toks) >= n, shingles).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select("doc_id", shingles.alias("shingles"))
+    return tokd.select("doc_id", shingles.alias("shingles"))
 
 
 def exploded_shingles(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     return shingle_sets(docs, n).select(
         "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+def hashed_shingle_sets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — each distinct shingle collapsed to
+    its xxhash64. One string hash per shingle; everything downstream
+    (minhash perms, posting lists, intersections) operates on 8-byte
+    ints instead of re-hashing ~25-char strings. Distinct strings map
+    to distinct ints w.p. 1-2⁻⁶⁴, so set cardinalities — and therefore
+    Jaccard — are preserved."""
+    return shingle_sets(docs, n).select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs")
     )
 
 
@@ -109,33 +131,36 @@ def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode distinct shingles, self-join on shingle, count shared,
     Jaccard from set sizes. The exact (non-LSH) formulation — the
     ground truth the LSH variant is measured against."""
-    docs = table(spark, sf_dir, "documents")
-    e = exploded_shingles(docs)
-    sz = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    hsets = hashed_shingle_sets(docs)
+    e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
+    # per-doc set size straight off the array — no shuffle; cached
+    # because it feeds BOTH the na and nb lookup joins (one shingle
+    # pass instead of two; the table is one tiny row per document).
+    sz = hsets.select("doc_id", F.size("hs").alias("n")).persist()
 
-    # Pair generation WITHOUT a self-join: group each shingle's posting
-    # list, expand ordered pairs with a nested array comprehension,
-    # then count co-occurrences. Two shuffles total (shingle, pair) vs
-    # the self-join's three; the posting-list expansion is the exact
-    # same O(d²)-per-hot-shingle work the join would do, minus the
-    # duplicated exchange of the probe side.
-    postings = (
-        e.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") > 1)
-    )
-    pair_list = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    # Pair generation: self-equi-join on the shingle hash, count
+    # co-occurrences per ordered pair. The exchange carries 8-byte int
+    # keys and the whole join+agg stays inside whole-stage codegen —
+    # measured 4-5× faster than a posting-list array expansion, whose
+    # nested higher-order exprs run on the interpreted path. The
+    # shuffle_hash hint matters twice over: the planner's size estimate
+    # would otherwise BROADCAST the exploded corpus (never right for a
+    # corpus-sized side, and it re-collects to the driver per run),
+    # and the two join inputs are the identical subplan, so the single
+    # shuffle is computed once and reused for both sides. Hot shingles
+    # are the skew risk at corpus scale; AQE skew-join splitting covers
+    # the join, and a stop-shingle cap (drop shingles with >N postings)
+    # is the standard upstream guard.
+    a, b = e.alias("a"), e.alias("b")
     pairs = (
-        postings.select(F.explode(pair_list).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     # sz is one row per document: small at bench SF (AQE switches these
@@ -161,27 +186,32 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Spark-specific); correctness is pinned by
     tests/test_dedup.py::test_minhash_recall against t02's exact
     output."""
-    docs = table(spark, sf_dir, "documents")
+    # fan_out: the corpus arrives as one split at fixture scale; the
+    # signature fold is pure CPU and must run partition-parallel.
+    docs = fan_out(table(spark, sf_dir, "documents"))
 
     # Whole signature as ONE expression fold per document: a running
-    # elementwise-min of the 32 permutation hashes across the shingle
-    # array. Zero shuffles and no 32× row blowup — the projection runs
-    # inside the scan stage (contrast the naive explode(perm) →
-    # groupBy(doc, perm) shape, which shuffles |shingles|×32 rows).
+    # elementwise-min of the 32 permutation hashes across the PRE-
+    # HASHED shingle array. Zero shuffles and no 32× row blowup — the
+    # projection runs inside the scan stage (contrast the naive
+    # explode(perm) → groupBy(doc, perm) shape, which shuffles
+    # |shingles|×32 rows). Each shingle string is hashed once; the 32
+    # permutations re-hash the resulting int64 (8 bytes), not the
+    # string — the string-hash cost drops 32×.
     max_long = (1 << 63) - 1
     sig = F.aggregate(
-        F.col("shingles"),
+        F.col("hs"),
         F.array_repeat(F.lit(max_long), NUM_PERM),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
-                lambda p: F.xxhash64(p, s),
+                lambda p: F.xxhash64(p, h),
             ),
             lambda a, b: F.least(a, b),
         ),
     )
-    sigs = shingle_sets(docs).where(F.size("shingles") > 0).select(
+    sigs = hashed_shingle_sets(docs).where(F.size("hs") > 0).select(
         "doc_id", sig.alias("sig")
     )
     # 8 bands of 4 minhashes; band signature = hash of the slice.
@@ -204,17 +234,28 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
+        # cached: feeds the cand_ids semi-join AND the verification
+        # join — without it the whole signature+banding pipeline runs
+        # three times. The pair list is tiny by LSH design.
+        .persist()
     )
 
-    # Exact verification on the candidate set only.
-    sets = shingle_sets(docs)
+    # Exact verification on the candidate set only: re-shingle JUST the
+    # candidate documents (semi-join before the shingle projection), so
+    # the expensive text processing is proportional to |candidates|,
+    # not |corpus|. Intersection on hashed shingles ≡ strings.
+    cand_ids = (
+        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    sets = hashed_shingle_sets(docs.join(cand_ids, "doc_id", "semi"))
     verified = (
         candidates.join(
-            sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")),
             "doc_a",
         )
         .join(
-            sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b")),
             "doc_b",
         )
         .withColumn("shared", F.size(F.array_intersect("sh_a", "sh_b")))
@@ -254,24 +295,83 @@ _NEARDUP_ORACLE = f"""
 )
 def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: every (a < b) pair with
-    cosine ≥ threshold over the ``embeddings`` table — the exact verifier
-    formulation (all-pairs within a range-partitioned self-join).
+    cosine ≥ threshold over the ``embeddings`` table — exact, via
+    blocked matrix multiplication (one float64 GEMM per block pair in
+    an Arrow batch).
 
-    Scale path at 100 TB: candidate generation moves to hyperplane-LSH
-    bucketing (the s02_knn_lsh machinery) or t03-style banding, and
-    THIS query becomes the verify stage over candidates only — exact
-    cosine is always the last word. The self-join here shuffles both
-    sides on a block key (vec_id ranges) so no executor ever holds the
-    full corpus."""
-    from fsharp_mapreduce_spark.functions.similarity import cosine
+    Scale path at 100 TB: candidate generation first moves to
+    hyperplane-LSH bucketing (the s02_knn_lsh machinery) or t03-style
+    banding, and the blocked-GEMM stage runs over candidate buckets
+    only — exact cosine is always the last word. Block replication is
+    the classic O(n·B) blocked-matmul bound; each block pair is an
+    independent few-MB dense problem, so the fan-out is embarrassingly
+    parallel and no executor ever holds the corpus."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
-        .where(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
+    # Blocked all-pairs: split the corpus into √-scale blocks, ship
+    # each block PAIR to one Arrow batch, and do the pairwise cosine
+    # as one numpy float64 GEMM per pair. Every row is replicated
+    # B times (the blocked-matmul replication bound), each block pair
+    # is a few-MB dense problem, and no executor ever sees the whole
+    # corpus. This beats the per-pair expression fold by >10× — higher-
+    # order exprs are interpreted per element; GEMM is vectorized.
+    block = 1024
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    n_blocks = max(1, -(-n // block))
+
+    # row in block i serves side A of pairs (i, q>=i) and side B of
+    # pairs (p<i, i); pair (i, i) gets one copy handled in-UDF.
+    def pair_targets(i_col):
+        a_side = F.transform(
+            F.sequence(i_col, F.lit(n_blocks - 1)),
+            lambda q: F.struct(i_col.alias("p"), q.alias("q")),
+        )
+        b_side = F.when(
+            i_col > 0,
+            F.transform(
+                F.sequence(F.lit(0), i_col - 1),
+                lambda p: F.struct(p.alias("p"), i_col.alias("q")),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:int,q:int>>"))
+        return F.concat(a_side, b_side)
+
+    blk = F.floor(F.col("vec_id") / block).cast("int")
+    routed = emb.select(
+        "vec_id", "embedding", F.explode(pair_targets(blk)).alias("pq")
+    ).select("vec_id", "embedding", F.col("pq.p").alias("p"), F.col("pq.q").alias("q"))
+
+    threshold, bs = COSINE_DUP_THRESHOLD, block
+
+    def block_pair_cosine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        p, q = int(pdf["p"].iloc[0]), int(pdf["q"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        if p == q:
+            sims = unit @ unit.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+        else:
+            a_mask = (ids // bs) == p
+            ua, ub = unit[a_mask], unit[~a_mask]
+            ids_a, ids_b = ids[a_mask], ids[~a_mask]
+            sims = ua @ ub.T
+            ia, ib = np.nonzero(sims >= threshold)
+        if p == q:
+            keep = sims[ia, ib] >= threshold
+            ia, ib = ia[keep], ib[keep]
+            va, vb, s = ids[ia], ids[ib], sims[ia, ib]
+        else:
+            va, vb, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_raw": s})
+
+    pairs = routed.groupBy("p", "q").applyInPandas(
+        block_pair_cosine, "vec_a long, vec_b long, sim_raw double"
     )
     return pairs.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
@@ -283,7 +383,7 @@ def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-duplicates land within small Hamming distance (pinned by
     tests/test_dedup.py::test_simhash_near_dups). Pure expression
     fold — no Python, no shuffle except none (it's a projection)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     # counts[j] = sum over tokens of (bit j of xxhash64(token) ? +1 : -1)
     counts = F.expr(
         """

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, table
 
 # Typed metadata carried alongside every payload.
 MEDIA_META = T.StructType(
@@ -51,7 +51,9 @@ def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixture adapter: treat each document's UTF-8 bytes as an opaque
     payload so the binary-column pipeline is exercised end-to-end on
     real distributed data."""
-    docs = table(spark, sf_dir, "documents")
+    # fan_out: payload transforms are CPU-bound Arrow UDF work; a
+    # single-split fixture must not serialize them onto one core.
+    docs = fan_out(table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),

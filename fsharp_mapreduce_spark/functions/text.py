@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, table
 
 # Minimal per-language stopword lists. A deterministic heuristic, not a
 # model: predicted language = argmax of distinct-stopword overlap, ties
@@ -69,7 +69,7 @@ def t05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword hit counts + deterministic argmax. Expression-only
     (array_intersect over a literal array — broadcast-free, the
     stopword lists live in the plan)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     scored = docs.select(
         "doc_id",
@@ -127,7 +127,7 @@ def t06_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-quality signals (length / punctuation / stopword
     ratios), aggregated per source — the standard pre-training corpus
     quality triage, as pure column expressions."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     toks = tokens_col(F.col("text"))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     per_doc = docs.select(
@@ -168,7 +168,7 @@ def t07_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: alphanumeric runs plus individual
     non-space symbols (the pre-tokenizer split every BPE vocabulary
     starts from), counted per language."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     n_tok = F.size(
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+|[^a-z0-9 ]"), 0)
     )
@@ -203,7 +203,7 @@ def t08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h = fold(h*31 + codepoint mod 1e9+7)) as an expression fold —
     deterministic, order-sensitive, cross-engine reproducible (unlike
     xxhash64, which only Spark has)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     chars = F.filter(F.split("text", ""), lambda x: x != F.lit(""))
     fp = F.aggregate(
         chars,

@@ -7,8 +7,22 @@ small dims broadcast, and hot paths stay inside whole-stage codegen.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def aqe_off(spark: SparkSession):
+    """Build a plan with AQE disabled (an AdaptiveSparkPlan's initial
+    plan reports 0 codegen subtrees before execution — audit the
+    static plan instead). Execution configs are restored on exit."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def formatted_plan(df: DataFrame) -> str:
@@ -42,11 +56,18 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return len(re.findall(r"WholeStageCodegen", formatted_plan(df)))
+    """Number of WholeStageCodegen subtrees (codegen explain mode —
+    formatted mode doesn't annotate codegen spans)."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0
 
 
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (the metric to
-    minimize; broadcast exchanges are excluded)."""
+    minimize; broadcast exchanges are excluded). Formatted mode prints
+    each node once in the detail section as ``(n) Exchange``."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange RoundRobinPartitioning", plan))
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))

@@ -69,6 +69,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Fan a narrow scan out to the cluster before a CPU-heavy
+    projection. Small single-file inputs arrive as ONE split, which
+    serializes expression-heavy stages (shingling, hashing, Arrow
+    UDFs) onto one core; input-split sizing is byte-based and cannot
+    see CPU cost. Explicit numPartitions on purpose: AQE's coalescing
+    also targets bytes and would undo an implicit repartition()."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n)
+
+
 def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import fsharp_mapreduce_spark.functions.dedup  # noqa: F401

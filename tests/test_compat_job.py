@@ -139,6 +139,62 @@ def test_ordered_fold(spark):
     assert a["names"].count("|") >= 1
 
 
+def test_property_random_jobs_vs_naive_fold(spark):
+    """Hypothesis-driven MapReduce equivalence: random inputs × a
+    family of (map_fn, reduce_fn, zero, merge) combinations, each
+    checked against the single-threaded naive fold. Few examples
+    (a Spark job per example) but fully random data including
+    negatives, duplicates, and empty-ish groups."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    fn_family = [
+        (lambda r: [(r.g, r.v)], lambda v, acc: acc + v, 0, operator.add),
+        (lambda r: [(r.g, r.v)], lambda v, acc: acc ^ v, 0, operator.xor),
+        (lambda r: [(r.v % 3, 1)], lambda v, acc: acc + v, 0, operator.add),
+        (lambda r: [] if r.v % 2 else [(r.g, r.v)], lambda v, acc: min(acc, v), 1 << 30, min),
+    ]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-1000, max_value=1000),
+                st.sampled_from("abc"),
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+        case=st.integers(min_value=0, max_value=len(fn_family) - 1),
+    )
+    def check(rows, case):
+        map_fn, red, zero, merge = fn_family[case]
+        data = [(i, v, g) for i, (v, g) in enumerate(rows)]
+
+        def source(s):
+            return s.createDataFrame(data, "id long, v int, g string")
+
+        got = MapReduceJob(source, map_fn, red, zero, merge_fn=merge).run(spark)
+        expect: dict = defaultdict(lambda: zero)
+
+        class R:
+            __slots__ = ("id", "v", "g")
+
+            def __init__(self, t):
+                self.id, self.v, self.g = t
+
+        for t in data:
+            for k, v in map_fn(R(t)):
+                expect[k] = red(v, expect[k])
+        assert got == dict(expect)
+
+    check()
+
+
 def test_differential_vs_naive_fold(spark):
     """MapReduce-equivalence property (SURVEY.md §5.3): engine result ==
     single-threaded fold over map outputs grouped by key, for a family
