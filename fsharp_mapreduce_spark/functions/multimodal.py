@@ -197,6 +197,88 @@ def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_bytes", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: int = 8) -> DataFrame:
+    """Resize plumbing (image-thumbnail shape): decode STUB treats the
+    payload as a square grayscale bitmap of side floor(sqrt(len));
+     'resize' is nearest-neighbor sampling down to ``target``×``target``
+    (or the source side, if smaller). The sampled buffer is a real
+    binary column — a codec-backed decode/resize drops in without
+    touching the Spark plan (mapInPandas, Arrow-batched, zero
+    shuffle)."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, nb, bufs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                body = payload or b""
+                side = int(len(body) ** 0.5)
+                out = min(target, side)
+                if out == 0:
+                    buf = b""
+                else:
+                    arr = np.frombuffer(body[: side * side], dtype=np.uint8)
+                    arr = arr.reshape(side, side)
+                    idx = (np.arange(out) * side) // out
+                    buf = arr[np.ix_(idx, idx)].tobytes()
+                ids.append(mid)
+                ws.append(out)
+                hs.append(out)
+                nb.append(len(buf))
+                bufs.append(buf)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": pd.array(ws, dtype="int32"),
+                    "out_h": pd.array(hs, dtype="int32"),
+                    "out_bytes": pd.array(nb, dtype="int64"),
+                    "resized": bufs,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+@register(
+    "m04_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
+             AS INTEGER) AS out_w,
+           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
+             AS INTEGER) AS out_h,
+           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
+             * LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
+             AS BIGINT) AS out_bytes
+    FROM documents
+    """,
+    tags=("multimodal", "resize"),
+)
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail a binary column: the UDF materializes the
+    actual downsampled buffer; the registered projection reports its
+    measured dimensions/size, which the oracle recomputes analytically
+    from byte lengths — so the Arrow plumbing is verified end-to-end
+    even though the stub decode is not a real codec (the buffer's
+    content is pinned in tests/test_multimodal.py)."""
+    media = documents_as_media(spark, sf_dir)
+    resized = resize_media(media)
+    return resized.select("media_id", "out_w", "out_h", "out_bytes")
+
+
 @register(
     "m03_frame_sample",
     oracle="""

@@ -548,3 +548,85 @@ def q27_dice_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     roll = (F.col("event_id") % 6) + 1
     outcome = F.when(roll == 3, "Win").otherwise("Lose")
     return ev.groupBy(outcome.alias("outcome")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "q29_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "quantiles"),
+)
+def q29_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — the
+    cross-engine definition DuckDB's quantile_cont shares). At 100 TB
+    the same plan swaps `percentile` for `percentile_approx`
+    (t-digest): a bounded-memory mergeable sketch with identical call
+    shape, at the cost of oracle-exactness; the exact form here keeps
+    the differential gate byte-tight."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            _rnd(F.percentile("l_extendedprice", F.lit(q)), 4).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )
+
+
+def salted_sum(df: DataFrame, key: str, val_col, n_salt: int = 16):
+    """Two-phase skew-safe aggregation: fan each hot key across
+    ``n_salt`` sub-keys (random salt), partially aggregate, then
+    aggregate the partials. For algebraic aggregates (sum/count/min)
+    Spark's map-side partial aggregation already compresses a hot key
+    to one row per task — the salt buys nothing. The pattern earns its
+    keep when per-key state does NOT compress map-side (collect_list /
+    collect_set, exact count-distinct, percentile buffers): there, one
+    hot key funnels its entire state through a single reducer, AQE
+    can't help (it splits skewed JOIN partitions, not aggregation
+    groups), and the salt spreads that state over n_salt reducers.
+    Registered on an algebraic agg anyway so the oracle can pin the
+    rewrite's correctness (identical answer by sum-associativity)."""
+    salted = df.withColumn("_salt", (F.rand(seed=7) * n_salt).cast("int"))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(val_col).alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_s").alias("_sum"), F.sum("_c").alias("_n")
+    )
+
+
+@register(
+    "q30_salted_skew_agg",
+    oracle="""
+    SELECT l_returnflag AS grp,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "skew", "salting"),
+)
+def q30_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern on a deliberately low-cardinality key
+    (3 distinct l_returnflag values ≡ the reference example's 2-key
+    reduce, Example-Job.fs:53-54, where effective reduce parallelism
+    collapses to the key count — the reference has no combiners,
+    SURVEY.md §4 skew row). 3 keys × 16 salts = 48-way reduce fan-out;
+    see salted_sum's docstring for when this genuinely beats Spark's
+    own map-side partial aggregation. Answer is oracle-identical to
+    the plain groupBy by sum-associativity."""
+    li = table(spark, sf_dir, "lineitem")
+    merged = salted_sum(
+        li, "l_returnflag", F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    )
+    return merged.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round("_sum", 2).alias("revenue"),
+        F.col("_n").alias("n"),
+    )

@@ -176,3 +176,63 @@ def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(deduped, "st02_out", output_mode="complete")
     return out
+
+
+@register(
+    "st05_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_attributed,
+           ROUND(SUM(p.value), 4) AS attributed_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "stream_stream_join"),
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution): both
+    sides are watermarked streams; the join buffers each side in the
+    state store and the event-time bound (purchase within 30 min of
+    the click) lets the engine evict state once the watermark passes —
+    the only way a stream-stream join is feasible over unbounded input.
+    Oracle = the identical batch interval join (stream/batch parity).
+    The source replays in event-time order — the contract watermarks
+    assume; out-of-order replay would legitimately evict join state
+    before a late match arrives."""
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"]
+    )
+    clicks = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_to_completion(joined, "st05_out", output_mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.round(F.sum("p_value"), 4).alias("attributed_value"),
+    )

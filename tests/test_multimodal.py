@@ -96,3 +96,31 @@ def test_metadata_scan_prunes_payload(spark):
     df = spark.read.parquet(d).select("media_id", "meta.media_type")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, plan
+
+
+def test_resize_matches_local_stub(spark):
+    """The distributed resize path must agree byte-for-byte with a
+    driver-local nearest-neighbor downsample of the same payloads."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import resize_media
+
+    media = documents_as_media(spark, SF_SMOKE).limit(20)
+
+    def local_resize(body: bytes, target: int = 8) -> tuple[int, bytes]:
+        side = int(len(body) ** 0.5)
+        out = min(target, side)
+        if out == 0:
+            return 0, b""
+        arr = np.frombuffer(body[: side * side], dtype=np.uint8).reshape(side, side)
+        idx = (np.arange(out) * side) // out
+        return out, arr[np.ix_(idx, idx)].tobytes()
+
+    local = {r.media_id: local_resize(bytes(r.payload)) for r in media.collect()}
+    dist = {r.media_id: r for r in resize_media(media).collect()}
+    assert set(dist) == set(local)
+    for mid, (out, buf) in local.items():
+        row = dist[mid]
+        assert (row.out_w, row.out_h) == (out, out)
+        assert row.out_bytes == len(buf) == out * out
+        assert bytes(row.resized) == buf
