@@ -96,54 +96,97 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 4  # LSH tables (L)
+PLANES_PER_TABLE = 4  # sign bits per table (k) → 16 buckets/table
+
+
 @register("s02_knn_lsh", oracle=None, tags=("similarity", "lsh", "ann"))
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH: 8 sign bits from
-    xxhash64-derived pseudo-random hyperplanes bucket the corpus into
-    256 cells; probes only score their own cell. Recall vs
-    s01_knn_bruteforce is pinned (loosely — it IS approximate) in
-    tests/test_similarity.py. Scale path: the self-join becomes a
-    bucket-equi-join instead of a cross join."""
+    """Approximate top-k via multi-table random-hyperplane LSH:
+    {4} independent tables of {4} sign bits each; a corpus vector is a
+    candidate for a probe if they share a bucket in ANY table
+    (recall = 1-(1-p^k)^L for per-plane agreement p — the standard
+    (k, L) trade; a single k·L-bit table would have recall p^(kL),
+    near zero for honest random planes). Candidates are exact-scored
+    and top-k'd. Recall vs s01_knn_bruteforce pinned in
+    tests/test_similarity.py. Scale path: the per-table bucket
+    equi-join replaces the cross join; tables × buckets partition the
+    corpus, and the union of tables is an explode, not L scans."""
     emb = table(spark, sf_dir, "embeddings")
 
-    # Deterministic pseudo-random hyperplanes: component d of plane p is
-    # a hash of (p, d) mapped to [-1, 1). No driver-side RNG state.
-    def bucket_of(vec: Column) -> Column:
+    # Deterministic pseudo-random hyperplanes: component d of plane p
+    # is a splitmix-style integer hash of (p, d) mapped to [-1, 1).
+    # The components depend only on (p, d), so they are PLAN LITERALS
+    # — computed once at build time, never per row (the per-row
+    # xxhash64-per-component formulation pays |planes|×|dims| hash
+    # calls per vector on the interpreted path). Embedding dims are
+    # bounded (64 here); the literal array is sliced to the vector's
+    # length because zip_with null-pads the shorter side.
+    def plane_component(p: int, d: int) -> float:
+        h = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB) & ((1 << 64) - 1)
+        h ^= h >> 31
+        h = (h * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
+        h ^= h >> 27
+        return (h % 20007) / 10003.5 - 1.0
+
+    MAX_DIM = 64
+
+    def table_bucket(vec: Column, t: int) -> Column:
         bits = []
-        for p in range(N_PLANES):
-            comp = F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda d, p=p: (
-                    (F.xxhash64(F.lit(p), d) % 10007).cast("double") / 10007.0
-                ),
+        for i in range(PLANES_PER_TABLE):
+            p = t * PLANES_PER_TABLE + i
+            comp = F.slice(
+                F.array(*[F.lit(plane_component(p, d)) for d in range(MAX_DIM)]),
+                1,
+                F.size(vec),
             )
             dot = F.aggregate(
                 F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             )
-            bits.append(F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+            bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
         out = bits[0]
         for b in bits[1:]:
             out = out + b
         return out
 
-    tagged = emb.withColumn("bucket", bucket_of(F.col("embedding")))
+    # one row per (vector, table): posexplode the L bucket ids — a
+    # single scan, L× slim rows, never L scans of the corpus.
+    # persist BEFORE the explode (Generate re-evaluates an inline
+    # generator per emitted row — L× the 16 dot products) and because
+    # both the probe side and the corpus side of the join read it.
+    # At real scale this materialization is the LSH index itself,
+    # written out bucketed by (tbl, bucket) rather than cached.
+    buckets = F.array(
+        *[table_bucket(F.col("embedding"), t) for t in range(N_TABLES)]
+    )
+    indexed = emb.select("vec_id", "embedding", buckets.alias("bs")).persist()
+    tagged = indexed.select(
+        "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
+    )
     q = tagged.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    scored = (
+    # distinct BEFORE scoring: a pair sharing buckets in several
+    # tables must be scored once, not L times.
+    candidates = (
         tagged.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+            (F.col("tbl") == F.col("qtbl"))
+            & (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
-        )
+        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("embedding")).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
