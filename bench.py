@@ -44,6 +44,7 @@ HEADLINE = [
     "t08_fingerprint",
     "t09_embedding_neardup",
     "s01_knn_bruteforce",
+    "s02_knn_lsh",
     "s04_knn_ivf",
     "m03_frame_sample",
 ]
