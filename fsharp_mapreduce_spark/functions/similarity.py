@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -98,6 +100,47 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_TABLES = 4  # LSH tables (L)
 PLANES_PER_TABLE = 4  # sign bits per table (k) → 16 buckets/table
+MAX_DIM = 64  # plane components precomputed up to this dimensionality
+
+
+def _plane_component(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    a splitmix-style integer hash of (p, d). No driver-side RNG state,
+    so every executor derives the identical plane matrix."""
+    h = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB) & ((1 << 64) - 1)
+    h ^= h >> 31
+    h = (h * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
+    h ^= h >> 27
+    return (h % 20007) / 10003.5 - 1.0
+
+
+def _lsh_bucket_udf():
+    """Arrow-batched bucket assignment: ALL k·L sign bits per vector in
+    one numpy GEMM against the fixed plane matrix, packed into L
+    per-table bucket ids. This is candidate generation, not scoring
+    (scoring stays on the sequential-fold `cosine`), so float summation
+    order is free to differ — a sign flip needs a dot within rounding
+    error of 0, which only perturbs an already-approximate bucket
+    boundary. Per 10k-row Arrow batch this is one (10k×64)·(64×16)
+    matmul instead of 160k interpreted array-fold evaluations."""
+    planes = np.array(
+        [
+            [_plane_component(p, d) for d in range(MAX_DIM)]
+            for p in range(N_TABLES * PLANES_PER_TABLE)
+        ]
+    )  # (k·L, MAX_DIM)
+    weights = 1 << np.arange(PLANES_PER_TABLE)  # bit weights within a table
+
+    @F.pandas_udf("array<int>")
+    def bucket_ids(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)  # fixed-dim corpus
+        bits = mat @ planes[:, : mat.shape[1]].T >= 0  # (n, k·L)
+        packed = bits.reshape(len(mat), N_TABLES, PLANES_PER_TABLE) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    return bucket_ids
 
 
 @register("s02_knn_lsh", oracle=None, tags=("similarity", "lsh", "ann"))
@@ -114,54 +157,17 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and the union of tables is an explode, not L scans."""
     emb = table(spark, sf_dir, "embeddings")
 
-    # Deterministic pseudo-random hyperplanes: component d of plane p
-    # is a splitmix-style integer hash of (p, d) mapped to [-1, 1).
-    # The components depend only on (p, d), so they are PLAN LITERALS
-    # — computed once at build time, never per row (the per-row
-    # xxhash64-per-component formulation pays |planes|×|dims| hash
-    # calls per vector on the interpreted path). Embedding dims are
-    # bounded (64 here); the literal array is sliced to the vector's
-    # length because zip_with null-pads the shorter side.
-    def plane_component(p: int, d: int) -> float:
-        h = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB) & ((1 << 64) - 1)
-        h ^= h >> 31
-        h = (h * 0xD6E8FEB86659FD93) & ((1 << 64) - 1)
-        h ^= h >> 27
-        return (h % 20007) / 10003.5 - 1.0
-
-    MAX_DIM = 64
-
-    def table_bucket(vec: Column, t: int) -> Column:
-        bits = []
-        for i in range(PLANES_PER_TABLE):
-            p = t * PLANES_PER_TABLE + i
-            comp = F.slice(
-                F.array(*[F.lit(plane_component(p, d)) for d in range(MAX_DIM)]),
-                1,
-                F.size(vec),
-            )
-            dot = F.aggregate(
-                F.zip_with(vec, comp, lambda x, c: x.cast("double") * c),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     # one row per (vector, table): posexplode the L bucket ids — a
     # single scan, L× slim rows, never L scans of the corpus.
     # persist BEFORE the explode (Generate re-evaluates an inline
-    # generator per emitted row — L× the 16 dot products) and because
-    # both the probe side and the corpus side of the join read it.
-    # At real scale this materialization is the LSH index itself,
-    # written out bucketed by (tbl, bucket) rather than cached.
-    buckets = F.array(
-        *[table_bucket(F.col("embedding"), t) for t in range(N_TABLES)]
-    )
-    indexed = emb.select("vec_id", "embedding", buckets.alias("bs")).persist()
+    # generator per emitted row — L× the GEMM) and because both the
+    # probe side and the corpus side of the join read it. At real
+    # scale this materialization is the LSH index itself, written out
+    # bucketed by (tbl, bucket) rather than cached.
+    bucket_ids = _lsh_bucket_udf()
+    indexed = emb.select(
+        "vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs")
+    ).persist()
     tagged = indexed.select(
         "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
     )
