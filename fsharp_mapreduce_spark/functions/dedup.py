@@ -8,8 +8,14 @@ Scale design (100 TB):
   any scale but quadratic in hot shingles; it is the *verifier*;
 - MinHash+LSH is the scale path: candidate generation touches only
   documents sharing a (band, band-signature) bucket, then candidates
-  are verified with exact Jaccard. Signatures/bands are pure
-  expressions on xxhash64 — no Python, no driver state.
+  are verified with exact Jaccard. Signatures/bands use a
+  cross-engine hash family (md5-sliced shingle ints + multiply-mod
+  perms — int64-safe in Spark, numpy and DuckDB alike), so the DuckDB
+  oracle replays them value-for-value — no Python driver state, no
+  engine-specific hashing;
+- hot shingles (boilerplate in >cap documents) are dropped from
+  candidate generation (STOP_SHINGLE_MAX_POSTINGS) — verification
+  still scores full sets, so emitted Jaccards stay exact.
 """
 
 from __future__ import annotations
@@ -22,7 +28,24 @@ from fsharp_mapreduce_spark.registry import fan_out, register, table
 NGRAM = 3
 JACCARD_THRESHOLD = 0.5
 NUM_PERM = 32
-BAND_ROWS = 4  # 32 perms / 4 rows = 8 bands; catches j >= ~0.5 w.h.p.
+# 32 perms / 2 rows = 16 bands: the (r, L) S-curve knee sits at
+# (1/L)^(1/r) = 0.25, comfortably below the 0.5 Jaccard threshold —
+# recall ≥ 0.99 at j = 0.5 and ~1.0 at j ≥ 0.7. (8 bands of 4 put the
+# knee at 0.59: only ~0.40 recall AT the threshold.) The extra
+# candidates wider bands admit are cheap: they're exactly verified and
+# dissimilar pairs match a 2-row band with probability j², negligible
+# for the j ≈ 0 bulk of a real corpus.
+BAND_ROWS = 2
+# Stop-shingle cap: a shingle appearing in more than this many
+# documents is dropped from CANDIDATE GENERATION (its postings alone
+# would emit O(cap²) pairs — boilerplate headers/footers are the
+# classic 100 TB skew killer). Verification still uses the FULL
+# shingle sets, so the Jaccard of every emitted pair stays exact; the
+# only effect is that a pair connected solely through stop-shingles is
+# not surfaced — the standard web-dedup trade. Inert on the fixture
+# (max document frequency ≪ 1024); the skew-corpus test pins the
+# bounded-pairs behavior.
+STOP_SHINGLE_MAX_POSTINGS = 1024
 
 
 def shingle_sets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
@@ -110,55 +133,72 @@ _NGRAM_ORACLE = f"""
       FROM w
     ),
     e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-    sz AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    hot AS (
+      SELECT s FROM e GROUP BY s
+      HAVING count(*) > {STOP_SHINGLE_MAX_POSTINGS}
+    ),
+    kept AS (SELECT e.doc_id, e.s FROM e ANTI JOIN hot USING (s)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.shs, sb.shs)) AS shared,
+             len(sa.shs) AS na, len(sb.shs) AS nb
+      FROM cand
+      JOIN sh sa ON doc_a = sa.doc_id
+      JOIN sh sb ON doc_b = sb.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-    FROM pairs
-    JOIN sz sa ON doc_a = sa.doc_id
-    JOIN sz sb ON doc_b = sb.doc_id
-    WHERE shared * 1.0 / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+           ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+    FROM v
+    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
 """
 
 
-@register("t02_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
-def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-duplicate pairs by word-{3}-gram Jaccard ≥ {0.5}:
-    explode distinct shingles, self-join on shingle, count shared,
-    Jaccard from set sizes. The exact (non-LSH) formulation — the
-    ground truth the LSH variant is measured against."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    # persist BEFORE the explode: column pruning inlines the shingle
-    # projection into Generate, and the generator's child expression is
-    # re-evaluated per EMITTED row (measured ~8× the projection cost on
-    # the fixture corpus — explode of the inline array 2.1s vs 0.12s
-    # off the materialized one). Caching one slim (doc_id, array<long>)
-    # row per document also serves the sz lookups for free.
-    hsets = hashed_shingle_sets(docs).persist()
-    e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
-    # per-doc set size straight off the cached array — no shuffle; it
-    # feeds BOTH the na and nb lookup joins.
-    sz = hsets.select("doc_id", F.size("hs").alias("n"))
+def shingle_candidate_pairs(hsets: DataFrame, cap: int) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing ≥1 non-hot shingle.
 
-    # Pair generation: self-equi-join on the shingle hash, count
-    # co-occurrences per ordered pair. The exchange carries 8-byte int
-    # keys and the whole join+agg stays inside whole-stage codegen —
-    # measured 4-5× faster than a posting-list array expansion, whose
-    # nested higher-order exprs run on the interpreted path. The
-    # shuffle_hash hint matters twice over: the planner's size estimate
-    # would otherwise BROADCAST the exploded corpus (never right for a
-    # corpus-sized side, and it re-collects to the driver per run),
-    # and the two join inputs are the identical subplan, so the single
-    # shuffle is computed once and reused for both sides. Hot shingles
-    # are the skew risk at corpus scale; AQE skew-join splitting covers
-    # the join, and a stop-shingle cap (drop shingles with >N postings)
-    # is the standard upstream guard.
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
+    Stop-shingle guard: document frequency per shingle (one partial-
+    aggregated exchange on 8-byte keys), then anti-join the hot set
+    out of the postings. The hot set is tiny by construction (only
+    shingles in >cap docs), so the anti-join broadcasts.
+
+    Candidate generation: self-equi-join on the shingle hash. The
+    exchange carries 8-byte int keys and the join stays inside
+    whole-stage codegen — measured 4-5× faster than a posting-list
+    array expansion, whose nested higher-order exprs run on the
+    interpreted path. The shuffle_hash hint matters twice over: the
+    planner's size estimate would otherwise BROADCAST the exploded
+    corpus (never right for a corpus-sized side), and the two join
+    inputs are the identical subplan, so the single shuffle is
+    computed once and reused for both sides. Residual in-bucket skew
+    (shingles just under the cap) is AQE skew-join territory."""
+    e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
+    hot = _hot_shingles(e, cap)
+    return _kept_pair_counts(e, hot).select("doc_a", "doc_b")
+
+
+def _hot_shingles(e: DataFrame, cap: int) -> DataFrame:
+    """Shingles whose document frequency exceeds the cap — one
+    partial-aggregated exchange on 8-byte keys."""
+    return (
+        e.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap)
+        .select("shingle")
+    )
+
+
+def _kept_pair_counts(e: DataFrame, hot: DataFrame | None) -> DataFrame:
+    """(doc_a, doc_b, kept_shared): co-occurrence counts over non-hot
+    postings — candidate generation and most of the shared-count in
+    one codegen join+agg (the hot remainder is patched separately).
+    ``hot=None`` skips the anti-join (corpus proven hot-free)."""
+    kept = e if hot is None else e.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
         a.hint("shuffle_hash")
         .join(
             b,
@@ -166,28 +206,163 @@ def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("kept_shared"))
     )
-    # sz is one row per document: small at bench SF (AQE switches these
-    # joins to broadcast at runtime), shuffle-join at corpus scale — so
-    # no forced broadcast hint here.
-    ja = (
-        pairs.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .withColumn("jaccard_raw", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
-        .where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
-    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, cap: int = STOP_SHINGLE_MAX_POSTINGS
+) -> DataFrame:
+    """Exact near-dup pairs by word-n-gram Jaccard: capped-postings
+    candidate generation with exact shared counts. The cap never
+    biases an emitted Jaccard — the co-occurrence count over non-hot
+    postings is patched with the hot-shingle remainder, computed from
+    tiny per-doc hot-shingle arrays (≤ a handful of boilerplate
+    shingles per document by construction). Parameterized on the cap
+    so the skew-corpus test can exercise a small one directly."""
+    # persist BEFORE the explode: column pruning inlines the shingle
+    # projection into Generate, and the generator's child expression is
+    # re-evaluated per EMITTED row (measured ~8× the projection cost on
+    # the fixture corpus — explode of the inline array 2.1s vs 0.12s
+    # off the materialized one). The cached slim (doc_id, array<long>)
+    # rows also serve the size lookups for free.
+    hsets = hashed_shingle_sets(docs).persist()
+    e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
+    # persist: hot feeds the emptiness probe, the anti-join (candidate
+    # gen) and the per-doc hot-array build; without the cache the df
+    # aggregation would scan the exploded corpus once per consumer.
+    hot = _hot_shingles(e, cap).persist()
+    # Adaptive guard (AQE-style runtime decision, one cached scalar
+    # probe — not a data collect): a clean corpus pays only the df
+    # aggregation; the anti-join and the hot-remainder patch joins
+    # enter the plan only when hot shingles actually exist. Measured
+    # 3.0s → 2.2s at sf0.1 (the fixture has no hot shingles).
+    has_hot = bool(hot.head(1))
+    pairs = _kept_pair_counts(e, hot) if has_hot else _kept_pair_counts(e, None)
+
+    sz = hsets.select("doc_id", F.size("hs").alias("n"))
+    ja = pairs.join(
+        sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a"
+    ).join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+
+    if has_hot:
+        # Hot remainder: per-doc arrays of hot shingles (short arrays —
+        # only shingles in >cap docs — but potentially one row per doc
+        # if boilerplate is corpus-wide, so NOT force-broadcast; AQE
+        # picks broadcast at bench SF, shuffle-join at scale); exact
+        # shared count = kept_shared + |hot_a ∩ hot_b|. This keeps the
+        # shared count inside the codegen join+agg instead of
+        # re-scoring every candidate against full shingle arrays
+        # (measured 4.3s → 2.0s at sf0.1).
+        hot_arr = (
+            e.join(F.broadcast(hot), "shingle")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("ha"))
+        )
+        ja = (
+            ja.join(
+                hot_arr.select(F.col("doc_id").alias("doc_a"), F.col("ha").alias("h_a")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_arr.select(F.col("doc_id").alias("doc_b"), F.col("ha").alias("h_b")),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "shared",
+                F.col("kept_shared")
+                + F.when(
+                    F.col("h_a").isNotNull() & F.col("h_b").isNotNull(),
+                    F.size(F.array_intersect("h_a", "h_b")),
+                ).otherwise(F.lit(0)),
+            )
+        )
+    else:
+        ja = ja.withColumn("shared", F.col("kept_shared"))
+
+    ja = ja.withColumn(
+        "jaccard_raw", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    ).where(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
     return ja.select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
 
 
+@register("t02_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("dedup", "jaccard"))
+def t02_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-duplicate pairs by word-{3}-gram Jaccard ≥ {0.5}:
+    capped-postings self-join for candidates, exact full-set
+    verification for the score. The exact (non-LSH) formulation — the
+    ground truth the LSH variant is measured against."""
+    return ngram_jaccard_pairs(fan_out(table(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine polynomial hash family (t03/t04): every constant fits the
+# "products stay under 2⁶³" budget, so Spark expressions, numpy int64 and
+# DuckDB BIGINT all compute the identical values — which is what lets
+# MinHash+LSH and SimHash carry full DuckDB value-hash oracles (the t08
+# fingerprint pattern, generalized). 31-bit token/shingle hashes keep
+# a_p·h ≤ 2⁶² for the multiply-mod minhash perms.
+M31 = 2_147_483_647  # 2³¹ − 1 (Mersenne prime)
+POLY_P = 1_000_000_007
+SHINGLE_BASE = 1_000_003
+
+
+def _minhash_consts(num_perm: int = NUM_PERM) -> tuple[list[int], list[int]]:
+    """Deterministic (a_p, b_p) for the multiply-mod family
+    h ↦ (a_p·h + b_p) mod M31, a_p ∈ [1, M31), derived from fixed
+    golden-ratio/Murmur constants — no RNG state, every engine and
+    executor derives the same permutations."""
+    a = [(0x9E3779B9 * (p + 1)) % (M31 - 1) + 1 for p in range(num_perm)]
+    b = [(0x85EBCA6B * (p + 1)) % M31 for p in range(num_perm)]
+    return a, b
+
+
+def md5_int_hash(col: Column, hex_from: int = 1, hex_len: int = 12) -> Column:
+    """Cross-engine string→int hash: a hex slice of md5, read as an
+    integer, reduced mod M31. md5 is native (and bit-identical) in
+    Spark AND DuckDB, so one native hash call per string replaces a
+    per-character expression fold (measured 14.8s → 2.6s for the
+    sf0.1 shingle stage — higher-order folds run on Catalyst's
+    interpreted path, one lambda eval per character).
+    DuckDB twin: ``('0x' || substr(md5(s), f, n))::BIGINT % M31``.
+    12 hex digits = 48 bits, safely inside BIGINT before the mod;
+    mod M31 keeps minhash products a·h < 2⁶² for int64 numpy."""
+    return (
+        F.conv(F.substring(F.md5(col), hex_from, hex_len), 16, 10).cast("long") % M31
+    )
+
+
+def ce_hashed_shingle_sets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
+    """(doc_id, hs: array<bigint>) — distinct word-n-gram hashes in the
+    cross-engine md5 family (`md5_int_hash` per shingle string).
+    Semantically a drop-in for `hashed_shingle_sets` (distinct
+    shingles → distinct ints w.h.p., Jaccard preserved) but
+    reproducible in DuckDB, which is what upgrades t03 from rows-only
+    to a full value-hash oracle.
+
+    Scale note: the M31 (2³¹) hash domain exists for oracle parity;
+    at a 10¹⁰-shingle corpus the birthday collisions would start to
+    blur Jaccard, and the production path is the 64-bit
+    `hashed_shingle_sets` twin (identical pipeline shape, xxhash64
+    domain) — only the verification gate prefers this family."""
+    return shingle_sets(docs, n).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform("shingles", lambda s: md5_int_hash(s))
+        ).alias("hs"),
+    )
+
+
 def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — ``num_perm`` multiply-shift
+    """(doc_id, sig: array<bigint>) — ``num_perm`` multiply-mod
     minhashes per document, vectorized in numpy over Arrow batches.
-    Hash family: sig[p] = min_h ((a_p·h + b_p) mod 2⁶⁴) >> 1 with
-    fixed odd constants (golden-ratio multiples) — deterministic
-    across runs/partitions, positive int64 range. Embarrassingly
-    parallel: one dense (num_perm × |shingles|) broadcast per
-    document, no shuffle, scales with partition count."""
+    Hash family: sig[p] = min_h ((a_p·h + b_p) mod M31) with the fixed
+    `_minhash_consts` — deterministic across runs/partitions AND
+    engines (pure int64 arithmetic; the DuckDB oracle recomputes the
+    identical values). Embarrassingly parallel: one dense
+    (num_perm × |shingles|) broadcast per document, no shuffle."""
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(hsets.sparkSession)
@@ -196,21 +371,15 @@ def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        mask = (1 << 64) - 1
-        a = np.array(
-            [((0x9E3779B97F4A7C15 * (p + 1)) & mask) | 1 for p in range(num_perm)],
-            dtype=np.uint64,
-        )
-        b = np.array(
-            [((0xBF58476D1CE4E5B9 * (p + 7)) & mask) | 1 for p in range(num_perm)],
-            dtype=np.uint64,
-        )
+        ca, cb = _minhash_consts(num_perm)
+        a = np.array(ca, dtype=np.int64)
+        b = np.array(cb, dtype=np.int64)
         for pdf in batches:
             ids, sigs = [], []
             for did, hs in zip(pdf["doc_id"], pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                m = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
-                sig = (m >> np.uint64(1)).min(axis=1).astype(np.int64)
+                h = np.asarray(hs, dtype=np.int64)
+                m = (a[:, None] * h[None, :] + b[:, None]) % M31  # ≤ 2⁶² pre-mod
+                sig = m.min(axis=1)
                 ids.append(did)
                 sigs.append(sig.tolist())
             yield pd.DataFrame({"doc_id": ids, "sig": sigs})
@@ -218,16 +387,81 @@ def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     return hsets.mapInPandas(run, "doc_id long, sig array<bigint>")
 
 
-@register("t03_minhash_lsh_pairs", oracle=None, tags=("dedup", "minhash", "lsh"))
+def _t03_oracle() -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline in the
+    cross-engine family — md5-sliced shingle hashes, multiply-mod
+    minhash signatures, polynomial band signatures, bucket join,
+    exact-Jaccard verification — so the driver checks t03
+    value-for-value, not rows-only."""
+    ca, cb = _minhash_consts()
+    a_sql = "[" + ", ".join(str(x) for x in ca) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in cb) + "]"
+    band_window = "[" + ", ".join(
+        f"sig[b*{BAND_ROWS}+{j + 1}]" for j in range(BAND_ROWS)
+    ) + "]"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= {NGRAM} THEN
+               list_distinct(list_transform(
+                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                for i in generate_series(1, len(ws) - {NGRAM - 1})]),
+                 s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % {M31}))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM w
+    ),
+    sg AS (
+      SELECT doc_id, hs,
+             [ list_min(list_transform(hs,
+                 h -> (list_extract({a_sql}, p) * h
+                       + list_extract({b_sql}, p)) % {M31}))
+               for p in generate_series(1, {NUM_PERM}) ] AS sig
+      FROM sh WHERE len(hs) > 0
+    ),
+    bd AS (
+      SELECT doc_id, b AS band,
+             list_reduce(list_prepend(CAST(b AS BIGINT), {band_window}),
+                         (acc, v) -> (acc * {SHINGLE_BASE} + v) % {POLY_P})
+               AS band_sig
+      FROM sg, generate_series(0, {NUM_PERM // BAND_ROWS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bd x JOIN bd y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+       AND x.doc_id < y.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.hs, sb.hs)) AS shared,
+             len(sa.hs) AS na, len(sb.hs) AS nb
+      FROM cand
+      JOIN sh sa ON doc_a = sa.doc_id
+      JOIN sh sb ON doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+    FROM v
+    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "t03_minhash_lsh_pairs", oracle=_t03_oracle(), tags=("dedup", "minhash", "lsh")
+)
 def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
-    shingle → 32 minhashes (min of a multiply-shift hash family over
-    the hashed-shingle set, numpy-vectorized per Arrow batch) → 8
-    bands of 4 → band signature (xxhash64 of the band's minhash
-    array) → bucket self-join → exact-Jaccard verification of the
-    (tiny) candidate set. Non-SQL-expressible cross-engine (the hash
-    families are engine-specific); correctness is pinned by
+    shingle → 32 minhashes (min of a multiply-mod hash family over
+    the polynomial-hashed shingle set, numpy-vectorized per Arrow
+    batch) → 16 bands of 2 → band signature (polynomial fold of the
+    band's minhash slice) → bucket self-join → exact-Jaccard
+    verification of the (tiny) candidate set. The whole pipeline uses
+    the cross-engine polynomial hash family, so the DuckDB oracle
+    replays it value-for-value; recall is additionally pinned by
     tests/test_dedup.py::test_minhash_recall against t02's exact
     output."""
     # fan_out: the corpus arrives as one split at fixture scale; the
@@ -235,24 +469,29 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
 
     # Signatures as ONE vectorized Arrow pass (mapInPandas): per
-    # document, sig[p] = min over shingles of the multiply-shift hash
-    # (a_p·h + b_p) over uint64 wraparound — a (32 × |shingles|) numpy
-    # broadcast + min per row, deterministic constants, no shuffle and
-    # no 32× row blowup. Replaces an expression fold whose 32-way
-    # nested higher-order functions ran on the interpreted path
-    # (measured ~10× slower than the Arrow batch on this corpus; the
-    # naive explode(perm) → groupBy(doc, perm) shape is worse still —
-    # it shuffles |shingles|×32 rows).
+    # document, sig[p] = min over shingles of the multiply-mod hash
+    # (a_p·h + b_p) mod M31 — a (32 × |shingles|) numpy broadcast +
+    # min per row, deterministic constants, no shuffle and no 32× row
+    # blowup. Replaces an expression fold whose 32-way nested
+    # higher-order functions ran on the interpreted path (measured
+    # ~10× slower than the Arrow batch on this corpus; the naive
+    # explode(perm) → groupBy(doc, perm) shape is worse still — it
+    # shuffles |shingles|×32 rows).
     # persist: the band posexplode below would otherwise inline the
     # whole signature stage into its Generate and re-run it once per
     # emitted band (8×), on each side of the self-join.
     sigs = minhash_signatures(
-        hashed_shingle_sets(docs).where(F.size("hs") > 0)
+        ce_hashed_shingle_sets(docs).where(F.size("hs") > 0)
     ).persist()
-    # 8 bands of 4 minhashes; band signature = hash of the slice.
+    # 16 bands of 2 minhashes; band signature = polynomial fold of the
+    # slice, seeded with the band index (cross-engine reproducible).
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(NUM_PERM // BAND_ROWS - 1)),
-        lambda b: F.xxhash64(b, F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS)),
+        lambda b: F.aggregate(
+            F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
+            b.cast("long"),
+            lambda acc, v: (acc * SHINGLE_BASE + v) % POLY_P,
+        ),
     )
     bands = sigs.select(
         "doc_id",
@@ -283,7 +522,7 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
     )
-    sets = hashed_shingle_sets(docs.join(cand_ids, "doc_id", "semi"))
+    sets = ce_hashed_shingle_sets(docs.join(cand_ids, "doc_id", "semi"))
     verified = (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")),
@@ -350,6 +589,15 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a few-MB dense problem, and no executor ever sees the whole
     # corpus. This beats the per-pair expression fold by >10× — higher-
     # order exprs are interpreted per element; GEMM is vectorized.
+    #
+    # Float contract: the GEMM is CANDIDATE GENERATION only, run at a
+    # threshold loosened by a summation-order slop margin; survivors
+    # are re-scored with the sequential-fold `cosine` expression — the
+    # identical IEEE operation order the DuckDB oracle executes — so
+    # the emitted scores are bit-exact cross-engine (same candidate-
+    # gen/exact-rescore split s02_knn_lsh uses). GEMM and the fold
+    # differ only by ~1e-12 relative rounding; 1e-6 slop means no pair
+    # the fold accepts can be lost at candidate gen.
     block = 1024
     n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     n_blocks = max(1, -(-n // block))
@@ -375,9 +623,9 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", F.explode(pair_targets(blk)).alias("pq")
     ).select("vec_id", "embedding", F.col("pq.p").alias("p"), F.col("pq.q").alias("q"))
 
-    threshold, bs = COSINE_DUP_THRESHOLD, block
+    loose, bs = COSINE_DUP_THRESHOLD - 1e-6, block
 
-    def block_pair_cosine(pdf):
+    def block_pair_candidates(pdf):
         import numpy as np
         import pandas as pd
 
@@ -390,59 +638,155 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if p == q:
             sims = unit @ unit.T
             ia, ib = np.triu_indices(len(ids), k=1)
+            keep = sims[ia, ib] >= loose
+            va, vb = ids[ia[keep]], ids[ib[keep]]
         else:
             a_mask = (ids // bs) == p
             ua, ub = unit[a_mask], unit[~a_mask]
             ids_a, ids_b = ids[a_mask], ids[~a_mask]
             sims = ua @ ub.T
-            ia, ib = np.nonzero(sims >= threshold)
-        if p == q:
-            keep = sims[ia, ib] >= threshold
-            ia, ib = ia[keep], ib[keep]
-            va, vb, s = ids[ia], ids[ib], sims[ia, ib]
-        else:
-            va, vb, s = ids_a[ia], ids_b[ib], sims[ia, ib]
+            ia, ib = np.nonzero(sims >= loose)
+            va, vb = ids_a[ia], ids_b[ib]
         lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim_raw": s})
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
 
-    pairs = routed.groupBy("p", "q").applyInPandas(
-        block_pair_cosine, "vec_a long, vec_b long, sim_raw double"
+    cands = routed.groupBy("p", "q").applyInPandas(
+        block_pair_candidates, "vec_a long, vec_b long"
     )
-    return pairs.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
+    # Exact re-score of the (tiny) candidate set with the sequential
+    # fold — the authoritative, oracle-matching score. The two lookup
+    # joins carry only candidate pairs; AQE broadcasts them at small SF
+    # and they stay proportional to |candidates| at scale.
+    from fsharp_mapreduce_spark.functions.similarity import cosine
+
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    rescored = (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
+    )
+    return rescored.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
 
-@register("t04_simhash", oracle=None, tags=("dedup", "simhash"))
+M32 = 1 << 32
+SIMHASH_BASE_LO = 31
+SIMHASH_BASE_HI = 131
+
+
+def _t04_oracle() -> str:
+    """DuckDB replica of the polynomial SimHash: two independent
+    32-bit token hashes (char folds mod 2³², bases 31/131) vote ±1 on
+    their 32 bits; the per-half signs pack into simhash_lo/simhash_hi.
+    count[j] = 2·(#tokens with bit j set) − #tokens."""
+
+    def tok_hashes(base: int) -> str:
+        return (
+            "list_transform(ws, t -> list_reduce("
+            "list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(list_filter(string_split(t, ''), c -> c <> ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(acc, c) -> (acc * {base} + c) % {M32}))"
+        )
+
+    def counts(col: str) -> str:
+        return (
+            f"[ 2 * len(list_filter({col}, x -> ((x >> j) & 1) = 1)) - len({col}) "
+            "for j in generate_series(0, 31) ]"
+        )
+
+    def pack(col: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"[ CASE WHEN {col}[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) "
+            "ELSE CAST(0 AS BIGINT) END for j in generate_series(0, 31) ]), "
+            "(a, b) -> a + b)"
+        )
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             {tok_hashes(SIMHASH_BASE_LO)} AS h1,
+             {tok_hashes(SIMHASH_BASE_HI)} AS h2
+      FROM w
+    ),
+    c AS (
+      SELECT doc_id, {counts('h1')} AS c1, {counts('h2')} AS c2 FROM h
+    )
+    SELECT doc_id, {pack('c2')} AS simhash_hi, {pack('c1')} AS simhash_lo
+    FROM c
+"""
+
+
+@register("t04_simhash", oracle=_t04_oracle(), tags=("dedup", "simhash"))
 def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: each token votes ±1 on each bit of
-    its xxhash64; the signature packs the sign of the per-bit sums.
+    """64-bit SimHash per document in the cross-engine polynomial
+    family: each token carries two independent 32-bit polynomial
+    hashes (char folds mod 2³², bases 31 and 131) and votes ±1 on
+    each of their bits; the signature packs the per-bit sign sums
+    into two 32-bit halves (simhash_hi ∥ simhash_lo — both
+    non-negative bigints, no sign-bit edge case in either engine).
     Near-duplicates land within small Hamming distance (pinned by
-    tests/test_dedup.py::test_simhash_near_dups). Pure expression
-    fold — no Python, no shuffle except none (it's a projection)."""
+    tests/test_dedup.py::test_simhash_near_dups); the DuckDB oracle
+    replays the identical integer pipeline. Pure expression work —
+    no Python, no shuffle (it's a projection)."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    # counts[j] = sum over tokens of (bit j of xxhash64(token) ? +1 : -1)
-    counts = F.expr(
-        """
-        aggregate(
-          split(lower(text), ' '),
-          array_repeat(0L, 64),
-          (acc, tok) -> zip_with(
-            acc,
-            transform(sequence(0, 63),
-                      j -> IF((shiftright(xxhash64(tok), j) & 1) = 1, 1L, -1L)),
-            (a, b) -> a + b)
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    def tok_hashes(base: int) -> Column:
+        return F.transform(
+            toks,
+            lambda t: F.aggregate(
+                F.filter(F.split(t, ""), lambda c: c != F.lit("")),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * base + F.ascii(c)) % M32,
+            ),
         )
-        """
+
+    # Three-step projection ON PURPOSE (see shingle_sets): the token-
+    # hash arrays and the count arrays must be materialized attributes,
+    # or the interpreted higher-order path recomputes them per bit.
+    hashed = docs.select(
+        "doc_id",
+        tok_hashes(SIMHASH_BASE_LO).alias("h1"),
+        tok_hashes(SIMHASH_BASE_HI).alias("h2"),
     )
-    sig = F.expr(
-        """
-        aggregate(
-          sequence(0, 63),
-          0L,
-          (acc, j) -> acc + IF(element_at(counts, j + 1) > 0, shiftleft(1L, j), 0L)
+
+    def bit_test(mask: int):
+        # NB: a plain `lambda x, j=j` would be read by PySpark as the
+        # two-arg (element, index) higher-order form — bind via closure.
+        return lambda x: x.bitwiseAND(F.lit(mask)) != 0
+
+    def counts(col: str) -> Column:
+        total = F.size(F.col(col))
+        return F.array(
+            *[
+                (F.size(F.filter(F.col(col), bit_test(1 << j))) * 2 - total).cast(
+                    "long"
+                )
+                for j in range(32)
+            ]
         )
-        """
+
+    counted = hashed.select(
+        "doc_id", counts("h1").alias("c1"), counts("h2").alias("c2")
     )
-    return (
-        docs.select("doc_id", counts.alias("counts"))
-        .select("doc_id", sig.alias("simhash"))
+
+    def pack(col: str) -> Column:
+        bits = [
+            F.when(F.element_at(F.col(col), j + 1) > 0, F.lit(1 << j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(32)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    return counted.select(
+        "doc_id", pack("c2").alias("simhash_hi"), pack("c1").alias("simhash_lo")
     )

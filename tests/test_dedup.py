@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.functions.dedup import (
     JACCARD_THRESHOLD,
+    hashed_shingle_sets,
+    ngram_jaccard_pairs,
+    shingle_candidate_pairs,
     t02_ngram_jaccard_pairs,
     t03_minhash_lsh_pairs,
     t04_simhash,
@@ -94,10 +97,17 @@ def test_minhash_recall_on_fixture(spark):
     assert lsh <= set(exact), "LSH produced a pair exact Jaccard rejects"
 
 
+def _simhash_sigs(spark, d):
+    return {
+        r.doc_id: (r.simhash_hi << 32) | r.simhash_lo
+        for r in t04_simhash(spark, d).collect()
+    }
+
+
 def test_simhash_near_dups(spark, synth_docs_dir):
     """Near-identical docs land within small Hamming distance;
     unrelated docs stay far apart; identical docs collide exactly."""
-    sig = {r.doc_id: r.simhash for r in t04_simhash(spark, synth_docs_dir).collect()}
+    sig = _simhash_sigs(spark, synth_docs_dir)
     assert sig[10] == sig[11]  # identical text -> identical signature
     assert hamming64(sig[0], sig[1]) <= 12
     assert hamming64(sig[0], sig[2]) <= 12
@@ -106,9 +116,48 @@ def test_simhash_near_dups(spark, synth_docs_dir):
 
 
 def test_simhash_deterministic(spark, synth_docs_dir):
-    a = {r.doc_id: r.simhash for r in t04_simhash(spark, synth_docs_dir).collect()}
-    b = {r.doc_id: r.simhash for r in t04_simhash(spark, synth_docs_dir).collect()}
+    a = _simhash_sigs(spark, synth_docs_dir)
+    b = _simhash_sigs(spark, synth_docs_dir)
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def skew_docs(spark):
+    """A corpus with one pathologically hot shingle: 100 of 200 docs
+    share a 3-token boilerplate prefix but are otherwise unique, plus
+    one genuinely duplicated doc pair whose overlap does NOT go
+    through the hot shingle."""
+    rows = []
+    for i in range(100):
+        rows.append((i, f"shared boiler plate u{i}a u{i}b u{i}c u{i}d"))
+    for i in range(100, 200):
+        rows.append((i, f"v{i}a v{i}b v{i}c v{i}d v{i}e v{i}f"))
+    dup = "real duplicate content that repeats across exactly two documents"
+    rows.append((300, dup))
+    rows.append((301, dup))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stop_shingle_cap_bounds_candidates(spark, skew_docs):
+    """The hot shingle ('shared boiler plate', df=100 > cap=10) must be
+    dropped from candidate generation: capped candidates stay O(true
+    dups) while uncapped candidates blow up O(df²)."""
+    hsets = hashed_shingle_sets(skew_docs).persist()
+    uncapped = shingle_candidate_pairs(hsets, cap=10**9).count()
+    capped = shingle_candidate_pairs(hsets, cap=10).count()
+    assert uncapped >= 100 * 99 // 2  # the quadratic blowup the cap kills
+    assert capped <= 5
+
+
+def test_stop_shingle_cap_keeps_true_dups_exact(spark, skew_docs):
+    """With the cap active, the true duplicate pair is still found via
+    its non-hot shingles and its Jaccard is exact (full-set verify)."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(skew_docs, cap=10).collect()
+    }
+    assert pairs[(300, 301)] == 1.0
+    assert all((a, b) == (300, 301) for a, b in pairs)
 
 
 @pytest.fixture(scope="module")

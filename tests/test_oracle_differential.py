@@ -86,7 +86,7 @@ def test_no_oracle_queries_run(spark, name):
     check); their semantics are pinned by dedicated tests."""
     sdf = QUERIES[name].fn(spark, SF_SMOKE)
     assert sdf.columns
-    assert sdf.count() >= 0
+    assert sdf.count() > 0, f"{name}: registered query returned no rows on the fixture"
 
 
 def test_entry_contract(spark):
