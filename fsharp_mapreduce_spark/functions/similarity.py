@@ -203,21 +203,68 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CELLS = 16  # IVF coarse cells
-N_PROBE = 4  # cells searched per query
+N_PROBE = 6  # cells searched per query
+KMEANS_SAMPLE = 4096  # driver-side fit sample cap
+KMEANS_ITERS = 15
+KMEANS_SEED = 0x5EED
+
+
+def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
+    """Spherical k-means fit on a deterministic sample: take the
+    KMEANS_SAMPLE vectors with the smallest xxhash64(vec_id) (an
+    order-free hash-sample — Spark plans it as per-partition top-N,
+    so at 100 TB it's one scan, no full sort, and a few MB reach the
+    driver), then numpy k-means++ init + Lloyd iterations on the
+    L2-normalized sample. Centroids are re-normalized each step, so
+    Euclidean assignment == cosine assignment. Seeded RandomState;
+    the fit is bit-reproducible run to run."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(KMEANS_SAMPLE)
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(KMEANS_SEED)
+
+    # k-means++ seeding: d^2-weighted draws (on normalized vectors,
+    # ||a-b||^2 = 2 - 2*cos, so this targets cosine spread too).
+    cents = x[rng.randint(len(x))][None, :]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.sum((x[:, None, :] - cents[None, :, :]) ** 2, axis=2), axis=1
+        )
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(x), 1.0 / len(x))
+        cents = np.vstack([cents, x[rng.choice(len(x), p=probs)]])
+
+    for _ in range(KMEANS_ITERS):
+        sims = x @ cents.T  # cosine: both sides unit-norm
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:  # dead cell → farthest point restart
+                cents[c] = x[np.argmin(np.max(sims, axis=1))]
+            else:
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                cents[c] = mean / n if n > 0 else cents[c]
+    return cents
 
 
 @register("s04_knn_ivf", oracle=None, tags=("similarity", "ivf", "ann"))
 def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index skeleton:
+    """Approximate top-k via an IVF (inverted-file) index:
 
-    1. coarse quantizer — {16} deterministic centroids (the
-       highest-vec_id vectors stand in for k-means means; on a real
-       corpus this is one `mapInPandas` k-means pass or a sampled
-       sklearn fit shipped via broadcast);
-    2. assign: every vector joins its nearest centroid (broadcast the
-       tiny centroid table, score with the expression-fold cosine) —
-       this is the inverted file, naturally partitioned by cell_id;
-    3. probe: each query searches only its {4} nearest cells'
+    1. coarse quantizer — {16} spherical-k-means centroids fit on a
+       deterministic hash-sample (numpy on the driver, seeded; the
+       centroid matrix ships to executors as a broadcast row set);
+    2. assign: every vector joins the broadcast centroid table, is
+       scored with the expression-fold cosine, and keeps its argmax
+       cell via `max_by` — a hash aggregate with map-side partial
+       combine (no per-vector window sort). This is the inverted
+       file, naturally partitioned by cell_id;
+    3. probe: each query searches only its {6} nearest cells'
        posting lists (bucket equi-join on cell_id), then exact cosine
        + per-query window top-k.
 
@@ -227,25 +274,25 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
 
-    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
-    cents = (
-        emb.where(F.col("vec_id") > max_id - N_CELLS)
-        .select(F.col("vec_id").alias("cell_raw"), F.col("embedding").alias("ce"))
+    cent_mat = _kmeans_centroids(emb, N_CELLS)
+    cents = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
+        "cell_id int, ce array<double>",
     )
-    # dense 0..N_CELLS-1 cell ids keep downstream partition math simple
-    cents = cents.withColumn(
-        "cell_id", F.dense_rank().over(W.orderBy("cell_raw")) - 1
-    ).select("cell_id", "ce")
 
     scored_cells = emb.join(F.broadcast(cents)).select(
         "vec_id", "embedding", "cell_id", cosine(F.col("embedding"), F.col("ce")).alias("csim")
     )
-    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
-    assigned = (
-        scored_cells.withColumn("r", F.row_number().over(wv))
-        .where(F.col("r") == 1)
-        .select("vec_id", "embedding", "cell_id")
+    # argmax cell per vector: struct-ordered max_by == (csim DESC,
+    # cell_id ASC) — deterministic, and unlike a row_number window it
+    # partially aggregates before any exchange.
+    assigned = scored_cells.groupBy("vec_id").agg(
+        F.max_by(
+            "cell_id", F.struct(F.col("csim"), (-F.col("cell_id")).alias("tb"))
+        ).alias("cell_id"),
+        F.first("embedding").alias("embedding"),
     )
+    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
     probes = (
         scored_cells.where(F.col("vec_id") < N_QUERIES)
         .withColumn("r", F.row_number().over(wv))

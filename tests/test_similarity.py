@@ -47,11 +47,12 @@ def test_lsh_recall_floor(spark):
 
 
 def test_ivf_recall_floor(spark):
-    """Measured 0.44 at sf0.001 (16 cells, nprobe=4 on random data —
-    uniformly hard for ANN); 0.25 floor."""
+    """Measured 0.72 at sf0.001 (16 spherical-k-means cells, nprobe=6
+    on random data — uniformly hard for ANN); 0.6 floor. The k-means
+    fit is seeded/deterministic, so this does not flake."""
     exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
     approx = _pairs(s04_knn_ivf(spark, SF_SMOKE))
-    assert len(approx & exact) / len(exact) >= 0.25
+    assert len(approx & exact) / len(exact) >= 0.6
 
 
 def test_approx_sims_are_exact_for_returned_pairs(spark):
