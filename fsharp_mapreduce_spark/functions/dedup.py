@@ -355,17 +355,44 @@ def ce_hashed_shingle_sets(docs: DataFrame, n: int = NGRAM) -> DataFrame:
     )
 
 
-def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — ``num_perm`` multiply-mod
-    minhashes per document, vectorized in numpy over Arrow batches.
-    Hash family: sig[p] = min_h ((a_p·h + b_p) mod M31) with the fixed
-    `_minhash_consts` — deterministic across runs/partitions AND
-    engines (pure int64 arithmetic; the DuckDB oracle recomputes the
-    identical values). Embarrassingly parallel: one dense
-    (num_perm × |shingles|) broadcast per document, no shuffle."""
+def minhash_band_signatures(
+    hsets: DataFrame,
+    num_perm: int = NUM_PERM,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, hs, bands: array<bigint>) — ``num_perm`` multiply-mod
+    minhashes folded into ``num_perm // band_rows`` band signatures per
+    document, vectorized in numpy over Arrow batches. Hash family:
+    sig[p] = min_h ((a_p·h + b_p) mod M31); band signature = polynomial
+    fold of the band's minhash slice seeded with the band index — the
+    fixed `_minhash_consts` make both deterministic across runs,
+    partitions AND engines (pure int64 arithmetic; the DuckDB oracle
+    recomputes identical values). Embarrassingly parallel: one dense
+    (num_perm × |shingles|) broadcast per document, no shuffle.
+
+    Three things live INSIDE this Arrow stage on purpose — each was a
+    measured single-thread serialization when expressed as Catalyst
+    expressions around it:
+    - the empty-set filter: a `where(size(hs) > 0)` above the stage is
+      substituted through the shingle projections and PUSHED BELOW the
+      fan_out repartition into the (single-split at small SF) parquet
+      scan, evaluating the whole shingle+md5 pipeline one-threaded in
+      the scan stage (measured as a 1-task, 18s-CPU Exchange map stage
+      in the event log; the distributed projection then computes it all
+      again). Input-split sizing is byte-based and cannot see
+      expression CPU — at 100 TB the same pushdown serializes per-split
+      instead, still paying the pipeline twice;
+    - the band fold: `F.transform(…, F.aggregate(…))` runs on the
+      interpreted non-codegen path, ~0.1 ms per lambda eval — 16 bands
+      × 5k docs ≈ seconds, single-threaded wherever the plan lands it.
+      The numpy reshape-fold is free by comparison;
+    - the passthrough `hs`: downstream exact verification joins the
+      cached sets instead of re-shingling candidate documents (the
+      second 1-task 28s stage in the same event log)."""
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(hsets.sparkSession)
+    n_bands = num_perm // band_rows
 
     def run(batches):
         import numpy as np
@@ -374,17 +401,26 @@ def minhash_signatures(hsets: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
         ca, cb = _minhash_consts(num_perm)
         a = np.array(ca, dtype=np.int64)
         b = np.array(cb, dtype=np.int64)
+        seeds = np.arange(n_bands, dtype=np.int64)
         for pdf in batches:
-            ids, sigs = [], []
+            ids, hss, bandss = [], [], []
             for did, hs in zip(pdf["doc_id"], pdf["hs"]):
                 h = np.asarray(hs, dtype=np.int64)
+                if h.size == 0:
+                    continue
                 m = (a[:, None] * h[None, :] + b[:, None]) % M31  # ≤ 2⁶² pre-mod
-                sig = m.min(axis=1)
+                sig = m.min(axis=1).reshape(n_bands, band_rows)
+                acc = seeds  # band-index seed, then fold rows in order
+                for j in range(band_rows):
+                    acc = (acc * SHINGLE_BASE + sig[:, j]) % POLY_P
                 ids.append(did)
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+                hss.append(hs)
+                bandss.append(acc.tolist())
+            yield pd.DataFrame({"doc_id": ids, "hs": hss, "bands": bandss})
 
-    return hsets.mapInPandas(run, "doc_id long, sig array<bigint>")
+    return hsets.mapInPandas(
+        run, "doc_id long, hs array<bigint>, bands array<bigint>"
+    )
 
 
 def _t03_oracle() -> str:
@@ -468,34 +504,19 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature computation is pure CPU and must run partition-parallel.
     docs = fan_out(table(spark, sf_dir, "documents"))
 
-    # Signatures as ONE vectorized Arrow pass (mapInPandas): per
-    # document, sig[p] = min over shingles of the multiply-mod hash
-    # (a_p·h + b_p) mod M31 — a (32 × |shingles|) numpy broadcast +
-    # min per row, deterministic constants, no shuffle and no 32× row
-    # blowup. Replaces an expression fold whose 32-way nested
-    # higher-order functions ran on the interpreted path (measured
-    # ~10× slower than the Arrow batch on this corpus; the naive
-    # explode(perm) → groupBy(doc, perm) shape is worse still — it
-    # shuffles |shingles|×32 rows).
-    # persist: the band posexplode below would otherwise inline the
-    # whole signature stage into its Generate and re-run it once per
-    # emitted band (8×), on each side of the self-join.
-    sigs = minhash_signatures(
-        ce_hashed_shingle_sets(docs).where(F.size("hs") > 0)
-    ).persist()
-    # 16 bands of 2 minhashes; band signature = polynomial fold of the
-    # slice, seeded with the band index (cross-engine reproducible).
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(NUM_PERM // BAND_ROWS - 1)),
-        lambda b: F.aggregate(
-            F.slice(F.col("sig"), b * BAND_ROWS + 1, BAND_ROWS),
-            b.cast("long"),
-            lambda acc, v: (acc * SHINGLE_BASE + v) % POLY_P,
-        ),
-    )
+    # Shingle-hash + minhash + band signatures as ONE vectorized Arrow
+    # pass — empty-set filtering and the band fold live inside the
+    # stage (see minhash_band_signatures: every Catalyst formulation of
+    # those two leaked single-threaded work via filter pushdown /
+    # interpreted lambdas). The JVM side upstream stays expression-only
+    # (split/slice/md5), riding the fan_out partitioning.
+    # persist: feeds the band posexplode (both sides of the self-join)
+    # AND the verification hs-lookup joins — one materialization, three
+    # consumers, slim (doc_id, hs, bands) rows.
+    sigs = minhash_band_signatures(ce_hashed_shingle_sets(docs)).persist()
     bands = sigs.select(
         "doc_id",
-        F.posexplode(band_arr).alias("band", "band_sig"),
+        F.posexplode("bands").alias("band", "band_sig"),
     )
     ba = bands.alias("ba")
     bb = bands.alias("bb")
@@ -508,21 +529,15 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
         .distinct()
-        # cached: feeds the cand_ids semi-join AND the verification
-        # join — without it the whole signature+banding pipeline runs
-        # three times. The pair list is tiny by LSH design.
-        .persist()
     )
 
-    # Exact verification on the candidate set only: re-shingle JUST the
-    # candidate documents (semi-join before the shingle projection), so
-    # the expensive text processing is proportional to |candidates|,
-    # not |corpus|. Intersection on hashed shingles ≡ strings.
-    cand_ids = (
-        candidates.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-        .distinct()
-    )
-    sets = ce_hashed_shingle_sets(docs.join(cand_ids, "doc_id", "semi"))
+    # Exact verification on the candidate set only, joining the CACHED
+    # hashed shingle sets — no re-shingling of candidate documents (a
+    # re-shingle subtree re-reads the raw text and pays the md5
+    # pipeline again, single-threaded below the repartition; the cache
+    # lookup is a hash join on doc_id). Intersection on hashed
+    # shingles ≡ strings.
+    sets = sigs.select("doc_id", "hs")
     verified = (
         candidates.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a")),
@@ -668,6 +683,211 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sim_raw") >= COSINE_DUP_THRESHOLD)
     )
     return rescored.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# t10: the composed 100-TB embedding-dedup path that t09's docstring
+# promises — hyperplane-LSH bucketing (s02's machinery) for candidate
+# generation, a vectorized numpy cosine prefilter at a loosened
+# threshold, and the sequential-fold cosine as the authoritative final
+# score. Work is proportional to |bucket collisions|, never all-pairs.
+#
+# (L, k) tuning is regime-dependent. Per-plane agreement for a pair at
+# cosine s is p = 1 − arccos(s)/π; a pair collides in one k-bit table
+# w.p. p^k and survives candidate gen w.p. 1 − (1 − p^k)^L. The
+# fixture's near-dups sit at s ≈ 0.4–0.5 (p ≈ 0.63–0.67 — random
+# vectors, an adversarially LOW dup threshold), so the registered
+# query uses wide-OR tuning (k=2, L=8): recall ≈ 0.98 at s = 0.4.
+# A production corpus dedups at s ≥ 0.95 (p ≥ 0.90), where k=8, L=8
+# prunes ~97% of background pairs at recall ≥ 0.999 — pinned by
+# tests/test_dedup.py::test_lsh_neardup_production_pruning.
+T10_TABLES = 8
+T10_PLANES_PER_TABLE = 2
+
+
+def _lsh_candidate_pairs(emb: DataFrame, n_tables: int, planes_per_table: int) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs sharing an LSH bucket in ≥1 of
+    the ``n_tables`` hyperplane tables. One GEMM pandas_udf assigns
+    all table buckets per vector (s02's `_lsh_bucket_udf`); the
+    posexplode + self-equi-join on (tbl, bucket) is the bucketed
+    candidate join — the exchange carries (id, tbl, bucket) triples,
+    not embeddings, and shuffle_hash stops the planner broadcasting a
+    corpus-sized side.
+
+    Diagnostic/test formulation: materializes the candidate set as
+    rows (tests count it to pin pruning ratios). The production path
+    (`embedding_neardup_lsh`) computes the SAME candidate set but
+    consumes it inside per-bucket GEMM tasks without ever emitting
+    unfiltered pairs — use this only when the pair list itself is the
+    thing you want."""
+    from fsharp_mapreduce_spark.functions.similarity import _lsh_bucket_udf
+
+    bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
+    tagged = emb.select(
+        "vec_id", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_tables: int = T10_TABLES,
+    planes_per_table: int = T10_PLANES_PER_TABLE,
+) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs with exact final scores.
+
+    Candidate pairs are NEVER materialized as rows: vectors are grouped
+    by (table, bucket) and each bucket runs a dense in-bucket GEMM
+    prefilter at (threshold − 1e-6) inside one `applyInPandas` task,
+    emitting only surviving (vec_a, vec_b) pairs. A wide-OR regime like
+    the fixture's (k=2 → 4 buckets/table, collision prob ~L·2⁻ᵏ) would
+    otherwise make the materialized pair list ~|corpus|²-sized: the
+    pair-join formulation measured 25 s at sf0.1 (1.78 M joined rows ×
+    two embedding lookups) vs <2 s for in-bucket GEMM doing the same
+    dot products as dense matmul. Work is Σ bucket² FLOPs; shuffle is
+    L copies of the corpus (L fixed) — both sub-quadratic whenever the
+    tuning actually buckets, and never worse than GEMM-speed otherwise.
+    Within a bucket the GEMM is row-chunked, so one hot bucket costs
+    bounded memory (chunk × bucket), not bucket² at once.
+
+    The sequential-fold `cosine` re-score of the (tiny) survivor set is
+    the only arbiter of the emitted pairs and scores, so results are
+    bit-comparable with t09/the DuckDB oracle; the GEMM stage only ever
+    discards pairs the fold would also discard (1e-6 slop ≫ the ~1e-12
+    summation-order divergence)."""
+    from fsharp_mapreduce_spark.functions.similarity import _lsh_bucket_udf, cosine
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(emb.sparkSession)
+
+    bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+
+    loose = threshold - 1e-6
+
+    def bucket_gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"vec_a": np.array([], dtype=np.int64), "vec_b": np.array([], dtype=np.int64)}
+            )
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        out_a, out_b = [], []
+        chunk = 2048  # caps the dense block at chunk×|bucket| floats
+        for s in range(0, len(ids), chunk):
+            sims = unit[s : s + chunk] @ unit.T
+            ia, ib = np.nonzero(sims >= loose)
+            ia = ia + s
+            keep = ia < ib  # strict upper triangle: each in-bucket pair once
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+        va, vb = np.concatenate(out_a), np.concatenate(out_b)
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    cands = (
+        tagged.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_gemm, "vec_a long, vec_b long")
+        # a pair colliding in several tables surfaces once per table
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    rescored = (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("sim_raw") >= threshold)
+    )
+    return rescored.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
+
+
+def _t10_oracle() -> str:
+    """DuckDB replica of the LSH-bucketed near-dup pipeline. The
+    hyperplanes are deterministic (`_plane_component`), so their float
+    values inline as SQL literals and DuckDB replays bucket assignment
+    sign-for-sign (a flip needs |dot| within ~1e-13 of zero — never
+    observed; the exact-cosine final filter is unaffected either way
+    for any pair both engines surface)."""
+    from fsharp_mapreduce_spark.functions.similarity import MAX_DIM, _plane_component
+
+    k, L = T10_PLANES_PER_TABLE, T10_TABLES
+    plane_rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(_plane_component(p, d)) for d in range(MAX_DIM))
+        )
+        for p in range(L * k)
+    )
+    dot_plane = (
+        "list_reduce(list_prepend(0.0, "
+        "[e.embedding[i]::DOUBLE * p.pv[i] for i in generate_series(1, len(e.embedding))]), "
+        "(x, y) -> x + y)"
+    )
+    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
+
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {plane_rows}),
+    bits AS (
+      SELECT e.vec_id, p.pid // {k} AS tbl,
+             CASE WHEN {dot_plane} >= 0 THEN 1 << (p.pid % {k}) ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    tagged AS (
+      SELECT vec_id, tbl, SUM(bit) AS bucket FROM bits GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM tagged x JOIN tagged y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM cand c
+    JOIN embeddings a ON c.vec_a = a.vec_id
+    JOIN embeddings b ON c.vec_b = b.vec_id
+    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "t10_embedding_neardup_lsh",
+    oracle=_t10_oracle(),
+    tags=("dedup", "embedding", "lsh", "cosine"),
+)
+def t10_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable embedding-dedup pipeline t09's docstring routes
+    100 TB through: hyperplane-LSH candidate generation ({8} tables ×
+    {2} sign bits, fixture-tuned — see the module comment for the
+    (L, k) S-curve math) composed with t09's exact fold-cosine
+    re-score. Unlike t09's blocked all-pairs GEMM, no stage here is
+    quadratic in the corpus: cost is Σ bucket² GEMM FLOPs + survivor
+    re-scores, and candidate pairs are never materialized as rows.
+    Recall vs t09's exact output is pinned by
+    tests/test_dedup.py::test_lsh_neardup_recall_vs_exact."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_neardup_lsh(emb)
 
 
 M32 = 1 << 32

@@ -114,7 +114,7 @@ def _plane_component(p: int, d: int) -> float:
     return (h % 20007) / 10003.5 - 1.0
 
 
-def _lsh_bucket_udf():
+def _lsh_bucket_udf(n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER_TABLE):
     """Arrow-batched bucket assignment: ALL k·L sign bits per vector in
     one numpy GEMM against the fixed plane matrix, packed into L
     per-table bucket ids. This is candidate generation, not scoring
@@ -122,14 +122,16 @@ def _lsh_bucket_udf():
     order is free to differ — a sign flip needs a dot within rounding
     error of 0, which only perturbs an already-approximate bucket
     boundary. Per 10k-row Arrow batch this is one (10k×64)·(64×16)
-    matmul instead of 160k interpreted array-fold evaluations."""
+    matmul instead of 160k interpreted array-fold evaluations.
+    Parameterized on (L, k): s02's ANN probe uses 4×4; the t10
+    embedding-dedup pipeline retunes per dup-similarity regime."""
     planes = np.array(
         [
             [_plane_component(p, d) for d in range(MAX_DIM)]
-            for p in range(N_TABLES * PLANES_PER_TABLE)
+            for p in range(n_tables * planes_per_table)
         ]
     )  # (k·L, MAX_DIM)
-    weights = 1 << np.arange(PLANES_PER_TABLE)  # bit weights within a table
+    weights = 1 << np.arange(planes_per_table)  # bit weights within a table
 
     @F.pandas_udf("array<int>")
     def bucket_ids(embs: pd.Series) -> pd.Series:
@@ -137,7 +139,7 @@ def _lsh_bucket_udf():
             return pd.Series([], dtype=object)
         mat = np.stack(embs.to_numpy()).astype(np.float64)  # fixed-dim corpus
         bits = mat @ planes[:, : mat.shape[1]].T >= 0  # (n, k·L)
-        packed = bits.reshape(len(mat), N_TABLES, PLANES_PER_TABLE) @ weights
+        packed = bits.reshape(len(mat), n_tables, planes_per_table) @ weights
         return pd.Series(list(packed.astype(np.int32)))
 
     return bucket_ids

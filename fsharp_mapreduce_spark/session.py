@@ -57,7 +57,16 @@ def get_spark(
         # even customer at moderate SF) should broadcast, not shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "96g"))
+        # 20g, NOT most-of-the-box: local[32] is one JVM, and a heap
+        # sized near physical RAM (the old 96g default on a 125 GiB
+        # box) let G1 grow young gen into tens of GB of never-touched
+        # address space — every expansion faulted+zeroed pages in the
+        # kernel (measured ~25 cores of SYSTEM time in /proc/stat and
+        # 2-20× run-to-run variance on identical queries; 20g is
+        # bit-identical results, stable timings). Cluster deployments
+        # size executor heaps per-container anyway; override via
+        # SPARK_DRIVER_MEMORY when a workload genuinely needs more.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
         # Managed tables (bucketed writes) land in /tmp, never the repo.
         .config(
             "spark.sql.warehouse.dir",

@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.functions.dedup import (
     JACCARD_THRESHOLD,
+    _lsh_candidate_pairs,
+    embedding_neardup_lsh,
     hashed_shingle_sets,
     ngram_jaccard_pairs,
     shingle_candidate_pairs,
@@ -18,6 +20,7 @@ from fsharp_mapreduce_spark.functions.dedup import (
     t03_minhash_lsh_pairs,
     t04_simhash,
     t09_embedding_neardup,
+    t10_embedding_neardup_lsh,
 )
 from tests.conftest import SF_SMOKE
 
@@ -186,3 +189,65 @@ def test_embedding_neardup_planted(spark, synth_emb_dir):
     assert pairs[(0, 2)] == 1.0  # scaled copy: cosine exactly 1
     assert pairs[(0, 1)] > 0.99 and pairs[(1, 2)] > 0.99
     assert (0, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_lsh_neardup_recall_vs_exact(spark):
+    """t10 (LSH candidate gen + exact re-score) vs t09 (blocked
+    all-pairs exact) on the driver fixture. Precision is exact by
+    construction — every emitted pair passed the same fold-cosine
+    threshold — so t10 ⊆ t09 with identical sims; recall must clear
+    the (k=2, L=8) S-curve floor (≈0.98 at sim 0.4; 0.9 guards flakes)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.sim for r in t09_embedding_neardup(spark, SF_SMOKE).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in t10_embedding_neardup_lsh(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture must contain exact near-dup pairs"
+    assert set(lsh) <= set(exact), f"false positives: {set(lsh) - set(exact)}"
+    for p, sim in lsh.items():
+        assert sim == exact[p], f"sim mismatch on {p}: {sim} != {exact[p]}"
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_lsh_neardup_production_pruning(spark):
+    """The production dedup regime (sim ≥ 0.95, k=8, L=8): candidate
+    generation must prune the vast majority of background pairs while
+    recalling every planted near-dup. 200 random 64-dim Gaussian
+    vectors (pairwise cosine ~ N(0, 1/64) — essentially orthogonal)
+    plus 10 planted dup pairs at cosine ≈ 0.995."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260813)
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(x) for x in rng.standard_normal(64)]))
+    planted = []
+    for j in range(10):
+        base = rng.standard_normal(64)
+        dup = base + 0.05 * rng.standard_normal(64)  # cosine ≈ 0.995
+        rows.append((1000 + 2 * j, [float(x) for x in base]))
+        rows.append((1001 + 2 * j, [float(x) for x in dup]))
+        planted.append((1000 + 2 * j, 1001 + 2 * j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cands = set(
+        (r.vec_a, r.vec_b)
+        for r in _lsh_candidate_pairs(emb, n_tables=8, planes_per_table=8).collect()
+    )
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    assert len(cands) <= 0.10 * all_pairs, (
+        f"candidate gen barely prunes: {len(cands)}/{all_pairs}"
+    )
+
+    result = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.95, n_tables=8, planes_per_table=8
+        ).collect()
+    }
+    missed = [p for p in planted if p not in result]
+    assert not missed, f"planted dups missed: {missed}"
+    assert all(sim >= 0.95 for sim in result.values())
