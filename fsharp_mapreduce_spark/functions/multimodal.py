@@ -138,13 +138,49 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m02_feature_extract", oracle=None, tags=("multimodal", "mapInPandas"))
+def _m02_oracle() -> str:
+    """DuckDB replica of the sha256-seeded fake feature extractor
+    (`fake_features`): word w of the feature vector is the w-th
+    little-endian uint32 of the digest (cycled once: dim 8..15 repeat
+    0..7), scaled by 1/(2³²−1) and cast through float32 — all of which
+    DuckDB replays exactly from the hex digest (per-byte hex parse;
+    ::REAL is the same IEEE round-to-nearest float32 numpy applies).
+    min/max pick one exactly-representable value; avg sums in double
+    on both engines with round-4 far above summation-order noise."""
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    word = " + ".join(
+        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
+        for j in range(4)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    w(wi) AS (SELECT unnest(generate_series(0, 7))),
+    words AS (
+      SELECT doc_id, wi, {word} AS word
+      FROM h CROSS JOIN w
+    ),
+    feats AS (
+      SELECT CAST(wi + k.o AS INTEGER) AS dim,
+             ((word / 4294967295.0)::REAL)::DOUBLE AS v
+      FROM words CROSS JOIN (SELECT unnest([0, 8]) AS o) k
+    )
+    SELECT dim, COUNT(*) AS n,
+           ROUND(AVG(v), 4) AS avg_v,
+           ROUND(MIN(v), 4) AS min_v,
+           ROUND(MAX(v), 4) AS max_v
+    FROM feats GROUP BY dim
+"""
+
+
+@register("m02_feature_extract", oracle=_m02_oracle(), tags=("multimodal", "mapInPandas"))
 def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads
     (mapInPandas, zero shuffle): per-payload 16-dim pseudo-embedding +
     an aggregate per feature dimension so the result is small and
-    stable. The decode stub is deterministic (sha256-seeded), so the
-    pipeline is asserted end-to-end in tests/test_multimodal.py."""
+    stable. The decode stub is deterministic (sha256-seeded), which is
+    what makes the full-value DuckDB oracle possible — the oracle
+    recomputes the identical float32 features from the hex digest.
+    End-to-end pipeline also asserted in tests/test_multimodal.py."""
     media = documents_as_media(spark, sf_dir)
     feats = extract_features(media)
     return (
@@ -153,8 +189,8 @@ def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("v"), 4).alias("avg_v"),
-            F.round(F.min("v"), 4).alias("min_v"),
-            F.round(F.max("v"), 4).alias("max_v"),
+            F.round(F.min("v").cast("double"), 4).alias("min_v"),
+            F.round(F.max("v").cast("double"), 4).alias("max_v"),
         )
     )
 

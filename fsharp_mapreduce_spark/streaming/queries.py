@@ -163,12 +163,20 @@ def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@register("st02_stream_dedup", oracle=None, tags=("streaming", "dedup"))
+@register(
+    "st02_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
 def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-once dedup on event_id across micro-batches
     (state-store backed dropDuplicates) — counts must equal the batch
-    distinct count. Rows-only check; parity pinned in
-    tests/test_streaming.py."""
+    distinct count, which is exactly the oracle (stream/batch parity,
+    the same shape st01/st03 use)."""
     staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
     ev = read_pull_stream(spark, staged)
     deduped = ev.dropDuplicates(["event_id"]).groupBy("event_type").agg(
