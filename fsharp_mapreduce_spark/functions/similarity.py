@@ -156,7 +156,11 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and top-k'd. Recall vs s01_knn_bruteforce pinned in
     tests/test_similarity.py. Scale path: the per-table bucket
     equi-join replaces the cross join; tables × buckets partition the
-    corpus, and the union of tables is an explode, not L scans."""
+    corpus, and the union of tables is an explode, not L scans. The
+    materialized form of that path is `build_lsh_index` +
+    `knn_lsh_probe`: the same pipeline against a `write_bucketed`
+    managed table, probing with zero index-side exchanges (plan-pinned
+    in tests/test_similarity.py)."""
     emb = table(spark, sf_dir, "embeddings")
 
     # one row per (vector, table): posexplode the L bucket ids — a
@@ -173,25 +177,38 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = indexed.select(
         "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
     )
-    q = tagged.where(F.col("vec_id") < N_QUERIES).select(
+    return _exact_topk(_bucket_candidates(tagged, _probe_set(tagged)))
+
+
+def _probe_set(tagged: DataFrame, n_queries: int = N_QUERIES) -> DataFrame:
+    """The probe rows (query vectors with their per-table buckets) —
+    tiny by construction, always the broadcast side."""
+    return tagged.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
-    # distinct BEFORE scoring: a pair sharing buckets in several
-    # tables must be scored once, not L times.
-    candidates = (
-        tagged.join(
-            F.broadcast(q),
-            (F.col("tbl") == F.col("qtbl"))
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = candidates.select(
+
+
+def _bucket_candidates(tagged: DataFrame, q: DataFrame) -> DataFrame:
+    """Per-table bucket equi-join of the (broadcast) probe set against
+    the tagged corpus. The corpus side streams through the broadcast
+    hash join with NO exchange — the property the bucketed-index plan
+    test pins."""
+    return tagged.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+
+
+def _exact_topk(candidates: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact-score the candidate set and take per-query top-k.
+    distinct BEFORE scoring: a pair sharing buckets in several tables
+    must be scored once, not L times."""
+    scored = candidates.dropDuplicates(["query_id", "neighbor_id"]).select(
         "query_id",
         "neighbor_id",
         cosine(F.col("qe"), F.col("embedding")).alias("sim"),
@@ -199,9 +216,46 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    table_name: str,
+    n_tables: int = N_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    n_storage_buckets: int = 16,
+) -> None:
+    """Materialize the LSH index s02 computes on the fly: one bucketed
+    managed table of (vec_id, embedding, tbl, bucket), bucketed (and
+    sorted) by the join keys via `write_bucketed`. This is the 100 TB
+    shape the s02 docstring names — the GEMM bucket assignment is paid
+    ONCE at index-build; every probe afterwards reads the index
+    exchange-free and recomputes nothing. Bucketed storage also makes
+    per-bucket aggregations (cardinality skew audits) and in-bucket
+    self-joins exchange-free on (tbl, bucket)."""
+    from fsharp_mapreduce_spark.sources.io import write_bucketed
+
+    bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
+    tagged = emb.select(
+        "vec_id", "embedding", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
+    )
+    write_bucketed(tagged, table_name, ["tbl", "bucket"], n_storage_buckets)
+
+
+def knn_lsh_probe(
+    spark: SparkSession, index_table: str, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """ANN top-k against a materialized `build_lsh_index` table:
+    identical semantics (and results) to s02_knn_lsh, but the corpus
+    side is a plain scan of the pre-assigned index — no GEMM, and no
+    shuffle exchange anywhere on the index side (pinned by
+    tests/test_similarity.py::test_lsh_index_probe_plan_exchange_free).
+    """
+    tagged = spark.table(index_table)
+    return _exact_topk(_bucket_candidates(tagged, _probe_set(tagged, n_queries)), k)
 
 
 N_CELLS = 16  # IVF coarse cells

@@ -5,16 +5,24 @@ the cosine expression-fold itself."""
 from __future__ import annotations
 
 import math
+import os
+import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.functions.similarity import (
     TOP_K,
+    _bucket_candidates,
+    _probe_set,
+    build_lsh_index,
     cosine,
+    knn_lsh_probe,
     s01_knn_bruteforce,
     s02_knn_lsh,
     s04_knn_ivf,
 )
+from fsharp_mapreduce_spark.registry import table
 from tests.conftest import SF_SMOKE
 
 
@@ -65,6 +73,49 @@ def test_approx_sims_are_exact_for_returned_pairs(spark):
             key = (r.query_id, r.neighbor_id)
             if key in exact:
                 assert math.isclose(r.sim, exact[key], abs_tol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def lsh_index(spark):
+    """A materialized bucketed LSH index over the fixture corpus."""
+    name = "test_lsh_index"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    build_lsh_index(table(spark, SF_SMOKE, "embeddings"), name)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+
+def test_lsh_index_probe_matches_on_the_fly(spark, lsh_index):
+    """Probing the materialized index returns exactly the on-the-fly
+    s02 answer — the index is a cache of the bucket assignment, not a
+    different algorithm."""
+    fly = {(r.query_id, r.neighbor_id, r.rank, r.sim) for r in s02_knn_lsh(spark, SF_SMOKE).collect()}
+    idx = {(r.query_id, r.neighbor_id, r.rank, r.sim) for r in knn_lsh_probe(spark, lsh_index).collect()}
+    assert idx == fly
+
+
+def test_lsh_index_probe_plan_exchange_free(spark, lsh_index):
+    """The 'exchange-free probe' claim, pinned: candidate generation
+    over the bucketed index is a broadcast hash join whose index side
+    is a bare table scan — no shuffle exchange anywhere in the plan
+    (the only exchange is the probe-set broadcast)."""
+    tagged = spark.table(lsh_index)
+    cand = _bucket_candidates(tagged, _probe_set(tagged))
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_lsh_index_bucketed_agg_skips_exchange(spark, lsh_index):
+    """Bucketed storage co-locates (tbl, bucket): the per-bucket
+    cardinality audit (the skew check a real deployment runs on its
+    index) aggregates with NO exchange."""
+    agg = spark.table(lsh_index).groupBy("tbl", "bucket").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_cosine_fold_identities(spark):
