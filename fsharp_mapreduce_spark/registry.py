@@ -53,18 +53,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet read — keeps Catalyst's
     pushdown/pruning path intact (no caching layer in between).
 
-    ``events`` carries nanosecond parquet timestamps, which Spark 4
-    refuses by default; read them as int64 nanos and floor-convert to
-    a microsecond timestamp (integer DIV — converting ~1.7e18 ns
-    through double would lose precision). DuckDB reads the same file
-    as TIMESTAMP_NS and floors on cast, so both engines agree."""
+    ``events.ts`` normalization — the fixture has shipped two parquet
+    physical types across driver rounds, both timezone-naive:
+
+    - TIMESTAMP(NANOS): Spark 4 refuses it by default; read as int64
+      nanos and floor-convert to a microsecond timestamp (integer
+      DIV — converting ~1.7e18 ns through double would lose
+      precision);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+      TIMESTAMP_NTZ, which time functions (unix_micros, window,
+      watermarks) reject; cast to session-TZ TIMESTAMP. The session
+      pins UTC, so the wall-clock values are unchanged and match
+      DuckDB's naive reading bit-for-bit."""
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
