@@ -88,7 +88,7 @@ class MapReduceJob:
         ``Callable[[SparkSession], DataFrame]`` — the load fn. Batched
         pull semantics (Gimme chunkSize, Orchestrator.fs:74) collapse
         into Spark's input-split planning; ``chunk_size`` is accepted
-        for API parity and used only to size partitions.
+        for API parity and IGNORED (see ``run``).
     map_fn:
         ``row -> iterable[(key, value)]`` — may emit zero pairs
         (legal per Orchestrator.fs:41), one, or many (Worker.fs:20).
@@ -159,8 +159,13 @@ class MapReduceJob:
         ``handle_results`` if provided (Orchestrator.fs:175).
 
         ``chunk_size`` is accepted for reference API parity
-        (Start chunkSize, Orchestrator.fs:134-140); batching is owned
-        by Spark's scheduler so it only influences partition count.
+        (Start chunkSize, Orchestrator.fs:134-140) and deliberately
+        IGNORED: in the reference it is flow control (caps in-flight
+        records between Loader and Workers), a concern Spark's DAG
+        scheduler owns entirely. Mapping it onto partition count would
+        change semantics (1M rows at the reference's chunkSize=1000
+        would mean 1000 shuffle partitions) and require a pre-count of
+        the source; parallelism is configured via ``num_partitions``.
         """
         from fsharp_mapreduce_spark.session import ensure_package_shipped
 
@@ -198,19 +203,36 @@ class MapReduceJob:
         return self._finish(merged)
 
     def _run_ordered(self, pairs, n):
-        """Deterministic sequential fold per key: zip an emission index
-        through the shuffle, sort within each key, fold in order."""
+        """Deterministic sequential fold per key WITHOUT materializing
+        any key's value list: tag each pair with its emission index,
+        hash-partition by key only, sort within each partition by that
+        index (``repartitionAndSortWithinPartitions`` — one shuffle
+        backed by Spark's spillable external sorter), then stream each
+        partition once, folding values into a per-key accumulator dict.
+        Per-key emission order is a subsequence of the partition's
+        index order, so the fold sees values in exactly the order the
+        map phase emitted them. Task memory is O(distinct keys × acc) —
+        the same bound as a hash aggregate; a hot key costs its
+        accumulator, not its value list (the groupByKey formulation
+        this replaced held every value of a key in one executor's
+        memory)."""
+        from pyspark.rdd import portable_hash
+
         zero, seq = self.zero, self.reduce_fn
-        indexed = pairs.zipWithIndex().map(lambda t: (t[0][0], (t[1], t[0][1])))
+        indexed = pairs.zipWithIndex().map(lambda t: ((t[0][0], t[1]), t[0][1]))
+        parted = indexed.repartitionAndSortWithinPartitions(
+            numPartitions=n,
+            partitionFunc=lambda k: portable_hash(k[0]),
+            keyfunc=lambda k: k[1],
+        )
 
-        def fold_group(kv):
-            key, seq_vals = kv
-            acc = zero
-            for _, v in sorted(seq_vals, key=lambda p: p[0]):
-                acc = seq(v, acc)
-            return key, acc
+        def fold_stream(it):
+            accs: dict = {}
+            for (k, _i), v in it:
+                accs[k] = seq(v, accs[k] if k in accs else zero)
+            return iter(accs.items())
 
-        return indexed.groupByKey(numPartitions=n).map(fold_group).collect()
+        return parted.mapPartitions(fold_stream).collect()
 
     def _finish(self, merged: dict):
         if self.handle_results is not None:
