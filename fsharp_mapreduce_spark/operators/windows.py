@@ -126,9 +126,16 @@ def q15_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def q16_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / percent_rank / ntile over one global window
-    (supplier is small; a global window is fine — for big tables the
-    partitioned variants above are the pattern)."""
+    """rank / dense_rank / percent_rank / ntile over one global window.
+
+    SCALE CAVEAT: a global (unpartitioned) window plans an Exchange
+    SinglePartition — every row through one task. Deliberate here
+    because supplier is a bounded dimension table (100 rows at
+    sf0.01); it is NOT the at-scale pattern and is excluded from any
+    100× claim. The scalable formulation of the same four functions is
+    q31_global_ranks_scalable (two-pass range-partitioned ranks, no
+    single-partition stage) — pinned by
+    tests/test_plans.py::test_q31_no_single_partition_exchange."""
     s = table(spark, sf_dir, "supplier")
     w = W.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
     return s.select(
@@ -138,6 +145,124 @@ def q16_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("bigint").alias("dense_rnk"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+def global_row_numbers(
+    df: DataFrame, sort_cols: list, n_partitions: int | None = None
+) -> DataFrame:
+    """Append a global ``rn`` (1-based row number in ``sort_cols``
+    order) WITHOUT a single-partition window — the two-pass
+    distributed-rank idiom:
+
+    1. ``repartitionByRange`` on the sort key: partition i holds a
+       contiguous, disjoint key range strictly before partition i+1
+       (the range partitioner's sampling balances row counts);
+    2. local ``row_number`` per physical partition (window keyed on
+       ``spark_partition_id()`` — each partition sorts only its own
+       slice, in parallel);
+    3. per-partition row counts (|partitions| rows — metadata-sized)
+       → prefix-sum offsets, broadcast-joined back: rn = offset + local
+       row number.
+
+    ``sort_cols`` must be a total order (include a unique tiebreak) or
+    rn is nondeterministic at range boundaries. Every stage is
+    parallel in |partitions|; the only sub-linear piece is the prefix
+    sum over the partition-count table, which is bounded by cluster
+    width, not data."""
+    n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_partitions, *sort_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*sort_cols))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # Prefix sum over the counts table via triangular self-join — NOT a
+    # global window, which would itself plan an Exchange
+    # SinglePartition. O(P²) pairs where P = partition count: bounded
+    # by cluster width squared, independent of data volume.
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    offsets = (
+        ca.join(cb, F.col("cb._pid") < F.col("ca._pid"), "left")
+        .groupBy(F.col("ca._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("cb._c"), F.lit(0)).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+@register(
+    "q31_global_ranks_scalable",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price,
+           CAST(ROW_NUMBER() OVER u AS BIGINT) AS rn,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+           ROUND(PERCENT_RANK() OVER w, 6)     AS pct_rnk,
+           CAST(NTILE(4)     OVER u AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC),
+           u AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window", "rank", "scale"),
+)
+def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four global rank functions of q16 over the full ``orders``
+    table with NO single-partition stage — the 100 TB formulation:
+
+    - ``rn``: two-pass range-partitioned row number
+      (`global_row_numbers`);
+    - ``rnk``: min rn within each tie group (one shuffle on the rank
+      value; map-side partial min);
+    - ``dense_rnk``: the same two-pass row number applied to the
+      DISTINCT rank values (a second, much smaller ranking problem);
+    - ``pct_rnk`` = (rnk − 1)/(n − 1) and ``quartile`` = SQL NTILE
+      derived arithmetically from rn and the total count n (one
+      single-row aggregate, broadcast).
+
+    Every exchange is keyed (range or hash) — the plan test pins the
+    absence of Exchange SinglePartition. DuckDB replays the classic
+    window formulation; values hash-match exactly."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sort_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    rn = global_row_numbers(o, sort_cols)
+
+    # rank: ties (equal price) share the minimum rn of the group.
+    ranks = rn.groupBy("o_totalprice").agg(F.min("rn").alias("rnk"))
+    # dense rank: rank the distinct prices themselves — same two-pass
+    # machinery on a table whose size is the number of DISTINCT rank
+    # values (already grouped; no single-partition stage either).
+    dense = global_row_numbers(
+        ranks.select("o_totalprice"), [F.col("o_totalprice").desc()]
+    ).withColumnRenamed("rn", "dense_rnk")
+
+    total = o.agg(F.count(F.lit(1)).alias("_n"))  # single row, broadcast
+    q, r = F.floor(F.col("_n") / 4), F.col("_n") % 4
+    # SQL NTILE(4): the first (n mod 4) tiles get ceil(n/4) rows.
+    small_start = r * (q + 1)
+    quartile = F.when(
+        F.col("rn") <= small_start, (F.col("rn") - 1) / (q + 1)
+    ).otherwise(r + (F.col("rn") - 1 - small_start) / q)
+
+    return (
+        rn.join(ranks, "o_totalprice")
+        # dense is |distinct prices|-sized: let AQE pick the strategy
+        # (broadcast at fixture scale, shuffle join at 100 TB).
+        .join(dense, "o_totalprice")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "rn",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("dense_rnk").cast("bigint").alias("dense_rnk"),
+            F.round((F.col("rnk") - 1) / (F.col("_n") - 1), 6).alias("pct_rnk"),
+            (F.floor(quartile) + 1).cast("bigint").alias("quartile"),
+        )
     )
 
 

@@ -123,6 +123,36 @@ def test_minhash_signature_stays_in_scan_stage(spark):
     assert exchange_count(df) <= 9, plan
 
 
+def test_q31_no_single_partition_exchange(spark):
+    """q31 computes global rank/dense_rank/percent_rank/ntile with NO
+    Exchange SinglePartition: every exchange is range- or hash-keyed
+    and the only driver-width data is the partition-count table. This
+    is the at-scale contrast to q16's documented global window (which
+    IS single-partition by design, on a bounded dimension table)."""
+    df = q("q31_global_ranks_scalable", spark)
+    plan = formatted_plan(df)
+    # The ONLY single-partition exchange allowed is the final step of
+    # the scalar count(*) aggregate — one partial-count row per
+    # partition, metadata-width. Anything else (a Window/Sort over row
+    # data) is a scale regression.
+    import re
+
+    for m in re.finditer(
+        r"Input \[(\d+)\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
+    ):
+        assert m.group(1) == "1" and m.group(2).startswith("count#"), plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_q16_single_partition_is_documented_exception(spark):
+    """q16's global window plans Exchange SinglePartition — the
+    documented bounded-dimension exception. If this assertion ever
+    fails, Spark changed the plan shape and the q16/q31 docstrings
+    need re-auditing."""
+    df = q("q16_window_ranks", spark)
+    assert "SinglePartition" in formatted_plan(df)
+
+
 def test_exact_dedup_single_exchange(spark):
     """t01: digest groupBy = exactly one shuffle, keyed on the digest
     (32-byte keys), not the document text."""
