@@ -35,6 +35,7 @@ HEADLINE = [
     "q09_agg_distinct",
     "q13_window_topk_per_group",
     "q17_topk_global",
+    "q31_global_ranks_scalable",
     "q24_json_extract",
     "q26_sessionize",
     "q27_dice_frequency",
@@ -43,6 +44,7 @@ HEADLINE = [
     "t06_quality_score",
     "t08_fingerprint",
     "t09_embedding_neardup",
+    "t10_embedding_neardup_lsh",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s04_knn_ivf",
@@ -77,6 +79,40 @@ def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
     return timings
+
+
+def run_dice_anchor(runs: int, rows: int = 5_000_000) -> float:
+    """Like-for-like MapReduce anchor (BASELINE.md): the reproduced
+    dice job through the compat API at the reference's own cardinality
+    band (1M-10M records, Example-Job.fs:40; 5M = mid-band). The
+    reference publishes no timings — this records OUR number so rounds
+    are comparable to each other. Full pipeline: seeded source →
+    flatMap → value-slot shuffle → keyed fold → driver merge."""
+    from fsharp_mapreduce_spark.compat.job import (
+        MapReduceJob,
+        dice_map_fn,
+        dice_reduce_fn,
+        range_source,
+    )
+    from fsharp_mapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="fsharp_mapreduce_spark-bench")
+    job = MapReduceJob(
+        range_source(rows, seed=42),
+        dice_map_fn,
+        dice_reduce_fn,
+        zero=0,
+        merge_fn=lambda a, b: a + b,
+        group_on="value",
+    )
+    job.run(spark)  # warm-up (JIT + python worker pool spin-up)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        res = job.run(spark)
+        samples.append(time.perf_counter() - t0)
+        assert res["Win"] + res["Lose"] == rows
+    return round(statistics.median(samples), 4)
 
 
 def run_duckdb(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
@@ -120,6 +156,11 @@ def main() -> None:
     names = args.queries or HEADLINE
 
     timings = run_spark(sf_dir, args.runs, names)
+    if args.queries is None:
+        # the like-for-like MapReduce anchor rides along with the
+        # default headline set (not an SF-scaled registry query — fixed
+        # 5M-row band per BASELINE.md — so it stays out of `value`)
+        dice = run_dice_anchor(args.runs)
     result = {
         "metric": "sum of per-query median wall-clock, headline queries",
         "value": round(sum(timings.values()), 4),
@@ -127,6 +168,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if args.queries is None:
+        result["dice_mr_compat_5m"] = dice
     if args.duckdb:
         duck = run_duckdb(sf_dir, args.runs, names)
         result["duckdb_queries"] = duck

@@ -942,19 +942,10 @@ def _t04_oracle() -> str:
 """
 
 
-@register("t04_simhash", oracle=_t04_oracle(), tags=("dedup", "simhash"))
-def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document in the cross-engine polynomial
-    family: each token carries two independent 32-bit polynomial
-    hashes (char folds mod 2³², bases 31 and 131) and votes ±1 on
-    each of their bits; the signature packs the per-bit sign sums
-    into two 32-bit halves (simhash_hi ∥ simhash_lo — both
-    non-negative bigints, no sign-bit edge case in either engine).
-    Near-duplicates land within small Hamming distance (pinned by
-    tests/test_dedup.py::test_simhash_near_dups); the DuckDB oracle
-    replays the identical integer pipeline. Pure expression work —
-    no Python, no shuffle (it's a projection)."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash_hi, simhash_lo) — the t04 signature pipeline
+    as a reusable projection (t11 bands it for near-dup candidate
+    generation)."""
     toks = F.split(F.lower(F.col("text")), " ")
 
     def tok_hashes(base: int) -> Column:
@@ -1009,4 +1000,123 @@ def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return counted.select(
         "doc_id", pack("c2").alias("simhash_hi"), pack("c1").alias("simhash_lo")
+    )
+
+
+@register("t04_simhash", oracle=_t04_oracle(), tags=("dedup", "simhash"))
+def t04_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document in the cross-engine polynomial
+    family: each token carries two independent 32-bit polynomial
+    hashes (char folds mod 2³², bases 31 and 131) and votes ±1 on
+    each of their bits; the signature packs the per-bit sign sums
+    into two 32-bit halves (simhash_hi ∥ simhash_lo — both
+    non-negative bigints, no sign-bit edge case in either engine).
+    Near-duplicates land within small Hamming distance (pinned by
+    tests/test_dedup.py::test_simhash_near_dups); the DuckDB oracle
+    replays the identical integer pipeline. Pure expression work —
+    no Python, no shuffle (it's a projection)."""
+    return simhash_signatures(fan_out(table(spark, sf_dir, "documents")))
+
+
+# t11: Hamming threshold + band count. 4 disjoint 16-bit bands give
+# the exact pigeonhole guarantee for ham ≤ 3: flipping ≤3 of 64 bits
+# leaves ≥1 band untouched, so every qualifying pair collides in at
+# least one band — recall is 1.0 BY CONSTRUCTION (not probabilistic
+# like MinHash banding). Fixture calibration: ~half the jaccard≥0.5
+# pairs sit at ham ≤ 3 while the background pair minimum is 4 — the
+# band join admits almost nothing it then discards.
+SIMHASH_HAM_MAX = 3
+
+
+def _t11_oracle() -> str:
+    """DuckDB replica: t04's signature CTE, 16-bit band equi-join,
+    exact Hamming verification (bit_count of the xor-ed halves)."""
+    ham = (
+        "CAST(bit_count(xor(sa.simhash_hi, sb.simhash_hi))"
+        " + bit_count(xor(sa.simhash_lo, sb.simhash_lo)) AS BIGINT)"
+    )
+    return f"""
+    WITH sig AS ({_t04_oracle()}),
+    bands AS (
+      SELECT doc_id, b,
+             CASE WHEN b < 2 THEN (simhash_lo >> (16 * b)) & 65535
+                  ELSE (simhash_hi >> (16 * (b - 2))) & 65535 END AS bv
+      FROM sig, generate_series(0, 3) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    WHERE {ham} <= {SIMHASH_HAM_MAX}
+"""
+
+
+@register(
+    "t11_simhash_neardup_pairs",
+    oracle=_t11_oracle(),
+    tags=("dedup", "simhash", "banding"),
+)
+def t11_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming ≤ {3}: t04's 64-bit
+    signatures split into 4 disjoint 16-bit bands; candidate pairs
+    share ≥1 exact band (pigeonhole ⇒ recall 1.0 at the threshold —
+    SimHash's standard sub-quadratic search structure); candidates are
+    verified with the exact Hamming distance (two bit_counts over
+    xor-ed halves — pure codegen).
+
+    100 TB shape: signatures are a zero-shuffle projection (8 bytes of
+    state per doc); the band exchange carries (doc_id, band, 16-bit
+    value) triples — never text; per-band buckets are small because 16
+    bits give 65k partitions of the corpus per band (hot buckets =
+    boilerplate-heavy corpora — same stop-shingle mitigation as t02
+    applies). Verification is proportional to |candidates|."""
+    sigs = simhash_signatures(fan_out(table(spark, sf_dir, "documents"))).persist()
+    band_vals = F.array(
+        *[
+            F.shiftright("simhash_lo", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(2)
+        ],
+        *[
+            F.shiftright("simhash_hi", 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(2)
+        ],
+    )
+    bands = sigs.select("doc_id", F.posexplode(band_vals).alias("b", "bv"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.hint("shuffle_hash")
+        .join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_hi").alias("ha"),
+        F.col("simhash_lo").alias("la"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_hi").alias("hb"),
+        F.col("simhash_lo").alias("lb"),
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
     )

@@ -118,6 +118,30 @@ def test_simhash_near_dups(spark, synth_docs_dir):
     assert hamming64(sig[20], sig[21]) >= 16
 
 
+def test_simhash_banding_equals_bruteforce(spark):
+    """t11's 4×16-bit banding is pigeonhole-EXACT at ham ≤ 3: its
+    output must equal the brute-force all-pairs Hamming filter — no
+    recall loss, no spurious pairs."""
+    from fsharp_mapreduce_spark.functions.dedup import (
+        SIMHASH_HAM_MAX,
+        t11_simhash_neardup_pairs,
+    )
+
+    sig = _simhash_sigs(spark, SF_SMOKE)
+    ids = sorted(sig)
+    brute = {
+        (a, b): hamming64(sig[a], sig[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming64(sig[a], sig[b]) <= SIMHASH_HAM_MAX
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in t11_simhash_neardup_pairs(spark, SF_SMOKE).collect()
+    }
+    assert banded == brute
+
+
 def test_simhash_deterministic(spark, synth_docs_dir):
     a = _simhash_sigs(spark, synth_docs_dir)
     b = _simhash_sigs(spark, synth_docs_dir)
