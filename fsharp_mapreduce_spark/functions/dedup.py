@@ -890,6 +890,114 @@ def t10_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_lsh(emb)
 
 
+# ---------------------------------------------------------------------------
+# t12: dedup CLUSTERS. Pair queries (t02/t03/t09..t11) surface edges;
+# a training pipeline needs the transitive closure — one keeper per
+# connected component — because near-duplication chains (A≈B, B≈C
+# with A≉C must still collapse to one cluster).
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """(v, component) for every vertex, component = min vertex id in
+    its connected component. Deterministic distributed min-label
+    propagation: each round every vertex takes the minimum of its own
+    label and its neighbors' labels (one hash join + partial-agg min
+    per round), until a round changes nothing.
+
+    Scale analysis: rounds = graph diameter; every round is
+    shuffle-bounded by |E| with map-side combine on the min. Dedup
+    graphs are short-diameter by construction (near-dup clusters are
+    dense blobs, not paths), so this settles in a handful of rounds at
+    any corpus size; for adversarially long chains the
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves path lengths per round
+    — same join/agg building blocks, O(log n) rounds, worth swapping
+    in only if diameter is genuinely unbounded. The per-round
+    convergence probe is a scalar count — the one driver-side action
+    an iterative algorithm cannot avoid. Labels persist across rounds;
+    superseded cache entries are released eagerly."""
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .persist()
+    )
+    labels = vertices.select("v", F.col("v").alias("label")).persist()
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels, e.u == labels.v)
+            .select(F.col("w").alias("v2"), "label")
+            .groupBy("v2")
+            .agg(F.min("label").alias("nl"))
+        )
+        new = (
+            labels.join(nbr, labels.v == nbr.v2, "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.select(F.col("v"), F.col("label").alias("n"))
+            .join(labels.select(F.col("v"), F.col("label").alias("o")), "v")
+            .where(F.col("n") < F.col("o"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels
+
+
+def _t12_oracle() -> str:
+    """DuckDB replica: t03's pair pipeline as the edge set, transitive
+    closure via a recursive CTE (fixture graphs are tiny), min
+    reachable id per vertex, singletons labeled with themselves."""
+    return f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
+    e(u, v) AS (
+      SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (SELECT u, MIN(r) AS c FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CAST(COALESCE(comp.c, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.u
+"""
+
+
+@register(
+    "t12_dedup_clusters", oracle=_t12_oracle(), tags=("dedup", "clusters")
+)
+def t12_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document dedup clusters: connected components over the
+    MinHash+LSH near-dup pair graph (t03, exact-Jaccard-verified
+    edges), every document labeled with the minimum doc_id of its
+    component — the canonical keeper. Singletons label themselves, so
+    the output is a total keeper assignment: ``WHERE doc_id =
+    cluster_id`` is the deduplicated corpus. Chain-closure semantics
+    pinned by tests/test_dedup.py::test_connected_components_chain."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("v")
+    )
+    pairs = t03_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs, docs)
+    return comp.select(
+        F.col("v").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )
+
+
 M32 = 1 << 32
 SIMHASH_BASE_LO = 31
 SIMHASH_BASE_HI = 131

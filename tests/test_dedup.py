@@ -142,6 +142,21 @@ def test_simhash_banding_equals_bruteforce(spark):
     assert banded == brute
 
 
+def test_connected_components_chain(spark):
+    """Transitive closure: a chain 1-2, 2-3 plus a separate pair 10-11
+    and an isolated vertex 20 → components {1,2,3}→1, {10,11}→10,
+    {20}→20. Near-dup chains MUST collapse even when the endpoints are
+    not directly similar."""
+    from fsharp_mapreduce_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(v,) for v in (1, 2, 3, 10, 11, 20)], "v long")
+    out = {r.v: r.label for r in connected_components(edges, verts).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
 def test_simhash_deterministic(spark, synth_docs_dir):
     a = _simhash_sigs(spark, synth_docs_dir)
     b = _simhash_sigs(spark, synth_docs_dir)
