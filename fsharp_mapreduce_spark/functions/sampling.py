@@ -1,0 +1,139 @@
+"""Deterministic sampling operators (north-star extension): the
+reproducibility primitive every training-data pipeline needs — a
+sample defined by a pure function of the ROW KEY, not an RNG state,
+so it is stable across engines, runs, partitionings and retries, and
+any row's membership can be audited after the fact.
+
+All three operators ride the cross-engine md5 hash family
+(`md5_int_hash`, functions/dedup.py): Spark, numpy and DuckDB compute
+identical hash values, which is what lets the driver value-hash-check
+a *sample* — with `rand()`-based sampling the oracle could never
+agree. Reference parity note: the reference has no sampling operator
+(its only source is the synthetic dice stream, Example-Job.fs:37-49);
+these follow SURVEY.md §2c's pattern of expressing the additive
+surface with pure Catalyst expressions.
+
+Scale design (100 TB):
+- hash-bernoulli (t13/t14) is a pure filter — predicate-pushdown
+  friendly, zero shuffle, embarrassingly parallel, and composable
+  (the same key always lands in the same split: train/eval splits
+  stay disjoint forever);
+- fixed-size (t15) is hash-order top-k — TakeOrderedAndProject:
+  per-partition heaps of k + a driver merge, no global sort, no
+  single-partition stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.functions.dedup import M31, md5_int_hash
+from fsharp_mapreduce_spark.registry import register, table
+
+SAMPLE_PCT = 5  # t13: keep ~5% of lineitem
+STRATA_PCT = {"click": 50, "view": 20}  # t14: per-type rates
+STRATA_DEFAULT_PCT = 5
+FIXED_SAMPLE_K = 1000  # t15
+
+
+def hash_bucket(key, buckets: int = 100):
+    """Deterministic [0, buckets) bucket for a string key — the md5
+    slice family, so membership is identical in Spark and DuckDB."""
+    return md5_int_hash(key) % buckets
+
+
+def _sql_bucket(key_sql: str, buckets: int = 100) -> str:
+    return f"(('0x' || substr(md5({key_sql}), 1, 12))::BIGINT % {M31}) % {buckets}"
+
+
+@register(
+    "t13_hash_sample",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice AS price
+    FROM lineitem
+    WHERE {_sql_bucket("l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")}
+          < {SAMPLE_PCT}
+    """,
+    tags=("sampling", "bernoulli"),
+)
+def t13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {5}% Bernoulli sample of lineitem, keyed on the
+    composite row key. A pure filter expression: no shuffle, no RNG
+    state, rerun/engine/partitioning-invariant — the property that
+    keeps training and eval splits disjoint across pipeline runs. At
+    100 TB this is a map-only scan; the hash cannot be pushed to
+    parquet, but row-group pruning on other predicates composes
+    freely."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "_", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+    )
+    return li.where(hash_bucket(key) < SAMPLE_PCT).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+def _t14_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_PCT.items())
+    )
+    return f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sampled,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE {_sql_bucket("event_id::VARCHAR")}
+          < CASE event_type {cases} ELSE {STRATA_DEFAULT_PCT} END
+    GROUP BY event_type
+"""
+
+
+@register("t14_stratified_sample", oracle=_t14_oracle(), tags=("sampling", "stratified"))
+def t14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum keep-rates
+    (CASE on the stratum column) over the same key-hash — upsample
+    rare event types, downsample the bulk, one scan, zero shuffle
+    before the audit aggregate. The registered output is the
+    per-stratum sample audit (count + id range) so the oracle check
+    pins both membership and stratification."""
+    ev = table(spark, sf_dir, "events")
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for k, v in sorted(STRATA_PCT.items()):
+        rate = F.when(F.col("event_type") == k, v).otherwise(rate)
+    sampled = ev.where(hash_bucket(F.col("event_id").cast("string")) < rate)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("sampled"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )
+
+
+@register(
+    "t15_fixed_size_sample",
+    oracle=f"""
+    SELECT doc_id, {_sql_bucket("doc_id::VARCHAR", 1000000007)} AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT {FIXED_SAMPLE_K}
+    """,
+    tags=("sampling", "topk"),
+)
+def t15_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k uniform sample: order by the key hash (a deterministic
+    uniform permutation) and take the first k. Spark plans
+    TakeOrderedAndProject — per-partition size-k heaps merged on the
+    driver, no global sort, no single-partition exchange; the idiom
+    scales to any corpus size with k-bounded memory. Ties cannot occur
+    (hash collisions are broken by doc_id)."""
+    docs = table(spark, sf_dir, "documents")
+    h = hash_bucket(F.col("doc_id").cast("string"), 1000000007)
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(FIXED_SAMPLE_K)
+    )

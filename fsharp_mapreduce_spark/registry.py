@@ -94,6 +94,7 @@ def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import fsharp_mapreduce_spark.functions.dedup  # noqa: F401
     import fsharp_mapreduce_spark.functions.similarity  # noqa: F401
+    import fsharp_mapreduce_spark.functions.sampling  # noqa: F401
     import fsharp_mapreduce_spark.functions.text  # noqa: F401
     import fsharp_mapreduce_spark.functions.multimodal  # noqa: F401
     import fsharp_mapreduce_spark.operators.relational  # noqa: F401
