@@ -100,3 +100,32 @@ def test_bucketed_table_join_skips_exchange(spark):
     assert "Exchange hashpartitioning" not in plan, plan
     want = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
     assert joined.count() == want
+
+
+def test_jdbc_gate_without_url(spark):
+    """The env gate: no url → explicit NotImplementedError naming the
+    missing driver jar, both directly and via the format dispatcher."""
+    with pytest.raises(NotImplementedError, match="driver jar"):
+        sio.read_jdbc(spark)
+    with pytest.raises(NotImplementedError, match="driver jar"):
+        sio.read(spark, "jdbc", path="")
+
+
+def test_jdbc_options_reach_spark_reader(spark):
+    """With a url, the call must pass the gate and hand url/dbtable/
+    extra options to Spark's real JDBC reader — proven by the failure
+    MODE: the JVM driver-manager rejects the unresolvable driver/url
+    (it saw our options), rather than our NotImplementedError gate or
+    a Python-side TypeError (it didn't)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises((Py4JJavaError, AnalysisException)) as err:
+        sio.read_jdbc(
+            spark,
+            url="jdbc:nosuchdb://localhost:1/db",
+            dbtable="t",
+            fetchsize="1000",
+        )
+    msg = str(err.value)
+    assert "driver" in msg.lower() or "jdbc" in msg.lower(), msg
