@@ -4,9 +4,11 @@
 frequency count, Example-Job.fs:52-61, made deterministic) at
 sf0.001. ``queries()`` / ``oracle_sql()`` expose the full registry in
 ``fsharp_mapreduce_spark.registry`` — one entry per implemented
-operator from SURVEY.md §2 (+ north-star extensions); DuckDB oracles
-for everything SQL-expressible, rows-only for the Spark-specific ops
-(MinHash/SimHash/LSH — xxhash64-based — and streaming-stateful).
+operator from SURVEY.md §2 (+ north-star extensions). Nearly every
+query carries a DuckDB value-hash oracle (hash-family ops use the
+cross-engine md5/polynomial families so DuckDB replays them
+value-for-value); the few rows-only entries (ANN recall-style ops)
+are pinned by dedicated property tests instead.
 """
 
 from __future__ import annotations
