@@ -115,12 +115,26 @@ def run_dice_anchor(runs: int, rows: int = 5_000_000) -> float:
     return round(statistics.median(samples), 4)
 
 
+# Oracles excluded from the DuckDB TIMING side (still used for
+# correctness at sf0.01): their SQL formulation is deliberately
+# naive-quadratic (the point of the Spark-side algorithm is to avoid
+# that shape), so timing them at sf0.1 measures the oracle's
+# intractability, not a baseline. t09's all-pairs oracle stays — it IS
+# the apples-to-apples brute-force comparison and finishes.
+DUCKDB_TIMING_SKIP = {
+    # near-all-pairs candidate set at the fixture's wide-OR (k=2, L=8)
+    # tuning: ~90% of all vector pairs get a fold-cosine in SQL
+    "t10_embedding_neardup_lsh",
+}
+
+
 def run_duckdb(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
     import duckdb
 
     from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
 
     load_all_query_modules()
+    names = [n for n in names if n not in DUCKDB_TIMING_SKIP]
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in (

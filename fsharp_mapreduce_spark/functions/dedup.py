@@ -825,38 +825,14 @@ def embedding_neardup_lsh(
 
 
 def _t10_oracle() -> str:
-    """DuckDB replica of the LSH-bucketed near-dup pipeline. The
-    hyperplanes are deterministic (`_plane_component`), so their float
-    values inline as SQL literals and DuckDB replays bucket assignment
-    sign-for-sign (a flip needs |dot| within ~1e-13 of zero — never
-    observed; the exact-cosine final filter is unaffected either way
-    for any pair both engines surface)."""
-    from fsharp_mapreduce_spark.functions.similarity import MAX_DIM, _plane_component
-
-    k, L = T10_PLANES_PER_TABLE, T10_TABLES
-    plane_rows = ", ".join(
-        "({}, [{}])".format(
-            p, ", ".join(repr(_plane_component(p, d)) for d in range(MAX_DIM))
-        )
-        for p in range(L * k)
-    )
-    dot_plane = (
-        "list_reduce(list_prepend(0.0, "
-        "[e.embedding[i]::DOUBLE * p.pv[i] for i in generate_series(1, len(e.embedding))]), "
-        "(x, y) -> x + y)"
-    )
-    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
+    """DuckDB replica of the LSH-bucketed near-dup pipeline: shared
+    bucket-assignment CTE (`lsh_tagged_sql` — deterministic planes as
+    SQL literals, sign-for-sign with the GEMM), bucket self-join,
+    exact-cosine final filter."""
+    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql, lsh_tagged_sql
 
     return f"""
-    WITH planes(pid, pv) AS (VALUES {plane_rows}),
-    bits AS (
-      SELECT e.vec_id, p.pid // {k} AS tbl,
-             CASE WHEN {dot_plane} >= 0 THEN 1 << (p.pid % {k}) ELSE 0 END AS bit
-      FROM embeddings e CROSS JOIN planes p
-    ),
-    tagged AS (
-      SELECT vec_id, tbl, SUM(bit) AS bucket FROM bits GROUP BY vec_id, tbl
-    ),
+    WITH {lsh_tagged_sql(T10_TABLES, T10_PLANES_PER_TABLE)},
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       FROM tagged x JOIN tagged y

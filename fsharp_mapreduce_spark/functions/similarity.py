@@ -145,7 +145,71 @@ def _lsh_bucket_udf(n_tables: int = N_TABLES, planes_per_table: int = PLANES_PER
     return bucket_ids
 
 
-@register("s02_knn_lsh", oracle=None, tags=("similarity", "lsh", "ann"))
+def lsh_tagged_sql(n_tables: int, planes_per_table: int) -> str:
+    """DuckDB CTE text replaying `_lsh_bucket_udf`'s bucket assignment
+    sign-for-sign: the deterministic hyperplanes inline as literals,
+    per-plane sign bits pack into per-table bucket ids exactly as the
+    numpy reshape does (plane p belongs to table p//k with bit weight
+    1 << (p%k)). Yields CTEs ``planes``/``bits``/``tagged`` where
+    tagged = (vec_id, tbl, bucket). Shared by the s02 and t10 oracles.
+    A sign flip between the GEMM and the SQL fold needs |dot| within
+    ~1e-13 of zero — never observed on the fixtures, and it would only
+    perturb an already-approximate bucket boundary."""
+    k, L = planes_per_table, n_tables
+    plane_rows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(_plane_component(p, d)) for d in range(MAX_DIM))
+        )
+        for p in range(L * k)
+    )
+    dot_plane = (
+        "list_reduce(list_prepend(0.0, "
+        "[e.embedding[i]::DOUBLE * p.pv[i] for i in generate_series(1, len(e.embedding))]), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    planes(pid, pv) AS (VALUES {plane_rows}),
+    bits AS (
+      SELECT e.vec_id, p.pid // {k} AS tbl,
+             CASE WHEN {dot_plane} >= 0 THEN 1 << (p.pid % {k}) ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    tagged AS (
+      SELECT vec_id, tbl, SUM(bit) AS bucket FROM bits GROUP BY vec_id, tbl
+    )"""
+
+
+_S02_ORACLE = f"""
+    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
+    q AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM tagged
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+      FROM q JOIN tagged t
+        ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cosine_sql('qe.embedding', 'ne.embedding')} AS sim
+      FROM cand c
+      JOIN embeddings qe ON c.query_id = qe.vec_id
+      JOIN embeddings ne ON c.neighbor_id = ne.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("s02_knn_lsh", oracle=_S02_ORACLE, tags=("similarity", "lsh", "ann"))
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
     {4} independent tables of {4} sign bits each; a corpus vector is a
