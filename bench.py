@@ -78,6 +78,7 @@ def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        print(f"# spark {name} {timings[name]}", file=sys.stderr, flush=True)
     return timings
 
 
@@ -125,6 +126,14 @@ DUCKDB_TIMING_SKIP = {
     # near-all-pairs candidate set at the fixture's wide-OR (k=2, L=8)
     # tuning: ~90% of all vector pairs get a fold-cosine in SQL
     "t10_embedding_neardup_lsh",
+    # replays 32 minhash perms per shingle as interpreted list lambdas
+    # (~32M evals at sf0.1, measured >20 min): the oracle exists for
+    # value-exactness at sf0.01, not as a performance baseline —
+    # DuckDB has no native minhash to compare against
+    "t03_minhash_lsh_pairs",
+    # same shape: 16 hyperplane fold-dots per vector plus fold-cosines
+    # over every probe-bucket candidate
+    "s02_knn_lsh",
 }
 
 
@@ -155,6 +164,7 @@ def run_duckdb(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
             con.sql(sql).fetchall()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        print(f"# duckdb {name} {timings[name]}", file=sys.stderr, flush=True)
     return timings
 
 

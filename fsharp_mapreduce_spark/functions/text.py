@@ -211,3 +211,66 @@ def t08_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + F.ascii(x)) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "t16_token_chunking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             [ list_aggregate(ws[i * {CHUNK_STRIDE} + 1 : i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], 'string_agg', ' ')
+               for i in generate_series(0,
+                 CASE WHEN len(ws) <= {CHUNK_TOKENS} THEN 0
+                      ELSE CAST(ceil((len(ws) - {CHUNK_TOKENS}) * 1.0 / {CHUNK_STRIDE}) AS BIGINT) END) ] AS chunks
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           chunks[i] AS chunk_text,
+           CAST(len(string_split(chunks[i], ' ')) AS BIGINT) AS n_tokens
+    FROM c, generate_series(1, len(chunks)) t(i)
+    """,
+    tags=("text", "chunking"),
+)
+def t16_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking — the retrieval/context-window
+    prep step every LLM data pipeline runs: {64}-token chunks with a
+    {48}-token stride (16-token overlap), one output row per chunk
+    with its index and token count. The last chunk starts at the final
+    stride position that still adds new tokens, so every token lands
+    in ≥1 chunk and no empty chunks are emitted.
+
+    Pure expression work (sequence + slice + array_join + posexplode):
+    zero Python, zero shuffle — a Generate over the scan projection,
+    linear in corpus bytes at 100 TB. Chunk rows carry text, so the
+    output is ~1.33× input bytes (the overlap tax), which is the
+    expected shape for a chunker feeding an embedding stage."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tokd = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
+    n = F.size("toks")
+    # number of chunks - 1: ceil((n - CH) / stride), clamped at 0
+    last_idx = F.when(
+        n <= CHUNK_TOKENS, F.lit(0)
+    ).otherwise(F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)).cast("int"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), last_idx),
+        lambda i: F.array_join(
+            F.slice("toks", i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunked = tokd.select("doc_id", chunks.alias("chunks"))
+    return chunked.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_tokens"),
+    )

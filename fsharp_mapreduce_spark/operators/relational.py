@@ -639,3 +639,25 @@ def q30_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_sum", 2).alias("revenue"),
         F.col("_n").alias("n"),
     )
+
+
+@register("q32_approx_distinct", oracle=None, tags=("aggregation", "sketch", "hll"))
+def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per group — THE
+    100 TB cardinality operator: fixed ~kB of mergeable sketch state
+    per group regardless of cardinality, map-side combined, vs exact
+    count-distinct whose per-key state grows with the distinct set
+    and funnels through the shuffle (q30's docstring names that skew
+    pathology). rsd=0.02 ≈ 1.5 kB of registers per group.
+
+    Rows-only at the gate BY NATURE: Spark's HLL++ and DuckDB's HLL
+    are different sketches with different estimates — there is no
+    cross-engine value to hash-match. The estimate-vs-exact relative
+    error (≤ 5%) and the sketch's group-merge consistency are pinned
+    by tests/test_oracle_differential.py::test_approx_distinct_error.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

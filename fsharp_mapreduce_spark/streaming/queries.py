@@ -187,6 +187,75 @@ def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st06_stream_sliding_window",
+    oracle="""
+    SELECT CAST(bucket AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+               - (o * INTERVAL 30 MINUTE) AS bucket,
+             value
+      FROM events, generate_series(0, 1) t(o)
+    )
+    GROUP BY 1
+    """,
+    tags=("streaming", "sliding_window"),
+)
+def st06_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 1-hour length, 30-minute slide — as
+    a real micro-batch stream: every event contributes to exactly two
+    overlapping windows; the engine maintains both aggregates in the
+    state store and the watermark bounds how long a window stays
+    mutable. Oracle replays the overlap by fanning each event out to
+    its two containing window starts (stream/batch parity)."""
+    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    ev = read_pull_stream(spark, staged)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = run_to_completion(agg, "st06_out", output_mode="complete")
+    return out.select(
+        F.col("window").getField("start").alias("bucket"), "n", "total_value"
+    )
+
+
+@register(
+    "st07_stream_static_join",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "stream_static_join"),
+)
+def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer) INSIDE the streaming query — Spark re-plans
+    the static side per micro-batch as a broadcast hash join, no state
+    store involvement (only stream-stream joins buffer state). This is
+    the streaming twin of q03's broadcast dim join and the standard
+    shape for enriching a 100 TB/day event firehose with reference
+    data. Oracle = the identical batch join (stream/batch parity)."""
+    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    dim = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    ev = read_pull_stream(spark, staged)
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    out = run_to_completion(agg, "st07_out", output_mode="complete")
+    return out
+
+
+@register(
     "st05_stream_stream_join",
     oracle="""
     SELECT c.user_id,

@@ -97,3 +97,27 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_approx_distinct_error(spark):
+    """q32's HLL++ estimate must land within 5% of the exact distinct
+    count per group (rsd=0.02 ⇒ 3σ ≈ 6%; the fixture's cardinalities
+    sit far inside that)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.registry import QUERIES, table
+
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in QUERIES["q32_approx_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: r.exact
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])

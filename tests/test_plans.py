@@ -162,6 +162,31 @@ def test_exact_dedup_single_exchange(spark):
     assert "md5" in plan.lower()
 
 
+def test_hash_sample_is_map_only(spark):
+    """t13: a deterministic sample is a pure filter — zero exchanges,
+    and the scan reads only the projected columns."""
+    df = q("t13_hash_sample", spark)
+    assert exchange_count(df) == 0, formatted_plan(df)
+    (cols,) = read_schema_columns(df)
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_stratified_sample_single_exchange(spark):
+    """t14: filter + audit aggregate = exactly the aggregation's one
+    exchange, with map-side partial aggregation."""
+    df = q("t14_stratified_sample", spark)
+    assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_fixed_size_sample_takeordered(spark):
+    """t15: exactly-k sampling must plan TakeOrderedAndProject
+    (per-partition heaps + driver merge), never a global sort."""
+    df = q("t15_fixed_size_sample", spark)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort" not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
 def test_scalar_pipeline_zero_exchange(spark):
     """Pure scalar/text transforms (t06 quality scoring ends in a small
     agg; t08 fingerprinting is scan→project→agg) must not shuffle more
