@@ -235,7 +235,11 @@ CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
            CAST(i - 1 AS BIGINT) AS chunk_idx,
            chunks[i] AS chunk_text,
            CAST(len(string_split(chunks[i], ' ')) AS BIGINT) AS n_tokens
-    FROM c, generate_series(1, len(chunks)) t(i)
+    FROM (
+      SELECT doc_id, chunks,
+             unnest(generate_series(1, len(chunks))) AS i
+      FROM c
+    )
     """,
     tags=("text", "chunking"),
 )
