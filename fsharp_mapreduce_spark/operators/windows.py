@@ -171,13 +171,31 @@ def global_row_numbers(
     sum over the partition-count table, which is bounded by cluster
     width, not data."""
     n_partitions = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_partitions, *sort_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # Local row numbers WITHOUT a window (a Window.partitionBy(pid)
+    # would hash-exchange the whole table a second time): after the
+    # range exchange + in-partition sort, monotonically_increasing_id
+    # encodes exactly (partition id << 33) + in-partition offset, so
+    # one projection yields both the partition id and the local row
+    # number in sorted order.
+    ranged = df.repartitionByRange(n_partitions, *sort_cols).sortWithinPartitions(
+        *sort_cols
     )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*sort_cols))
+    # persist: the numbered table feeds the row output AND the
+    # partition-count/offset pipeline (plus a second global_row_numbers
+    # pass in q31). Without it every consumer re-expands the range
+    # exchange subtree — measured 20 parquet scans and 25 exchanges in
+    # one q31 plan (Catalyst's exchange reuse doesn't fire because
+    # column pruning makes each copy structurally different).
+    local = (
+        ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
+        .select(
+            "*",
+            F.shiftright("_mid", 33).cast("int").alias("_pid"),
+            (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_lrn"),
+        )
+        .persist()
     )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # Prefix sum over the counts table via triangular self-join — NOT a
     # global window, which would itself plan an Exchange
     # SinglePartition. O(P²) pairs where P = partition count: bounded
@@ -191,7 +209,7 @@ def global_row_numbers(
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn("rn", (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_pid", "_lrn", "_off", "_mid")
     )
 
 
@@ -231,13 +249,23 @@ def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey")]
     rn = global_row_numbers(o, sort_cols)
 
-    # rank: ties (equal price) share the minimum rn of the group.
-    ranks = rn.groupBy("o_totalprice").agg(F.min("rn").alias("rnk"))
-    # dense rank: rank the distinct prices themselves — same two-pass
-    # machinery on a table whose size is the number of DISTINCT rank
-    # values (already grouped; no single-partition stage either).
+    # rank: ties (equal price) share the minimum rn of the group — a
+    # price-partitioned window (ONE keyed exchange, no join-back; the
+    # partition key is the tie group, so this scales like any
+    # hash-partitioned window).
+    # persist: rnked feeds the distinct-price dense pass AND the final
+    # join — same subtree-duplication economics as in
+    # global_row_numbers.
+    rnked = rn.withColumn(
+        "rnk", F.min("rn").over(W.partitionBy("o_totalprice"))
+    ).persist()
+    # dense rank: rank the distinct prices themselves — the same
+    # two-pass machinery on the distinct-value table. dropDuplicates
+    # on the price reuses the window's hash(price) partitioning (no
+    # extra exchange on the big table).
     dense = global_row_numbers(
-        ranks.select("o_totalprice"), [F.col("o_totalprice").desc()]
+        rnked.select("o_totalprice").dropDuplicates(["o_totalprice"]),
+        [F.col("o_totalprice").desc()],
     ).withColumnRenamed("rn", "dense_rnk")
 
     total = o.agg(F.count(F.lit(1)).alias("_n"))  # single row, broadcast
@@ -249,10 +277,11 @@ def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(r + (F.col("rn") - 1 - small_start) / q)
 
     return (
-        rn.join(ranks, "o_totalprice")
         # dense is |distinct prices|-sized: let AQE pick the strategy
-        # (broadcast at fixture scale, shuffle join at 100 TB).
-        .join(dense, "o_totalprice")
+        # (broadcast at fixture scale, shuffle join at 100 TB); rnked
+        # is already hash(price)-partitioned, so only the small side
+        # moves.
+        rnked.join(dense, "o_totalprice")
         .crossJoin(F.broadcast(total))
         .select(
             "o_orderkey",
