@@ -661,3 +661,47 @@ def q32_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q34_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS price
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+          )
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+          )
+    """,
+    tags=("subquery", "decorrelation"),
+)
+def q34_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + correlated EXISTS, written as
+    straight SQL: orders worth more than 2× their customer's average
+    that also contain a ≥45-quantity line. Catalyst DECORRELATES both
+    (RewriteCorrelatedScalarSubquery → aggregate+join;
+    RewriteSubquery → left-semi join), so the physical plan is two
+    shuffles and a semi join — no per-row subquery execution exists at
+    any scale. The reference could only express this as two chained
+    MR passes (SURVEY.md §2c joins row)."""
+    load_tables_sql = table(spark, sf_dir, "orders"), table(spark, sf_dir, "lineitem")
+    load_tables_sql[0].createOrReplaceTempView("orders")
+    load_tables_sql[1].createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice AS price
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+                SELECT AVG(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey
+              )
+          AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+              )
+        """
+    )
