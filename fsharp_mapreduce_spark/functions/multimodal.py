@@ -341,3 +341,94 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.max("frame_no").cast("bigint").alias("last_frame"),
     )
+
+
+M05_TOP_K = 5
+M05_N_QUERIES = 5
+
+
+def _m05_oracle() -> str:
+    """DuckDB replica of the composed pipeline: m02's exact float32
+    feature reconstruction (see _m02_oracle) assembled into ordered
+    per-document arrays, then s01's brute-force fold-cosine top-k."""
+    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
+
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    word = " + ".join(
+        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
+        for j in range(4)
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    w(wi) AS (SELECT unnest(generate_series(0, 7))),
+    words AS (
+      SELECT doc_id, wi, {word} AS word
+      FROM h CROSS JOIN w
+    ),
+    dims AS (
+      SELECT doc_id, wi + k.o AS dim,
+             ((word / 4294967295.0)::REAL)::DOUBLE AS v
+      FROM words CROSS JOIN (SELECT unnest([0, 8]) AS o) k
+    ),
+    farr AS (
+      SELECT doc_id, list(v ORDER BY dim) AS fe FROM dims GROUP BY doc_id
+    ),
+    q AS (SELECT doc_id AS query_id, fe AS qe FROM farr
+          WHERE doc_id < {M05_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, f.doc_id AS neighbor_id,
+             {_cosine_sql('q.qe', 'f.fe')} AS sim
+      FROM q JOIN farr f ON f.doc_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {M05_TOP_K}
+"""
+
+
+@register(
+    "m05_visual_knn", oracle=_m05_oracle(), tags=("multimodal", "similarity", "knn")
+)
+def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal retrieval pipeline: binary payloads →
+    Arrow-batched feature extraction (m02's mapInPandas stage, decode
+    stubbed deterministically) → brute-force cosine top-{5} in feature
+    space (s01's broadcast-probe shape). This is the end-to-end
+    image-similarity skeleton a real corpus runs with a real decoder
+    dropped into `fake_features`'s slot; every Spark-side mechanism —
+    binary columns, Arrow batching, broadcast probes, window top-k —
+    is the production one, and the DuckDB oracle replays the exact
+    float32 features from the sha256 digest, so even the composed
+    scores value-hash-match. At 100 TB the brute-force stage swaps
+    for s02's LSH index probe over the same feature column."""
+    from pyspark.sql import Window as W
+
+    from fsharp_mapreduce_spark.functions.similarity import cosine
+
+    media = documents_as_media(spark, sf_dir)
+    # persist: the feature table feeds both the probe side and the
+    # corpus side of the join; without it the Arrow extraction stage
+    # runs twice.
+    feats = extract_features(media).select("media_id", "features").persist()
+    q = feats.where(F.col("media_id") < M05_N_QUERIES).select(
+        F.col("media_id").alias("query_id"), F.col("features").alias("qe")
+    )
+    scored = feats.join(
+        F.broadcast(q), F.col("media_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("media_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("features")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= M05_TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -187,6 +187,60 @@ def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st08_foreach_batch_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "foreachBatch", "sink"),
+)
+def st08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` result sink — the LITERAL Structured-Streaming
+    analogue of the reference's handleResults driver callback
+    (Orchestrator.fs:175; SURVEY.md §2a#8): each micro-batch's partial
+    aggregate is handed to user code, which here appends it (tagged
+    with the batch id) to a parquet accumulator — the same
+    partial-result-merge contract as the reference's per-worker dicts
+    (Orchestrator.fs:166-175), with batches in place of workers. The
+    registered result re-merges the partials (sum of counts, sum of
+    unrounded partial sums, rounded once at the end) and must equal
+    the batch aggregate — partial/merge associativity, the property
+    SURVEY §7 hard-part 1 demands of compat folds, demonstrated on the
+    streaming path."""
+    import tempfile
+
+    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    ev = read_pull_stream(spark, staged)
+    sink_dir = tempfile.mkdtemp(prefix="fsmr_st08_")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(handle_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    partials = spark.read.parquet(sink_dir)
+    return partials.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sv"), 4).alias("total_value"),
+    )
+
+
+@register(
     "st06_stream_sliding_window",
     oracle="""
     SELECT CAST(bucket AS TIMESTAMP) AS bucket,
