@@ -157,6 +157,28 @@ def test_connected_components_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_simhash_vectorized_matches_expression(spark):
+    """The numpy signature stage must be bit-identical to the
+    pure-Catalyst-expression twin (and therefore to the DuckDB
+    oracle's integer pipeline) on the whole fixture corpus."""
+    from fsharp_mapreduce_spark.functions.dedup import (
+        _expression_simhash_signatures,
+        simhash_signatures,
+    )
+    from fsharp_mapreduce_spark.registry import table
+
+    docs = table(spark, SF_SMOKE, "documents")
+    vec = {
+        r.doc_id: (r.simhash_hi, r.simhash_lo)
+        for r in simhash_signatures(docs).collect()
+    }
+    expr = {
+        r.doc_id: (r.simhash_hi, r.simhash_lo)
+        for r in _expression_simhash_signatures(docs).collect()
+    }
+    assert vec == expr
+
+
 def test_simhash_deterministic(spark, synth_docs_dir):
     a = _simhash_sigs(spark, synth_docs_dir)
     b = _simhash_sigs(spark, synth_docs_dir)
