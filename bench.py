@@ -45,6 +45,9 @@ HEADLINE = [
     "t08_fingerprint",
     "t09_embedding_neardup",
     "t10_embedding_neardup_lsh",
+    "t11_simhash_neardup_pairs",
+    "t12_dedup_clusters",
+    "t16_token_chunking",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s04_knn_ivf",
@@ -134,6 +137,11 @@ DUCKDB_TIMING_SKIP = {
     # same shape: 16 hyperplane fold-dots per vector plus fold-cosines
     # over every probe-bucket candidate
     "s02_knn_lsh",
+    # replays the per-character simhash folds (~12M interpreted evals
+    # at sf0.1)
+    "t11_simhash_neardup_pairs",
+    # embeds the t03 minhash replay inside a recursive CTE
+    "t12_dedup_clusters",
 }
 
 
