@@ -705,3 +705,46 @@ def q34_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
               )
         """
     )
+
+
+@register(
+    "q35_udtf_tokenize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS pos,
+           ws[i] AS token
+    FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM t)
+    """,
+    tags=("udtf", "lateral"),
+)
+def q35_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 `@udtf`) in a LATERAL join — the
+    modern form of the reference's map fn (`obj -> KV list`,
+    Worker.fs:20: one input row, arbitrarily many output rows, shipped
+    as a pickled closure). Registered on a bounded slice because a
+    row-at-a-time Python UDTF is the SLOW path by design — the engine's
+    hot paths express the same explode as Catalyst generators (t16) or
+    Arrow batches; this query exists to cover the API surface and pin
+    its semantics against the oracle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos bigint, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").lower().split(" ")):
+                yield i, t
+
+    spark.udtf.register("fsmr_tokenize", Tokenize)
+    table(spark, sf_dir, "documents").where(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("q35_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM q35_docs d, LATERAL fsmr_tokenize(d.text) t
+        """
+    )
