@@ -748,3 +748,50 @@ def q35_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q35_docs d, LATERAL fsmr_tokenize(d.text) t
         """
     )
+
+
+@register(
+    "q36_array_functions",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      FROM lineitem WHERE l_orderkey < 200
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qs) AS BIGINT) AS n_items,
+           ROUND(qs[1], 4) AS q_min,
+           ROUND(qs[-1], 4) AS q_max,
+           ROUND(list_reduce(list_prepend(0.0, qs), (a, b) -> a + b), 4)
+             AS q_sum,
+           ROUND(list_reduce(list_prepend(0.0, list_reverse_sort(qs)[1:2]),
+                             (a, b) -> a + b), 4)
+             AS top2_sum
+    FROM per_order
+    """,
+    tags=("array", "higher_order"),
+)
+def q36_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order scalar functions over grouped data:
+    collect_list → sort_array (collect order is shuffle-dependent, the
+    sort restores determinism) → element_at / slice / aggregate fold.
+    The fold runs in index order on both engines, so even the float
+    sums are bit-comparable. This is the array-column manipulation
+    surface (the reference's closest analogue is .NET list code inside
+    closures, Example-Job.fs:46-49)."""
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    qs = F.sort_array(F.collect_list("l_quantity"))
+    per_order = li.groupBy("l_orderkey").agg(qs.alias("qs"))
+    fold = lambda col: F.aggregate(col, F.lit(0.0), lambda a, b: a + b)  # noqa: E731
+    # positive-index slice of the DESC sort: clamps identically in both
+    # engines when the array has one element (negative-start slicing
+    # does not)
+    top2 = F.slice(F.sort_array("qs", False), 1, 2)
+    return per_order.select(
+        "l_orderkey",
+        F.size("qs").cast("bigint").alias("n_items"),
+        F.round(F.element_at("qs", 1), 4).alias("q_min"),
+        F.round(F.element_at("qs", -1), 4).alias("q_max"),
+        F.round(fold(F.col("qs")), 4).alias("q_sum"),
+        F.round(fold(top2), 4).alias("top2_sum"),
+    )
