@@ -795,3 +795,30 @@ def q36_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold(F.col("qs")), 4).alias("q_sum"),
         F.round(fold(top2), 4).alias("top2_sum"),
     )
+
+
+@register(
+    "q37_approx_quantiles", oracle=None, tags=("aggregation", "sketch", "quantiles")
+)
+def q37_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles per group (`percentile_approx`,
+    Greenwald-Khanna/t-digest-style mergeable sketch) — q29's exact
+    twin with bounded memory: per-group state is the sketch's
+    compression budget (accuracy 10 000 ≈ tens of kB), not the value
+    set, so one hot group cannot funnel its values through a single
+    reducer (q30's skew pathology). The 100 TB default; q29's exact
+    form remains the oracle-tight variant.
+
+    Rows-only at the gate BY NATURE (DuckDB's approx_quantile is a
+    different sketch); the estimate-vs-exact relative error is pinned
+    by tests/test_oracle_differential.py::test_approx_quantiles_error.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(q), F.lit(10000)), 4
+            ).alias(f"ap{int(q * 100)}")
+            for q in (0.25, 0.50, 0.75, 0.95)
+        ]
+    )

@@ -121,3 +121,34 @@ def test_approx_distinct_error(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
+
+
+def test_approx_quantiles_error(spark):
+    """q37's sketch percentiles must land within 1% relative of the
+    exact interpolated percentiles per group (accuracy=10000 on a
+    ~6k-row fixture is effectively exact up to interpolation — the
+    sketch returns an observed value, the exact form interpolates)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.registry import QUERIES, table
+
+    approx = {
+        r.l_returnflag: (r.ap25, r.ap50, r.ap75, r.ap95)
+        for r in QUERIES["q37_approx_quantiles"].fn(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p25, r.p50, r.p75, r.p95)
+        for r in table(spark, SF_SMOKE, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(q)).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.95)
+            ]
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / abs(e) <= 0.01, (k, a, e)

@@ -98,3 +98,75 @@ def test_chunked_replay_is_chunked(spark):
         bounds.append((r[0], r[1]))
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2, f"chunks out of order: {bounds}"
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Kill-and-restart durability the reference entirely lacks (no
+    retries/supervision, SURVEY §4 fault-tolerance row): a streaming
+    aggregation driven over part of the source, STOPPED, then
+    restarted from its checkpoint after more data arrives must (a)
+    resume from the recorded offsets — never reprocessing the files it
+    already consumed — and (b) land on exactly the batch answer.
+    Double-processing would inflate the merged totals; skipped data
+    would deflate them, so totals equality pins exactly-once."""
+    import tempfile
+
+    ev = table(spark, SF_SMOKE, "events").select("event_id", "value")
+    src = tempfile.mkdtemp(prefix="fsmr_ckpt_src_")
+    ck = tempfile.mkdtemp(prefix="fsmr_ckpt_meta_")
+    sink = tempfile.mkdtemp(prefix="fsmr_ckpt_sink_")
+
+    def add_chunk(i: int) -> None:
+        ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def handle(batch_df, batch_id):
+        (
+            batch_df.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sv"),
+                F.sum("event_id").alias("se"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    def run_phase() -> None:
+        schema = spark.read.parquet(src).schema
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            s.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_chunk(0)
+    add_chunk(1)
+    run_phase()  # consumes chunks 0-1, checkpoint records their offsets
+    mid = spark.read.parquet(sink).agg(F.sum("n")).collect()[0][0]
+    add_chunk(2)
+    add_chunk(3)
+    run_phase()  # restart: must process ONLY chunks 2-3
+
+    partials = spark.read.parquet(sink)
+    got = partials.agg(F.sum("n"), F.sum("sv"), F.sum("se")).collect()[0]
+    want = ev.agg(
+        F.count(F.lit(1)), F.sum("value"), F.sum("event_id")
+    ).collect()[0]
+    assert got[0] == want[0], "row count off: re/under-processing after restart"
+    assert got[2] == want[2], "event_id checksum off"
+    assert math.isclose(got[1], want[1], rel_tol=1e-9)
+    # phase 1 really did consume only its half
+    assert 0 < mid < want[0]
