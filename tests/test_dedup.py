@@ -312,3 +312,64 @@ def test_lsh_neardup_production_pruning(spark):
     missed = [p for p in planted if p not in result]
     assert not missed, f"planted dups missed: {missed}"
     assert all(sim >= 0.95 for sim in result.values())
+
+
+def test_token_chunking_edges(spark):
+    """Chunk layout at the boundaries: shorter-than-window docs give
+    one chunk; exactly-window docs give one chunk; window+1 gives two
+    overlapping chunks with the stride offset; every token appears in
+    at least one chunk."""
+    from fsharp_mapreduce_spark.functions.text import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, words(3)),
+            (2, words(CHUNK_TOKENS)),
+            (3, words(CHUNK_TOKENS + 1)),
+            (4, words(2 * CHUNK_TOKENS)),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fsmr_chunk_edge_")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = QUERIES["t16_token_chunking"].fn(spark, d).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_text))
+    assert len(by_doc[1]) == 1 and by_doc[1][0][1] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0][1] == CHUNK_TOKENS
+    assert len(by_doc[3]) == 2
+    # chunk 1 of doc 3 starts at the stride and carries the tail
+    c3 = sorted(by_doc[3])
+    assert c3[1][2].startswith(f"w{CHUNK_STRIDE} ")
+    assert c3[1][1] == CHUNK_TOKENS + 1 - CHUNK_STRIDE
+    # doc 4: ceil((128-64)/48)+1 = 3 chunks, last token present
+    assert len(by_doc[4]) == 3
+    assert any(c[2].endswith(f"w{2 * CHUNK_TOKENS - 1}") for c in by_doc[4])
+
+
+def test_fixed_size_sample_partition_invariant(spark):
+    """t15's exactly-k hash sample must select the identical id set
+    regardless of input partitioning — the determinism contract that
+    makes samples reproducible across cluster shapes."""
+    from fsharp_mapreduce_spark.functions.sampling import t15_fixed_size_sample
+
+    base = {r.doc_id for r in t15_fixed_size_sample(spark, SF_SMOKE).collect()}
+    # same query against a repartitioned copy of the table
+    import tempfile
+
+    from fsharp_mapreduce_spark.registry import table as _table
+
+    d = tempfile.mkdtemp(prefix="fsmr_t15_inv_")
+    _table(spark, SF_SMOKE, "documents").repartition(13).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    again = {r.doc_id for r in t15_fixed_size_sample(spark, d).collect()}
+    assert base == again

@@ -195,3 +195,18 @@ def test_scalar_pipeline_zero_exchange(spark):
     for name in ("t06_quality_score", "t08_fingerprint"):
         df = q(name, spark)
         assert exchange_count(df) <= 2, name
+
+
+def test_chunking_no_shuffle(spark):
+    """t16: chunking is scan → Generate → project — its only exchange
+    is the deliberate fan_out repartition of the single-split fixture
+    scan."""
+    df = q("t16_token_chunking", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_array_functions_single_exchange(spark):
+    """q36: collect_list groupBy = one exchange; every array op after
+    it is a projection."""
+    df = q("q36_array_functions", spark)
+    assert exchange_count(df) == 1, formatted_plan(df)
