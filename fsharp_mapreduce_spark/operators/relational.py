@@ -822,3 +822,54 @@ def q37_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in (0.25, 0.50, 0.75, 0.95)
         ]
     )
+
+
+@register(
+    "q33_full_outer_join",
+    oracle="""
+    WITH rich_c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+    ),
+    poor_s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      FROM supplier WHERE s_acctbal < 0 GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_rich_customers,
+           COALESCE(s.n_supp, 0) AS n_poor_suppliers,
+           CAST(c.nk IS NOT NULL AS BIGINT) AS has_customers,
+           CAST(s.nk IS NOT NULL AS BIGINT) AS has_suppliers
+    FROM rich_c c FULL OUTER JOIN poor_s s ON c.nk = s.nk
+    """,
+    tags=("join", "outer"),
+)
+def q33_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with genuinely unmatched rows on both sides
+    (selective filters make some nations customer-only and some
+    supplier-only): completes the join-type surface next to
+    inner/broadcast (q03/q04), semi (q05), anti (q06), range (q07) and
+    as-of (q08). Null-side handling is explicit — COALESCE'd counts
+    plus presence flags — because outer-join nulls are where
+    hand-rolled MR joins silently drop rows (the reference user's
+    2-pass tagged-union join has no null semantics at all)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, c.c_nk == s.s_nk, "full_outer")
+    return j.select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_poor_suppliers"),
+        F.col("c_nk").isNotNull().cast("bigint").alias("has_customers"),
+        F.col("s_nk").isNotNull().cast("bigint").alias("has_suppliers"),
+    )
