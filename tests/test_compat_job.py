@@ -224,3 +224,51 @@ def test_differential_vs_naive_fold(spark):
             for k, v in map_fn(R(t)):
                 expect[k] = red(v, expect[k])
         assert got == dict(expect)
+
+
+def test_property_ordered_fold_vs_naive(spark):
+    """Hypothesis-driven ORDERED-fold equivalence: non-commutative
+    string concatenation over random keys, emission orders and
+    partition counts must equal the single-threaded fold in emission
+    order — the contract of the `_run_ordered` escape hatch (the
+    reference's arrival-order fold, Worker.fs:89-96) under every
+    partitioning."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fsharp_mapreduce_spark.compat.job import MapReduceJob
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=5), st.sampled_from("xyz")),
+            min_size=1,
+            max_size=120,
+        ),
+        n_parts=st.integers(min_value=1, max_value=9),
+    )
+    def check(rows, n_parts):
+        data = [(i, k, c) for i, (k, c) in enumerate(rows)]
+
+        def source(sp):
+            return sp.createDataFrame(data, "i long, k long, c string")
+
+        job = MapReduceJob(
+            source,
+            lambda r: [(r.k, r.c)],
+            lambda v, acc: acc + v,
+            zero="",
+            ordered=True,
+            num_partitions=n_parts,
+        )
+        got = job.run(spark)
+        naive: dict = {}
+        for _i, k, c in data:
+            naive[k] = naive.get(k, "") + c
+        assert got == naive
+
+    check()
