@@ -180,3 +180,72 @@ def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+@register(
+    "q38_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'view' AS event_type,
+             (SELECT COUNT(*) FROM v) AS users
+      UNION ALL
+      SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+    )
+    """,
+    tags=("temporal", "funnel"),
+)
+def q38_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): a user
+    advances a stage only with an event strictly AFTER their previous
+    stage's first event — the product-analytics sibling of q26's
+    sessionizer, and a sequence pattern the reference could only
+    express as three chained MR passes. Each stage is one aggregate +
+    one time-bounded join on user_id; all three stages shuffle on the
+    same key, so on a cluster the exchanges line up and AQE reuses the
+    partitioning. Stage counts are tiny single-row aggregates unioned
+    into a 3-row report."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        e = ev.where(F.col("event_type") == etype)
+        return (
+            e.join(prev, "user_id")
+            .where(F.col("ts") > F.col(tcol))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+
+    def stage(n: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).cast("int").alias("stage"),
+            F.lit(name).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return stage(1, "view", v).union(stage(2, "click", c)).union(
+        stage(3, "purchase", p)
+    )
