@@ -278,3 +278,80 @@ def t16_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_text",
         F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_tokens"),
     )
+
+
+PMI_TOP_N = 100
+
+
+@register(
+    "t17_bigram_pmi",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+               [struct_pack(a := ws[i], b := ws[i+1])
+                for i in generate_series(1, len(ws) - 1)]
+             ELSE [] END) AS p
+      FROM w
+    ),
+    pairs AS (SELECT p.a AS a, p.b AS b, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    toks AS (
+      SELECT t AS tok, COUNT(*) AS c FROM (SELECT unnest(ws) AS t FROM w)
+      GROUP BY 1
+    ),
+    n AS (SELECT SUM(c) AS total FROM toks),
+    scored AS (
+      SELECT pairs.a, pairs.b, pairs.c_ab,
+             ROUND(ln(pairs.c_ab * n.total * 1.0 / (ta.c * tb.c)), 6) AS pmi
+      FROM pairs
+      JOIN toks ta ON pairs.a = ta.tok
+      JOIN toks tb ON pairs.b = tb.tok
+      CROSS JOIN n
+    )
+    SELECT a, b, c_ab, pmi FROM scored
+    ORDER BY c_ab DESC, a, b LIMIT {PMI_TOP_N}
+    """,
+    tags=("text", "ngram", "pmi"),
+)
+def t17_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics with pointwise mutual information —
+    the n-gram language-model profile (collocation strength) a
+    training pipeline computes before filtering/weighting data. One
+    Generate for bigrams, hash aggregates for pair and unigram counts,
+    two broadcast-able joins against the unigram table, a scalar total
+    — every exchange keyed on token strings with map-side combine; the
+    top-N is TakeOrderedAndProject. PMI = ln(c_ab·N / (c_a·c_b)),
+    rounded at 6 dp (both engines evaluate libm ln on identical
+    doubles)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("ws"))
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bg = tokd.select(F.explode(bigrams).alias("p")).select("p.a", "p.b")
+    pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    toks = (
+        tokd.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = toks.agg(F.sum("c").alias("total"))
+    ta = toks.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    tb = toks.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(F.col("c_ab") * F.col("total") / (F.col("ca") * F.col("cb"))), 6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("c_ab").desc(), "a", "b").limit(PMI_TOP_N)
