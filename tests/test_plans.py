@@ -210,3 +210,46 @@ def test_array_functions_single_exchange(spark):
     it is a projection."""
     df = q("q36_array_functions", spark)
     assert exchange_count(df) == 1, formatted_plan(df)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE's skew-join handling must actually fire: build a join whose
+    left side funnels ~95% of rows into one key, lower the skew
+    thresholds to fixture scale, run it, and assert the executed plan
+    marked the sort-merge join skew-handled. This is the runtime
+    defense the engine leans on for hot keys it cannot pre-salt
+    (SCALING.md session-config row)."""
+    from pyspark.sql import functions as F
+
+    tweaks = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16KB",
+    }
+    saved = {}
+    for k, v in tweaks.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") < 380_000, F.lit(0))
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(64).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+        j = left.join(right, "k")
+        # execute THIS dataframe's plan (count() would build a separate
+        # query execution and leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
