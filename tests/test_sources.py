@@ -155,3 +155,22 @@ def test_partitioned_write_prunes_scan(spark, tmp_path_factory):
     assert len(dirs) == n_types
     want = ev.where(F.col("etype") == "click").count()
     assert back.count() == want
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path_factory):
+    """Data-lake schema evolution: files written before and after a
+    column was added must read together under mergeSchema, with the
+    missing column null-filled for old files — the contract long-lived
+    100 TB datasets rely on."""
+    d = str(tmp_path_factory.mktemp("evo"))
+    nation_v1 = table(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    nation_v2 = table(spark, SF_SMOKE, "nation").select(
+        "n_nationkey", "n_name", F.lit("v2").alias("batch_tag")
+    )
+    nation_v1.write.mode("append").parquet(d)
+    nation_v2.write.mode("append").parquet(d)
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(back.columns) == {"n_nationkey", "n_name", "batch_tag"}
+    assert back.count() == nation_v1.count() * 2
+    nulls = back.where(F.col("batch_tag").isNull()).count()
+    assert nulls == nation_v1.count()
