@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Driver-contract probe: run registered queries through
+``__spark_entry__`` on a VANILLA SparkSession (not our tuned one) and
+compare against their DuckDB oracles at sf0.01 — exactly the way the
+external driver consumes this repo. Usage:
+
+    python scripts/verify_probe.py q31_global_ranks_scalable t11_...
+    python scripts/verify_probe.py --all      # every registered query
+
+Rows-only queries (no oracle) are required to return >0 rows.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+)
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        "|".join(
+            "%.9g" % r[i] if isinstance(r[i], float) else str(r[i]) for i in order
+        )
+        for r in rows
+    )
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    for t in TABLES.split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, osql = e.queries(), e.oracle_sql()
+    names = sorted(qs) if "--all" in sys.argv[1:] else sys.argv[1:]
+    fails = []
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, sf)
+            scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+            if name in osql:
+                rel = con.sql(osql[name])
+                ok = sorted(scols) == sorted(rel.columns) and canon(
+                    scols, srows
+                ) == canon(rel.columns, rel.fetchall())
+                mode = "oracle"
+            else:
+                ok, mode = len(srows) > 0, "rows-only"
+            if not ok:
+                fails.append(name)
+            print(
+                f"{name}: {'OK' if ok else 'MISMATCH'} vs {mode} "
+                f"({len(srows)} rows, {time.perf_counter() - t0:.1f}s)",
+                flush=True,
+            )
+        except Exception as ex:  # noqa: BLE001 — report and continue
+            fails.append(name)
+            print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:120]}", flush=True)
+    print("FAILS:", fails)
+    print("PROBE", "PASS" if not fails else "FAIL")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
