@@ -355,3 +355,51 @@ def t17_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("c_ab").desc(), "a", "b").limit(PMI_TOP_N)
+
+
+CLEAN_MIN_TOKEN_LEN = 2
+CLEAN_MIN_TOKENS = 5
+
+
+@register(
+    "t18_clean_text",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(lower(text), ' '),
+                         t -> len(t) >= {CLEAN_MIN_TOKEN_LEN}
+                              AND NOT list_contains({_sql_list(STOPWORDS["en"])}, t))
+               AS kept
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           list_aggregate(kept, 'string_agg', ' ') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_tokens
+    FROM w
+    WHERE len(kept) >= {CLEAN_MIN_TOKENS}
+    """,
+    tags=("text", "cleaning"),
+)
+def t18_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning — the preprocessing step between raw corpus and
+    tokenizer: lowercase, drop English stopwords and sub-{2}-char
+    tokens, re-join, and drop documents left with fewer than {5}
+    tokens (the empty-shell filter). Pure expression work (filter +
+    array_join on the token array) — a map-only projection whose
+    survivors stream straight into t16's chunker or t03's shingler at
+    100 TB. The oracle replays the identical token predicate, so the
+    cleaned TEXT ITSELF is value-hash-checked, not just counts."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    kept = F.filter(
+        F.split(F.lower(F.col("text")), " "),
+        lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN)
+        & ~F.array_contains(stop, t),
+    )
+    out = docs.select(
+        "doc_id",
+        "lang",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_tokens"),
+    )
+    return out.where(F.col("n_tokens") >= CLEAN_MIN_TOKENS)
