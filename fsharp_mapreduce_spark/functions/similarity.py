@@ -470,3 +470,44 @@ def s03_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+RANGE_SEARCH_MIN_SIM = 0.35
+
+
+@register(
+    "s05_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES})
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROUND({_cosine_sql('q.qe', 'e.embedding')}, 6) AS sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    WHERE {_cosine_sql('q.qe', 'e.embedding')} >= {RANGE_SEARCH_MIN_SIM}
+    """,
+    tags=("similarity", "range_search"),
+)
+def s05_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: EVERY corpus vector within cosine ≥
+    {0.35} of each probe — the retrieval mode where the result size is
+    data-driven, not k (dedup sweeps, recall-oriented retrieval).
+    Same broadcast-probe shape as s01: the corpus side streams through
+    the broadcast hash join partition-parallel with no window at all —
+    a pure filter after scoring, so at 100 TB it is strictly cheaper
+    than top-k (no per-group heap state). The threshold sits below the
+    fixture's random-pair ceiling so results are non-empty; a
+    production corpus uses its dup/retrieval threshold."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim_raw", cosine(F.col("qe"), F.col("embedding")))
+        .where(F.col("sim_raw") >= RANGE_SEARCH_MIN_SIM)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("sim_raw", 6).alias("sim"),
+        )
+    )
