@@ -511,3 +511,124 @@ def s05_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim_raw", 6).alias("sim"),
         )
     )
+
+
+KNN_JOIN_K = 3
+
+
+@register(
+    "s06_knn_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {KNN_JOIN_K}
+    """,
+    tags=("similarity", "knn_join", "graph"),
+)
+def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN JOIN: the top-{3} cosine neighbors for EVERY corpus vector —
+    the kNN-graph construction behind graph-based dedup/clustering
+    (not s01's few-probe lookup). Exact, via t09's blocked-GEMM
+    decomposition: each block PAIR computes its dense similarity
+    matrix in one numpy GEMM and emits only each vector's LOCAL top-k
+    rows (a vector's global top-k is contained in the union of its
+    per-block-pair top-k, so nothing is lost and the candidate stream
+    is k·n_blocks rows per vector, never n); candidates are re-scored
+    with the sequential-fold cosine — the oracle's exact operation
+    order — and the final per-vector window ranks those ~k·n_blocks
+    candidates, not the corpus. No executor holds more than two
+    blocks; at 100 TB the same shape runs over LSH-bucket pairs
+    (t10's candidate generation) instead of all block pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    block = 1024
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    n_blocks = max(1, -(-n // block))
+
+    def pair_targets(i_col):
+        a_side = F.transform(
+            F.sequence(i_col, F.lit(n_blocks - 1)),
+            lambda q: F.struct(i_col.alias("p"), q.alias("q")),
+        )
+        b_side = F.when(
+            i_col > 0,
+            F.transform(
+                F.sequence(F.lit(0), i_col - 1),
+                lambda p: F.struct(p.alias("p"), i_col.alias("q")),
+            ),
+        ).otherwise(F.array().cast("array<struct<p:int,q:int>>"))
+        return F.concat(a_side, b_side)
+
+    blk = F.floor(F.col("vec_id") / block).cast("int")
+    routed = emb.select(
+        "vec_id", "embedding", F.explode(pair_targets(blk)).alias("pq")
+    ).select("vec_id", "embedding", F.col("pq.p").alias("p"), F.col("pq.q").alias("q"))
+
+    k, bs = KNN_JOIN_K, block
+
+    def block_pair_topk(pdf):
+        p, q = int(pdf["p"].iloc[0]), int(pdf["q"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+
+        def topk_rows(ids_l, ids_r, sims):
+            # local top-k of each LEFT vector against the RIGHT block
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            li = np.repeat(np.arange(len(ids_l)), kk)
+            return ids_l[li], ids_r[part.ravel()]
+
+        if p == q:
+            sims = unit @ unit.T
+            np.fill_diagonal(sims, -np.inf)
+            a, b = topk_rows(ids, ids, sims)
+        else:
+            mask = (ids // bs) == p
+            ua, ub = unit[mask], unit[~mask]
+            ia, ib = ids[mask], ids[~mask]
+            sims = ua @ ub.T
+            a1, b1 = topk_rows(ia, ib, sims)
+            a2, b2 = topk_rows(ib, ia, sims.T)
+            a, b = np.concatenate([a1, a2]), np.concatenate([b1, b2])
+        return pd.DataFrame({"vec_id": a, "neighbor_id": b})
+
+    cands = (
+        routed.groupBy("p", "q")
+        .applyInPandas(block_pair_topk, "vec_id long, neighbor_id long")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    rescored = (
+        cands.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= KNN_JOIN_K)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -131,3 +131,34 @@ def test_cosine_fold_identities(spark):
     assert math.isclose(got[0].c, 1.0, abs_tol=1e-12)
     assert math.isclose(got[1].c, 0.0, abs_tol=1e-12)
     assert math.isclose(got[2].c, -1.0, abs_tol=1e-12)
+
+
+def test_knn_join_multiblock_matches_bruteforce(spark, tmp_path_factory):
+    """s06's blocked decomposition across MULTIPLE blocks (the fixture
+    corpus fits one 1024-block, so the differential only exercises the
+    diagonal path): 2500 synthetic vectors → 3 blocks; the per-block-
+    pair local top-k union must reproduce the exact numpy brute-force
+    neighbor sets for every vector."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import KNN_JOIN_K, s06_knn_join
+
+    rng = np.random.RandomState(7)
+    n = 2500
+    x = rng.normal(size=(n, 16))
+    d = str(tmp_path_factory.mktemp("knnjoin"))
+    spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    got = {}
+    for r in s06_knn_join(spark, d).collect():
+        got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = u @ u.T
+    np.fill_diagonal(sims, -np.inf)
+    for i in range(n):
+        want = set(np.argsort(-sims[i])[:KNN_JOIN_K].tolist())
+        assert got[i] == want, (i, got[i], want)
