@@ -69,6 +69,10 @@ def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
         # (measured 3-4× on expression-heavy queries); steady-state is
         # what a long-running cluster job sees.
         for _ in range(3):
+            # clearCache between warm-ups too: queries that persist()
+            # intermediates would otherwise accumulate executor-storage
+            # blocks across the warm-up loop (ADVICE r2: persist leak)
+            spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(runs):

@@ -894,12 +894,23 @@ def connected_components(
     convergence probe is a scalar count — the one driver-side action
     an iterative algorithm cannot avoid. Labels persist across rounds;
     superseded cache entries are released eagerly."""
+    # persist + eagerly materialize the EDGE INPUT before symmetrizing:
+    # the union below expands `edges` into both branches, and if edges
+    # is an expensive pipeline (t12 feeds the whole t03 MinHash+LSH
+    # pair query in here) the first job would otherwise execute that
+    # subtree twice. After the count, both union branches are
+    # InMemoryTableScans over one cached copy — one upstream execution
+    # total (pinned by tests/test_dedup.py::
+    # test_connected_components_single_edge_expansion).
+    edges = edges.persist()
+    edges.count()
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
         .persist()
     )
     labels = vertices.select("v", F.col("v").alias("label")).persist()
+    changed = 0
     for _ in range(max_iter):
         nbr = (
             e.join(labels, e.u == labels.v)
@@ -926,6 +937,19 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    edges.unpersist()
+    if changed != 0:
+        # Never return silently-wrong (partially propagated) labels:
+        # min-label propagation needs `diameter` rounds, so exhausting
+        # the budget means the graph has a path longer than max_iter —
+        # the caller should raise max_iter or switch to the
+        # O(log n)-round large-star/small-star variant (Kiveris et
+        # al.) that the docstring names.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            "max_iter — raise it or use a star-contraction variant"
+        )
     return labels
 
 

@@ -592,11 +592,21 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit = mat / norms[:, None]
 
         def topk_rows(ids_l, ids_r, sims):
-            # local top-k of each LEFT vector against the RIGHT block
+            # local top-k of each LEFT vector against the RIGHT block.
+            # Guards: an empty right block (non-dense vec_id space can
+            # leave a block pair one-sided) yields no candidates, and
+            # -inf entries (the masked diagonal) must never survive —
+            # when a diagonal block holds <= k rows, argpartition would
+            # otherwise emit the (v, v) self-pair, which re-scores to
+            # cosine 1.0 and displaces a true neighbor.
+            if sims.shape[1] == 0:
+                return ids_l[:0], ids_r[:0]
             kk = min(k, sims.shape[1])
             part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             li = np.repeat(np.arange(len(ids_l)), kk)
-            return ids_l[li], ids_r[part.ravel()]
+            a, b = ids_l[li], ids_r[part.ravel()]
+            keep = np.isfinite(sims[li, part.ravel()])
+            return a[keep], b[keep]
 
         if p == q:
             sims = unit @ unit.T
@@ -615,6 +625,10 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         routed.groupBy("p", "q")
         .applyInPandas(block_pair_topk, "vec_id long, neighbor_id long")
+        # belt and braces vs the oracle's a.vec_id <> b.vec_id — the
+        # in-UDF -inf mask already drops self-pairs, this pins it in
+        # the plan at negligible cost (candidates are k·n_blocks rows).
+        .where(F.col("vec_id") != F.col("neighbor_id"))
         .distinct()
     )
     ea = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))

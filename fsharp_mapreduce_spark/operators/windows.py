@@ -271,10 +271,14 @@ def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = o.agg(F.count(F.lit(1)).alias("_n"))  # single row, broadcast
     q, r = F.floor(F.col("_n") / 4), F.col("_n") % 4
     # SQL NTILE(4): the first (n mod 4) tiles get ceil(n/4) rows.
+    # Small-n guards: when n < 4, q = 0 and every row belongs to the
+    # first r tiles (rn <= small_start = n), so the otherwise-branch is
+    # never TAKEN — but greatest(q, 1) keeps its divisor non-zero so no
+    # null/ANSI-error can leak out of the untaken branch either.
     small_start = r * (q + 1)
     quartile = F.when(
         F.col("rn") <= small_start, (F.col("rn") - 1) / (q + 1)
-    ).otherwise(r + (F.col("rn") - 1 - small_start) / q)
+    ).otherwise(r + (F.col("rn") - 1 - small_start) / F.greatest(q, F.lit(1)))
 
     return (
         # dense is |distinct prices|-sized: let AQE pick the strategy
@@ -289,7 +293,11 @@ def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
             F.col("rnk").cast("bigint").alias("rnk"),
             F.col("dense_rnk").cast("bigint").alias("dense_rnk"),
-            F.round((F.col("rnk") - 1) / (F.col("_n") - 1), 6).alias("pct_rnk"),
+            # PERCENT_RANK of a single-row input is defined as 0, not
+            # 0/0 — mirror SQL's convention before dividing by n − 1.
+            F.when(F.col("_n") == 1, F.lit(0.0))
+            .otherwise(F.round((F.col("rnk") - 1) / (F.col("_n") - 1), 6))
+            .alias("pct_rnk"),
             (F.floor(quartile) + 1).cast("bigint").alias("quartile"),
         )
     )
