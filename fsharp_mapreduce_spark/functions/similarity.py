@@ -515,6 +515,17 @@ def s05_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_JOIN_K = 3
 
+# s07 LSH tuning — wide-OR (k=2 bits → 4 buckets/table, L=8 tables),
+# the same regime t10 uses: the fixture's true neighbors sit at cosine
+# ≈ 0.4 (random vectors — an adversarially LOW similarity for LSH), so
+# per-plane agreement is only p ≈ 0.63 and recall needs many OR'd
+# coarse tables (miss prob (1−p²)⁸ ≈ 2%). A production corpus whose
+# kNN graph matters at cosine ≥ 0.9 uses more bits per table — the
+# capacity rule test_s07_candidate_law_linear pins is independent of
+# the tuning point.
+S07_TABLES = 8
+S07_PLANES_PER_TABLE = 2
+
 
 @register(
     "s06_knn_join",
@@ -631,6 +642,145 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .distinct()
     )
+    ea = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    rescored = (
+        cands.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= KNN_JOIN_K)
+        .select("vec_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def _knn_join_lsh_candidates(
+    emb: DataFrame,
+    k: int = KNN_JOIN_K,
+    n_tables: int = S07_TABLES,
+    planes_per_table: int = S07_PLANES_PER_TABLE,
+) -> DataFrame:
+    """Directed (vec_id → neighbor_id) kNN-join candidates via LSH
+    buckets: every vector's local top-k inside each bucket it occupies,
+    computed by an in-bucket chunked GEMM (candidate pairs are never
+    materialized before the top-k cut). The candidate stream is bounded
+    by k·L rows per vector BY CONSTRUCTION — linear in the corpus, the
+    law test_s07_candidate_law_linear pins — vs s06's k·n_blocks
+    (quadratic block fan-out).
+
+    Safety of the local cut: if n is in v's global top-k among
+    bucket-sharing candidates, then in any shared bucket at most k−1
+    candidates beat n, so n survives that bucket's local top-k — the
+    union over buckets therefore contains the true candidate top-k
+    (the same containment argument s06 uses over block pairs)."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(emb.sparkSession)
+    bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+
+    def bucket_knn_topk(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return empty
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        kk = min(k, m - 1)
+        out_a, out_b = [], []
+        chunk = 2048  # caps the dense block at chunk×|bucket| floats
+        for s in range(0, m, chunk):
+            rows = np.arange(s, min(s + chunk, m))
+            sims = unit[rows] @ unit.T  # (c, m)
+            sims[np.arange(len(rows)), rows] = -np.inf  # mask self
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            li = np.repeat(np.arange(len(rows)), kk)
+            cols = part.ravel()
+            keep = np.isfinite(sims[li, cols])  # s06's -inf guard
+            out_a.append(ids[rows[li[keep]]])
+            out_b.append(ids[cols[keep]])
+        return pd.DataFrame(
+            {"vec_id": np.concatenate(out_a), "neighbor_id": np.concatenate(out_b)}
+        )
+
+    return (
+        tagged.groupBy("tbl", "bucket")
+        .applyInPandas(bucket_knn_topk, "vec_id long, neighbor_id long")
+        # a (v, n) candidate surfacing from several tables scores once
+        .distinct()
+    )
+
+
+_S07_ORACLE = f"""
+    WITH {lsh_tagged_sql(S07_TABLES, S07_PLANES_PER_TABLE)},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
+      FROM tagged x JOIN tagged y
+        ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id <> y.vec_id
+    ),
+    scored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+      FROM cand c
+      JOIN embeddings a ON c.vec_id = a.vec_id
+      JOIN embeddings b ON c.neighbor_id = b.vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {KNN_JOIN_K}
+"""
+
+
+@register(
+    "s07_knn_join_lsh",
+    oracle=_S07_ORACLE,
+    tags=("similarity", "knn_join", "lsh", "graph"),
+)
+def s07_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUB-QUADRATIC kNN join (VERDICT r2 #2): per-vector top-{3}
+    neighbors for every corpus vector, s06's semantics with t10's cost
+    law. Candidate generation is hyperplane-LSH bucketing ({8} tables ×
+    {2} sign bits); inside each bucket a chunked GEMM emits each
+    vector's LOCAL top-k only, so the candidate stream is ≤ k·L rows
+    per vector — linear in the corpus, where s06's exact blocked
+    formulation replicates every vector n_blocks times (its documented
+    quadratic law). Survivors are re-scored with the sequential-fold
+    cosine (the oracle's exact IEEE operation order) and a per-vector
+    window ranks ~k·L candidates. The oracle replays bucket assignment
+    sign-for-sign via the shared `lsh_tagged_sql` CTE, then ranks the
+    full bucket-collision candidate set — equal results because each
+    vector's candidate top-k is contained in the union of its
+    per-bucket local top-k's. Recall vs s06's exact graph is pinned
+    ≥ 0.9 by tests/test_similarity.py::test_s07_recall_vs_exact; the
+    linear candidate law by test_s07_candidate_law_linear."""
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cands = _knn_join_lsh_candidates(emb)
     ea = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
     eb = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
