@@ -329,23 +329,13 @@ KMEANS_ITERS = 15
 KMEANS_SEED = 0x5EED
 
 
-def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
-    """Spherical k-means fit on a deterministic sample: take the
-    KMEANS_SAMPLE vectors with the smallest xxhash64(vec_id) (an
-    order-free hash-sample — Spark plans it as per-partition top-N,
-    so at 100 TB it's one scan, no full sort, and a few MB reach the
-    driver), then numpy k-means++ init + Lloyd iterations on the
-    L2-normalized sample. Centroids are re-normalized each step, so
-    Euclidean assignment == cosine assignment. Seeded RandomState;
-    the fit is bit-reproducible run to run."""
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(KMEANS_SAMPLE)
-        .collect()
-    )
-    x = np.array([r.embedding for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+def _fit_spherical_kmeans(x: np.ndarray, k: int) -> np.ndarray:
+    """Seeded spherical k-means++ on a row matrix (pure numpy — the
+    SHARED fit both the Spark query and the oracle generator call, so
+    identical input rows in identical order yield bit-identical
+    centroids). Rows are L2-normalized; centroids re-normalized each
+    Lloyd step, so Euclidean assignment == cosine assignment."""
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(KMEANS_SEED)
 
     # k-means++ seeding: d^2-weighted draws (on normalized vectors,
@@ -372,9 +362,105 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
     return cents
 
 
-@register("s04_knn_ivf", oracle=None, tags=("similarity", "ivf", "ann"))
+def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
+    """Spherical k-means fit on a deterministic sample: the
+    KMEANS_SAMPLE vectors with the smallest md5(vec_id) digest (the
+    repo's cross-engine hash family — Spark plans the orderBy+limit as
+    per-partition top-N, so at 100 TB it's one scan, no full sort, and
+    a few MB reach the driver). The sample SELECTION and ORDER are pure
+    functions of vec_id, which is what lets `_s04_oracle_for` replay
+    the identical fit from parquet and emit the centroids as SQL
+    literals (VERDICT r2 #5)."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KMEANS_SAMPLE)
+        .collect()
+    )
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    return _fit_spherical_kmeans(x, k)
+
+
+def _s04_oracle_for(sf_dir: str) -> str | None:
+    """DuckDB oracle for the FULL IVF pipeline at one fixture SF:
+    replays the deterministic sample (md5-ordered vec_ids) from the
+    parquet file, runs the identical numpy k-means fit, and inlines the
+    centroid matrix as literals (the s02 hyperplane pattern). The SQL
+    then replays assignment (argmax fold-cosine vs centroid, tie →
+    lower cell), probe selection (top-{6} cells per query) and the
+    exact top-k — every float comparison via the shared sequential-fold
+    cosine, so values hash-match bit-for-bit. Data-derived: only valid
+    for the sf_dir it was generated from (registered via
+    oracle_factory; the differential suite regenerates per SF)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    keyed = sorted(
+        zip(ids, embs),
+        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+    )[:KMEANS_SAMPLE]
+    x = np.array([e for _, e in keyed], dtype=np.float64)
+    cents = _fit_spherical_kmeans(x, N_CELLS)
+
+    cent_rows = ", ".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell_id, ce) AS (VALUES {cent_rows}),
+    scored_cells AS (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             {_cosine_sql('e.embedding', 'c.ce')} AS csim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT vec_id, embedding, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cell_id
+               ) AS r
+        FROM scored_cells) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qe, cell_id FROM (
+        SELECT vec_id, embedding, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cell_id
+               ) AS r
+        FROM scored_cells WHERE vec_id < {N_QUERIES}) WHERE r <= {N_PROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cosine_sql('p.qe', 'a.embedding')} AS sim
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "s04_knn_ivf",
+    oracle_factory=_s04_oracle_for,
+    tags=("similarity", "ivf", "ann"),
+)
 def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) index:
+    """Approximate top-k via an IVF (inverted-file) index — full
+    value-hash oracle since r3: the seeded k-means fit is a pure
+    function of the fixture (md5-ordered sample), so `_s04_oracle_for`
+    replays it and inlines the centroids as SQL literals.
 
     1. coarse quantizer — {16} spherical-k-means centroids fit on a
        deterministic hash-sample (numpy on the driver, seeded; the

@@ -61,8 +61,13 @@ def test_matches_duckdb_oracle(spark, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
+    # data-derived oracles (s04's centroid literals) are SF-specific:
+    # the registered string targets the driver's sf0.01 gate, so
+    # regenerate for the SF this suite runs at
+    oracle = spec.oracle_factory(SF_SMOKE) if spec.oracle_factory else spec.oracle
+
     con = duck_connection(SF_SMOKE)
-    rel = con.sql(spec.oracle)
+    rel = con.sql(oracle)
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
     con.close()
