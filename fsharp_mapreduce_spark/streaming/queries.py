@@ -105,26 +105,27 @@ def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "st04_stream_stateful_running_max",
-    oracle="""
+_STATEFUL_ORACLE = """
     SELECT user_id, COUNT(*) AS n_events,
            ROUND(MAX(value), 4) AS max_value,
            ROUND(SUM(value), 4) AS total_value
     FROM events
     GROUP BY user_id
-    """,
-    tags=("streaming", "stateful", "applyInPandasWithState"),
-)
-def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator via applyInPandasWithState:
-    per-user state (count, max, sum) folded across micro-batches —
-    the arbitrary-stateful analogue of the reference's per-worker
-    reduce dictionary (Worker.fs:32, 89-96), with the state store
-    replacing the in-memory Dictionary. Emits each user's running
-    totals every batch; the memory sink keeps the last update per user
-    (update mode), which after processAllAvailable equals the batch
-    answer."""
+    """
+
+
+def _stateful_running_totals(
+    spark: SparkSession, sf_dir: str, query_name: str
+) -> DataFrame:
+    """Shared body of st04/st09: per-user (count, max, sum) folded
+    across micro-batches via applyInPandasWithState — the
+    arbitrary-stateful analogue of the reference's per-worker reduce
+    dictionary (Worker.fs:32, 89-96), with the state store replacing
+    the in-memory Dictionary. Emits each user's running totals every
+    batch; the memory sink keeps every emission (update mode), and the
+    final running totals are the emission with the highest n_events per
+    user (strictly increasing across batches), selected atomically via
+    struct-max so the three columns always come from one row."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -149,11 +150,7 @@ def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFr
     folded = ev.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = run_to_completion(folded, "st04_out", output_mode="update")
-    # The memory sink in update mode keeps every emission; the final
-    # running totals are the emission with the highest n_events per
-    # user (strictly increasing across batches), selected atomically
-    # via struct-max so the three columns always come from one row.
+    out = run_to_completion(folded, query_name, output_mode="update")
     last = F.max(F.struct("n_events", "max_value", "total_value")).alias("s")
     return out.groupBy("user_id").agg(last).select(
         "user_id",
@@ -161,6 +158,52 @@ def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFr
         F.round("s.max_value", 4).alias("max_value"),
         F.round("s.total_value", 4).alias("total_value"),
     )
+
+
+@register(
+    "st04_stream_stateful_running_max",
+    oracle=_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def st04_stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState on
+    the DEFAULT (HDFS-backed in-memory) state store — see
+    `_stateful_running_totals` for the fold; st09 is the identical
+    pipeline on the RocksDB production backend."""
+    return _stateful_running_totals(spark, sf_dir, "st04_out")
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@register(
+    "st09_stateful_rocksdb",
+    oracle=_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "rocksdb"),
+)
+def st09_stateful_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st04's arbitrary-stateful fold executed on the RocksDB state
+    store provider (VERDICT r2 #7) — the backend that survives
+    100 TB-scale state: off-heap, spills to local disk, incremental
+    checkpoints, so per-key state is bounded by disk rather than
+    executor heap. Same oracle as st04 ⇒ the driver verifies
+    backend-agnostic stateful semantics (parity with the default
+    provider is additionally pinned by
+    tests/test_streaming.py::test_stateful_stream_on_rocksdb_state_store).
+    The provider conf is read at query START, so setting it around
+    run_to_completion is the per-query scoping Spark offers; the
+    previous value is always restored."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        return _stateful_running_totals(spark, sf_dir, "st09_out")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 @register(
