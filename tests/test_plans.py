@@ -28,6 +28,32 @@ def q(name, spark):
     return QUERIES[name].fn(spark, SF_SMOKE)
 
 
+# VERDICT r2 #8: lock in the clean per-row-Python audit. q35 is the
+# ONE deliberate row-at-a-time UDTF (API coverage on a bounded slice,
+# documented as the slow path); every other registered query must keep
+# Python work Arrow-batched (ArrowEvalPython / MapInPandas /
+# FlatMapGroupsInPandas nodes) or JVM-side. Streaming queries are
+# excluded only because building them EXECUTES the stream (their
+# Python touchpoints — applyInPandasWithState — are Arrow-batched by
+# construction and pinned in tests/test_streaming.py).
+ROW_UDF_ALLOWED = {"q35_udtf_tokenize"}
+_AUDIT_NAMES = sorted(n for n in QUERIES if not n.startswith("st"))
+
+
+@pytest.mark.parametrize("name", _AUDIT_NAMES)
+def test_no_row_at_a_time_python_outside_quarantine(spark, name):
+    df = q(name, spark)
+    plan = formatted_plan(df)
+    if name in ROW_UDF_ALLOWED:
+        assert "BatchEvalPython" in plan, (
+            f"{name}: expected the quarantined row-at-a-time UDTF node"
+        )
+    else:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python node leaked into the plan"
+        )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     df = q("q02_filter_project", spark)
     pf = " ".join(pushed_filters(df))
