@@ -47,10 +47,17 @@ HEADLINE = [
     "t10_embedding_neardup_lsh",
     "t11_simhash_neardup_pairs",
     "t12_dedup_clusters",
+    "t13_hash_sample",
     "t16_token_chunking",
+    "t17_bigram_pmi",
+    "t18_clean_text",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s04_knn_ivf",
+    "s05_range_search",
+    "s06_knn_join",
+    "s07_knn_join_lsh",
+    "st01_stream_tumbling_agg",
     "m03_frame_sample",
 ]
 
@@ -146,6 +153,13 @@ DUCKDB_TIMING_SKIP = {
     "t11_simhash_neardup_pairs",
     # embeds the t03 minhash replay inside a recursive CTE
     "t12_dedup_clusters",
+    # wide-OR LSH replay: near-all-pairs fold-cosines at sf0.1 (same
+    # family as t10/s02)
+    "s07_knn_join_lsh",
+    # data-derived oracle: the registered SQL embeds centroid literals
+    # fit on the sf0.01 GATE fixture — running it on sf0.1 would time
+    # a semantically different query
+    "s04_knn_ivf",
 }
 
 
@@ -191,12 +205,19 @@ def main() -> None:
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     names = args.queries or HEADLINE
 
-    timings = run_spark(sf_dir, args.runs, names)
     if args.queries is None:
         # the like-for-like MapReduce anchor rides along with the
         # default headline set (not an SF-scaled registry query — fixed
-        # 5M-row band per BASELINE.md — so it stays out of `value`)
+        # 5M-row band per BASELINE.md — so it stays out of `value`).
+        # Measured FIRST, in a quiet JVM: r2's driver run measured it
+        # LAST and read 4.09s vs the 1.6-1.9s this path actually costs
+        # — after ~1600 stages of headline queries the anchor inherits
+        # accumulated JVM/GC state (confirmed: anchor fresh 1.60s,
+        # after 3 heavy sf0.1 queries 1.62s, after the full r2-shaped
+        # run ~4s). BASELINE.md's 1.86 was measured quiet; order makes
+        # the two comparable again.
         dice = run_dice_anchor(args.runs)
+    timings = run_spark(sf_dir, args.runs, names)
     result = {
         "metric": "sum of per-query median wall-clock, headline queries",
         "value": round(sum(timings.values()), 4),

@@ -918,13 +918,20 @@ def connected_components(
             .groupBy("v2")
             .agg(F.min("label").alias("nl"))
         )
+        # localCheckpoint (eager), not persist: each round's plan embeds
+        # the previous round's, so persist alone grows the lineage (and
+        # the driver's plan/AQE bookkeeping) linearly in rounds — a
+        # 25-round run OOM'd an 8 GB driver before this. The checkpoint
+        # materializes the round AND truncates lineage to the stored
+        # blocks; on a real cluster with executor churn, swap for
+        # reliable checkpointing to a cluster store.
         new = (
             labels.join(nbr, labels.v == nbr.v2, "left")
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new.select(F.col("v"), F.col("label").alias("n"))
@@ -951,6 +958,112 @@ def connected_components(
             "max_iter — raise it or use a star-contraction variant"
         )
     return labels
+
+
+def _star_checksum(e: DataFrame) -> tuple:
+    """Order-free edge-set fingerprint (row count + XOR of xxhash64):
+    one scalar aggregate per round instead of a full exceptAll
+    comparison. bit_xor, not sum — summing 64-bit hashes overflows
+    BIGINT under ANSI mode. A missed change needs a 64-bit hash-xor
+    collision between consecutive DISTINCT edge sets — negligible, and
+    one extra round is the worst consequence."""
+    row = e.select(
+        F.count(F.lit(1)).alias("c"),
+        F.expr("bit_xor(xxhash64(a, b))").alias("s"),
+    ).collect()[0]
+    return (row.c, row.s)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", Algorithm 2): every node attaches its
+    STRICTLY LARGER neighbors to the minimum of its closed
+    neighborhood. One symmetrize + min-aggregate + join — all keyed
+    shuffles, |E|-bounded."""
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("w")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("w"))
+    )
+    m = (
+        adj.groupBy("u")
+        .agg(F.min("w").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        adj.join(m, "u")
+        .where(F.col("w") > F.col("u"))
+        .select(F.col("w").alias("a"), F.col("m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: direct each edge larger→smaller; every node
+    attaches its smaller neighbors AND itself to the minimum of that
+    in-neighborhood."""
+    d = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("w")
+    ).where(F.col("a") != F.col("b"))
+    m = d.groupBy("u").agg(F.min("w").alias("m"))
+    out = (
+        d.join(m, "u")
+        .select(F.col("w").alias("a"), F.col("m").alias("b"))
+        .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return out.where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """(v, component) via alternating large-star/small-star contraction
+    (Kiveris et al.) — the UNBOUNDED-DIAMETER variant the min-label
+    `connected_components` docstring names: path lengths at least halve
+    per round, so convergence is O(log n)-ish rounds regardless of
+    diameter, where min-label needs `diameter` rounds. Same building
+    blocks (keyed joins + min aggregates, everything |E|-bounded with
+    map-side combine); the per-round cost is ~2× a min-label round, so
+    min-label stays the default for dedup graphs (dense short-diameter
+    blobs) and this is the escape hatch for chain-shaped graphs.
+    Equivalence with min-label on short-diameter graphs and
+    convergence on a diameter-63 chain (where min-label's default
+    budget raises) are pinned in tests/test_dedup.py."""
+    e = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # truncate lineage per round (see min-label)
+    )
+    cs = _star_checksum(e)
+    converged = False
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        cs2 = _star_checksum(e2)
+        e.unpersist()
+        e = e2
+        if cs2 == cs:
+            converged = True
+            break
+        cs = cs2
+    if not converged:
+        e.unpersist()
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # Converged edge set is a star forest: every non-root points at its
+    # component minimum (min-agg is belt and braces against a transient
+    # double edge). Roots and isolated vertices label themselves.
+    roots = (
+        e.groupBy(F.col("a").alias("v")).agg(F.min("b").alias("label"))
+    )
+    out = vertices.join(roots, "v", "left").select(
+        "v", F.coalesce("label", "v").alias("label")
+    )
+    # materialize before releasing the star edges the plan reads
+    out = out.persist()
+    out.count()
+    e.unpersist()
+    return out
 
 
 def _t12_oracle() -> str:

