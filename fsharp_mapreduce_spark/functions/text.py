@@ -413,3 +413,166 @@ def t18_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_tokens"),
     )
     return out.where(F.col("n_tokens") >= CLEAN_MIN_TOKENS)
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "t19_tfidf_top_terms",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tf, df, tfidf, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok
+      ) AS BIGINT) AS rk FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+    tags=("text", "tfidf"),
+)
+def t19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction — the corpus-statistics
+    twin of t17 (pytest-only family member; t17 holds the gate slot).
+    A training pipeline uses the top-weighted terms for topic
+    bucketing and near-duplicate triage before expensive dedup.
+
+    Plan shape at 100 TB: one Generate (explode) feeding a hash
+    aggregate keyed on (doc_id, tok) with map-side combine; the
+    document-frequency table is a second vocabulary-sized aggregate
+    that AQE broadcasts back into the join; the scalar corpus count
+    is a broadcast crossJoin; the final top-{3} is a bounded
+    per-doc-key window (rank data = vocabulary of one doc). Ranking
+    happens on the ROUNDED score so Spark and DuckDB break float ties
+    identically (tiebreak: token string)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    # persist the term-frequency table: it feeds the document-frequency
+    # aggregate AND the scoring join, and Catalyst re-expands shared
+    # subtrees — without the cache the scan+explode+hash-agg pipeline
+    # runs once per consumer (t17's pattern; at scale this is the
+    # doc-term staging table a pipeline materializes once).
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    )
+    return (
+        scored.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit:
+# excessive duplicate lines/n-grams mark low-quality documents).
+REP_MAX_DUP_TOKEN_RATIO = 0.30
+REP_MAX_DUP_BIGRAM_RATIO = 0.20
+
+
+@register(
+    "t20_repetition_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2 THEN
+               [ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]
+             ELSE [] END AS bg
+      FROM w
+    ),
+    r AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+               AS dup_token_ratio,
+             CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE ROUND(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+             END AS dup_bigram_ratio
+      FROM b
+    )
+    SELECT doc_id, n_tokens, dup_token_ratio, dup_bigram_ratio,
+           (dup_token_ratio <= {REP_MAX_DUP_TOKEN_RATIO}
+            AND dup_bigram_ratio <= {REP_MAX_DUP_BIGRAM_RATIO}) AS keep
+    FROM r
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def t20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher rule family) — the
+    quality-scoring twin of t06 (pytest-only family member; t06 holds
+    the gate slot). Flags documents whose duplicate-token or
+    duplicate-bigram fraction exceeds the thresholds: boilerplate,
+    keyword-stuffing, and generation loops all light up here while
+    t06's length/punctuation ratios stay normal.
+
+    Map-only: both ratios are array expressions (array_distinct /
+    size) over the token split — zero exchanges, scales with input
+    splits. The single-token edge (no bigrams) is pinned to ratio 0
+    on both engines; ratios are exact-int divisions rounded at 6 dp,
+    so the boolean `keep` threshold compares identically."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    # sequence(1, size-1) is DESCENDING when size < 2 (Spark yields
+    # [1, 0]) — guard exactly like t17's bigram builder.
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    withcols = (
+        docs.select("doc_id", ws.alias("ws"))
+        .withColumn("bg", bg)
+        .select(
+            "doc_id",
+            F.size("ws").cast("bigint").alias("n_tokens"),
+            F.round(
+                1.0 - F.size(F.array_distinct("ws")) / F.size("ws"), 6
+            ).alias("dup_token_ratio"),
+            F.when(F.size("bg") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6)
+            )
+            .alias("dup_bigram_ratio"),
+        )
+    )
+    return withcols.withColumn(
+        "keep",
+        (F.col("dup_token_ratio") <= REP_MAX_DUP_TOKEN_RATIO)
+        & (F.col("dup_bigram_ratio") <= REP_MAX_DUP_BIGRAM_RATIO),
+    )

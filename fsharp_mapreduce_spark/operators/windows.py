@@ -323,3 +323,47 @@ def q17_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
     )
+
+
+@register(
+    "q39_time_range_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           ROUND(AVG(value) OVER w, 4) AS avg_value_10m
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "range-frame", "temporal"),
+)
+def q39_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame — per user, the count and mean
+    of event values in the trailing 10 minutes of each event (the
+    rolling-rate shape behind abuse detection and per-user traffic
+    smoothing). Completes the frame-type surface: q14 covers ROWS
+    frames, this covers value-RANGE frames over time.
+
+    Spark has no interval literal in rangeBetween, so the frame orders
+    by microsecond-exact `unix_micros(ts)` with a −6e8 µs lower bound
+    — identical inclusive boundary semantics to the oracle's INTERVAL
+    frame (q26 uses the same µs-exact idiom for its session gap).
+    Partitioned by user_id: state per window is one user's trailing
+    10 minutes, bounded regardless of corpus size; ties on ts are
+    frame-peers in both engines (RANGE semantics), so no tiebreak
+    column is needed."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-10 * 60 * 1_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window"),
+        F.round(F.avg("value").over(w), 4).alias("avg_value_10m"),
+    )

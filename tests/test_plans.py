@@ -314,3 +314,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_t20_repetition_is_map_only(spark):
+    """t20: both repetition ratios are array expressions — the only
+    exchange is the fan_out repartition of the single-split scan."""
+    df = q("t20_repetition_filter", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_q39_range_frame_single_exchange(spark):
+    """q39: one hash exchange on user_id, then Sort + Window — a
+    RANGE frame must not add a global sort or a second shuffle."""
+    df = q("q39_time_range_window", spark)
+    plan = formatted_plan(df)
+    assert exchange_count(df) == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_t19_tfidf_broadcasts_and_caches_tf(spark):
+    """t19: the corpus-size scalar reaches the scoring join as a
+    broadcast, and the doc-term table is cached so the
+    scan+explode+agg pipeline executes once, not once per consumer."""
+    df = q("t19_tfidf_top_terms", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "InMemoryTableScan" in plan, plan
+    spark.catalog.clearCache()

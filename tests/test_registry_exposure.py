@@ -16,6 +16,7 @@ import re
 from fsharp_mapreduce_spark.registry import (
     GATE_WINDOW,
     PYTEST_ONLY,
+    PYTEST_ONLY_FAMILY,
     QUERIES,
     exposed_queries,
     load_all_query_modules,
@@ -44,11 +45,22 @@ def test_exposed_is_sorted_prefix_of_itself():
 
 
 def test_all_pipeline_operators_exposed():
-    """Every non-relational namespace (m/s/st/t) is gate-checked; only
-    q-family near-duplicates may be folded to pytest-only coverage."""
+    """Every non-relational namespace (m/s/st/t) is gate-checked: a
+    q-family near-duplicate may be folded to pytest-only coverage
+    freely; a non-q entry only via PYTEST_ONLY_FAMILY, naming an
+    EXPOSED same-namespace sibling that covers its operator family."""
+    exposed = exposed_queries()
     for name in PYTEST_ONLY:
-        assert re.match(r"q\d+_", name), (
-            f"{name}: only q* family near-duplicates may be pytest-only"
+        if re.match(r"q\d+_", name):
+            continue
+        rep = PYTEST_ONLY_FAMILY.get(name)
+        assert rep, (
+            f"{name}: non-q pytest-only entries must declare their "
+            "exposed family representative in PYTEST_ONLY_FAMILY"
+        )
+        assert rep in exposed, f"{name}: representative {rep} is not exposed"
+        assert name[0] == rep[0], (
+            f"{name}: representative {rep} is from a different namespace"
         )
 
 
