@@ -576,3 +576,72 @@ def t20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dup_token_ratio") <= REP_MAX_DUP_TOKEN_RATIO)
         & (F.col("dup_bigram_ratio") <= REP_MAX_DUP_BIGRAM_RATIO),
     )
+
+
+@register(
+    "t21_bigram_lm_score",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    db AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+               [struct_pack(a := ws[i], b := ws[i+1])
+                for i in generate_series(1, len(ws) - 1)]
+             ELSE [] END) AS p
+      FROM w
+    ),
+    flat AS (SELECT doc_id, p.a AS a, p.b AS b FROM db),
+    pairs AS (SELECT a, b, COUNT(*) AS c_ab FROM flat GROUP BY 1, 2),
+    starts AS (SELECT a, SUM(c_ab) AS c_a FROM pairs GROUP BY 1),
+    scored AS (
+      SELECT flat.doc_id, ln(pairs.c_ab * 1.0 / starts.c_a) AS lp
+      FROM flat JOIN pairs USING (a, b) JOIN starts USING (a)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "ngram", "lm-score"),
+)
+def t21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document scoring — the perplexity-filter shape
+    (pytest-only family member; t17 holds the n-gram-stats gate slot):
+    fit a bigram model on the corpus itself (P(b|a) = c_ab / Σ_x c_ax,
+    exact counts, no smoothing needed since every scored bigram is in
+    the fit set by construction) and score each document by its mean
+    bigram log-probability. Low scores mark documents whose word
+    transitions are unlike the corpus — gibberish, boilerplate, wrong
+    language — the third quality lens next to t06 (surface ratios) and
+    t20 (repetition).
+
+    Plan: one Generate for (doc_id, a, b); the pair and start counts
+    are vocabulary-sized hash aggregates that AQE broadcasts back into
+    the scoring joins; the per-doc mean is a final keyed aggregate.
+    Docs with <2 tokens have no bigrams and drop out (same convention
+    as the oracle's inner joins)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    # persist the per-doc bigram stream: it feeds the pair-count fit
+    # AND the scoring join (Catalyst re-expands shared subtrees).
+    flat = (
+        docs.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(bigrams).alias("p"))
+        .select("doc_id", "p.a", "p.b")
+        .persist()
+    )
+    pairs = flat.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    starts = pairs.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    scored = (
+        flat.join(pairs, ["a", "b"])
+        .join(starts, "a")
+        .select("doc_id", F.log(F.col("c_ab") / F.col("c_a")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

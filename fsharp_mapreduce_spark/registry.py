@@ -81,6 +81,16 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # quality-scoring family: t06 holds the gate slot; t20 is the
     # repetition-rule sibling (map-only array expressions)
     "t20_repetition_filter": "t06_quality_score",
+    # n-gram LM family: t21 scores docs under the corpus bigram model
+    # (perplexity-filter shape) — same Generate→hash-agg→join plan as
+    # t17's fit
+    "t21_bigram_lm_score": "t17_bigram_pmi",
+    # streaming-dedup family: st02 holds the gate slot; st10 is the
+    # TTL-bounded (dropDuplicatesWithinWatermark) production variant
+    "st10_dedup_within_watermark": "st02_stream_dedup",
+    # similarity family: s08 is the int8-quantized two-stage variant
+    # of s01's exact search (4× memory/shuffle story; recall-pinned)
+    "s08_knn_quantized": "s01_knn_bruteforce",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

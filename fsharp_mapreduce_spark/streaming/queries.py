@@ -410,3 +410,43 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_attributed"),
         F.round(F.sum("p_value"), 4).alias("attributed_value"),
     )
+
+
+@register(
+    "st10_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark", "ttl-state"),
+)
+def st10_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-bounded streaming dedup — ``dropDuplicatesWithinWatermark``
+    (pytest-only family member; st02 holds the dedup gate slot).
+    st02's plain dropDuplicates keeps every key it has EVER seen: on an
+    unbounded 100 TB stream that state store grows without limit. The
+    within-watermark variant is the production answer — a key's state
+    expires once the watermark passes its event time + delay, so state
+    is bounded by (event-rate × delay) regardless of stream lifetime.
+
+    The fixture replay feeds every event TWICE (the staged stream
+    unioned with itself) to prove duplicates are actually dropped; the
+    48h delay exceeds the fixture's whole event-time span, so no state
+    expires mid-run and the answer is exactly the batch distinct —
+    which is the oracle. The TTL semantics under expiry (re-admitting
+    a key after its state ages out) are inherently replay-order
+    dependent, so they are pinned by a dedicated deterministic test
+    (tests/test_streaming.py) rather than the fixture oracle."""
+    ev_batch = table(spark, sf_dir, "events")
+    staged = stage_as_chunked_files(
+        ev_batch.unionAll(ev_batch), n_chunks=4, order_by=["event_id"]
+    )
+    ev = read_pull_stream(spark, staged)
+    deduped = (
+        ev.withWatermark("ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return run_to_completion(deduped, "st10_out", output_mode="complete")

@@ -241,3 +241,57 @@ def test_s07_candidate_law_linear(spark):
     growth = c10 / c1
     # linear law with dedup slack: far under quadratic
     assert growth < allpairs_growth / 4, (growth, allpairs_growth)
+
+
+def test_s08_quantized_recall_vs_exact(spark):
+    """The int8 candidate stage keeps 4× top-k candidates, so the
+    re-ranked result should recover nearly all of the exact top-k:
+    recall ≥ 0.8 on the fixture (measured well above)."""
+    from fsharp_mapreduce_spark.functions.similarity import s08_knn_quantized
+
+    exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
+    quant = _pairs(s08_knn_quantized(spark, SF_SMOKE))
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"quantized recall {recall:.2f}"
+
+
+def test_s08_candidate_stage_is_integer_exact(spark):
+    """The quantized scores must be BIGINT (exact cross-engine
+    arithmetic — the determinism selling point of the int8 stage):
+    re-derive the approx scores for one probe in numpy int64 and
+    compare exactly."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import N_QUERIES
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    max_abs = max(np.abs(v).max() for v in vecs.values())
+    scale = 127.0 / max_abs
+    q = {
+        k: np.clip(np.round(v * scale), -127, 127).astype(np.int64)
+        for k, v in vecs.items()
+    }
+    probe = 0
+    assert probe < N_QUERIES
+    expected = {
+        k: int(q[probe] @ q[k]) for k in vecs if k != probe
+    }
+    from pyspark.sql import functions as FF
+
+    qt = emb.select(
+        "vec_id",
+        FF.transform(
+            "embedding",
+            lambda x: FF.least(
+                FF.lit(127.0),
+                FF.greatest(FF.lit(-127.0), FF.round(x.cast("double") * scale)),
+            ).cast("bigint"),
+        ).alias("qv"),
+    )
+    pq = qt.where(FF.col("vec_id") == probe).collect()[0]["qv"]
+    got = {
+        r.vec_id: sum(a * b for a, b in zip(pq, r.qv))
+        for r in qt.where(FF.col("vec_id") != probe).collect()
+    }
+    assert got == expected

@@ -215,3 +215,81 @@ def test_stateful_stream_on_rocksdb_state_store(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_st10_dedup_within_watermark_equals_batch_distinct(spark):
+    """st10 feeds every event twice; the 48h delay exceeds the fixture
+    span so nothing expires mid-run — answer = batch distinct."""
+    stream = QUERIES["st10_dedup_within_watermark"].fn(spark, SF_SMOKE)
+    ev = table(spark, SF_SMOKE, "events")
+    batch = (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    assert rows_as_set(stream) == rows_as_set(batch)
+
+
+def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
+    """The TTL semantics st10's docstring defers here: a duplicate
+    arriving AFTER the watermark passes the first copy's event time +
+    delay is re-admitted (state expired — bounded state is the whole
+    point); a duplicate within the delay is dropped. Three ordered
+    micro-batches (maxFilesPerTrigger=1): K@00:00 (+in-delay dup),
+    X@05:00 advances the watermark to 04:00 > K's 01:00 expiry, then
+    K@10:00 must be emitted AGAIN."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("k", StringType())]
+    )
+    d = tempfile.mkdtemp(prefix="fsmr_st10_ttl_")
+    from datetime import datetime
+
+    def chunk(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/c{i}")
+
+    chunk(0, [(datetime(2026, 1, 1, 0, 0), "K"), (datetime(2026, 1, 1, 0, 30), "K")])
+    chunk(1, [(datetime(2026, 1, 1, 5, 0), "X")])
+    chunk(2, [(datetime(2026, 1, 1, 10, 0), "K")])
+    # one staged dir, lexicographic file order = chunk order
+    import glob
+    import shutil
+
+    staged = tempfile.mkdtemp(prefix="fsmr_st10_staged_")
+    for i in range(3):
+        src = glob.glob(f"{d}/c{i}/part-*.parquet")[0]
+        shutil.copy(src, f"{staged}/{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st10_ttl")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = [(r["k"], r["ts"]) for r in spark.sql("SELECT * FROM st10_ttl").collect()]
+    ks = sorted(t for k, t in out if k == "K")
+    # K emitted twice (00:00 survivor + 10:00 re-admission after
+    # expiry); the 00:30 in-delay duplicate dropped; X once.
+    assert len(ks) == 2, out
+    assert ks[0] == datetime(2026, 1, 1, 0, 0) and ks[1] == datetime(2026, 1, 1, 10, 0)
+    assert len([k for k, _ in out if k == "X"]) == 1
