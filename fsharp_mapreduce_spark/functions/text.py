@@ -645,3 +645,129 @@ def t21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+WINNOW_K = 8  # k-gram length (chars)
+WINNOW_W = 16  # winnowing window (k-gram positions)
+WINNOW_MOD = 1_000_000_007
+WINNOW_CONTAINMENT = 0.5
+
+
+@register(
+    "t22_winnow_containment_pairs",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ''), x -> x <> ''),
+                            x -> CAST(ascii(x) AS BIGINT)) AS cs
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(cs) >= {WINNOW_K} THEN
+               [list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i : i + {WINNOW_K - 1}]),
+                            (a, b) -> (a * 31 + b) % {WINNOW_MOD})
+                for i in generate_series(1, len(cs) - {WINNOW_K} + 1)]
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM codes
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(CASE
+               WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+               WHEN len(hs) < {WINNOW_W} THEN [list_min(hs)]
+               ELSE [list_min(hs[j : j + {WINNOW_W - 1}])
+                     for j in generate_series(1, len(hs) - {WINNOW_W} + 1)]
+             END) AS fps
+      FROM grams
+    ),
+    flat AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+    sizes AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM fps),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared,
+           ROUND(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_shared * 1.0 / least(sa.n_fp, sb.n_fp) >= {WINNOW_CONTAINMENT}
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup"),
+)
+def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm) + containment pairs — the
+    fingerprint-family scale-out of t08's whole-document hash
+    (pytest-only family member; t08 holds the gate slot). Whole-doc
+    hashes only catch EXACT duplicates and MinHash estimates whole-doc
+    resemblance; winnowing guarantees any shared substring of length
+    ≥ w+k−1 chars leaves a common fingerprint, so CONTAINMENT —
+    one document quoting a chunk of another — is detectable, the case
+    both t01 and t03 miss by design.
+
+    Per doc: {8}-gram polynomial hashes (exact BIGINT mod arithmetic,
+    t08's 31/1e9+7 family — cross-engine bit-identical), minimum per
+    {16}-wide window, distinct survivors ≈ 2/(w+1) of positions — an
+    8× sketch compression, all expression-only map work. Pairing is
+    the t01/t03 bucket shape: explode fingerprints, self-join on the
+    8-byte value, count shared per pair, threshold on
+    shared/min(|fps|) ≥ {0.5}. A production corpus would add t02's
+    stop-shingle cap on hot fingerprints (boilerplate); the fixture
+    corpus needs none."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    codes = F.transform(
+        F.filter(F.split("text", ""), lambda x: x != F.lit("")),
+        lambda x: F.ascii(x).cast("long"),
+    )
+    d = docs.select("doc_id", codes.alias("cs"))
+    # k-gram rolling hashes; Spark's sequence(1, n) is DESCENDING for
+    # n < 1, so the short-doc case must be guarded (t17's idiom)
+    hs = F.when(
+        F.size("cs") >= WINNOW_K,
+        F.expr(
+            f"transform(sequence(1, size(cs) - {WINNOW_K} + 1), "
+            f"i -> aggregate(slice(cs, i, {WINNOW_K}), 0L, "
+            f"(a, b) -> (a * 31 + b) % {WINNOW_MOD}))"
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps_col = F.array_distinct(
+        F.when(F.size("hs") == 0, F.array().cast("array<long>"))
+        .when(F.size("hs") < WINNOW_W, F.array(F.array_min("hs")))
+        .otherwise(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), "
+                f"j -> array_min(slice(hs, j, {WINNOW_W})))"
+            )
+        )
+    )
+    # persist: the fingerprint table feeds both self-join sides and
+    # the size lookup (three consumers of one expensive projection)
+    fps = (
+        d.withColumn("hs", hs)
+        .select("doc_id", fps_col.alias("fps"))
+        .persist()
+    )
+    flat = fps.select("doc_id", F.explode("fps").alias("fp"))
+    sizes = fps.select("doc_id", F.size("fps").cast("bigint").alias("n_fp"))
+    a = flat.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = flat.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", F.col("n_shared") / F.least("na", "nb"))
+        .where(F.col("containment") >= WINNOW_CONTAINMENT)
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_shared", F.round("containment", 6).alias("containment")
+    )

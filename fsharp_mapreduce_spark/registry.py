@@ -91,6 +91,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # similarity family: s08 is the int8-quantized two-stage variant
     # of s01's exact search (4× memory/shuffle story; recall-pinned)
     "s08_knn_quantized": "s01_knn_bruteforce",
+    # fingerprint family: t08 holds the gate slot; t22 is the
+    # winnowing (MOSS) substring-containment sibling
+    "t22_winnow_containment_pairs": "t08_fingerprint",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -512,3 +512,41 @@ def test_lsh_scaling_law_sublinear_candidates(spark):
     # analytic expectation ≈ 2^(7-4)/100 → ~12.5×; assert an order
     # under quadratic with headroom
     assert growth < allpairs_growth / 4, (growth, allpairs_growth)
+
+
+def test_t22_winnowing_detects_containment_quote(spark, tmp_path):
+    """The winnowing guarantee (Schleimer et al. 2003): any shared
+    substring of length >= w + k - 1 chars leaves a common
+    fingerprint. Construct the case whole-doc methods miss: doc B is
+    an exact 200-char QUOTE from the middle of doc A (whole-doc
+    resemblance ~1/3), doc C is unrelated. t22 must pair (A, B) with
+    containment ~1 and must not pair C with anything."""
+    import random
+
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    a = rand_text(600)
+    b = a[200:400]  # pure quote: 200 >= w + k - 1 = 23
+    c = rand_text(600)
+    rows = [
+        (0, a, "en", "synth", len(a)),
+        (1, b, "en", "synth", len(b)),
+        (2, c, "en", "synth", len(c)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["t22_winnow_containment_pairs"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in out}
+    assert (0, 1) in pairs, out
+    assert pairs[(0, 1)] >= 0.9
+    assert all(2 not in p for p in pairs)
