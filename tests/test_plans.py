@@ -342,3 +342,48 @@ def test_t19_tfidf_broadcasts_and_caches_tf(spark):
     assert has_broadcast_join(df), plan
     assert "InMemoryTableScan" in plan, plan
     spark.catalog.clearCache()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime Bloom-filter join pruning (the shuffle-side complement
+    to broadcast pruning, SCALING.md fact-fact row): when a selective
+    filter sits on one join side, the optimizer must inject a
+    `bloom_filter_agg` on that side and a `might_contain` filter on
+    the PROBE side, so probe rows that cannot match are dropped before
+    the exchange — at 100 TB this is the difference between shuffling
+    the full fact table and shuffling the matching slice."""
+    from pyspark.sql import functions as F
+
+    tweaks = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in tweaks.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(1_000_000).select(
+            F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+        )
+        dim = (
+            spark.range(100_000)
+            .select(F.col("id").alias("k"))
+            .where(F.col("k") % 1000 == 0)
+        )
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the injected might_contain must guard the FACT scan (probe
+        # side), not merely exist somewhere in the plan
+        fact_branch = plan.split("Range (0, 1000000")[0]
+        assert "might_contain" in fact_branch, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
