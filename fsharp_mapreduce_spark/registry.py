@@ -99,6 +99,8 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
     {
         "q39_time_range_window",
+        # connector twin of the q27 flagship (custom Python DataSource)
+        "q40_dice_pull_source",
         "q04_revenue_by_nation",
         "q05_semi_join",
         "q06_anti_join",
@@ -215,4 +217,5 @@ def load_all_query_modules() -> None:
     import fsharp_mapreduce_spark.operators.relational  # noqa: F401
     import fsharp_mapreduce_spark.operators.windows  # noqa: F401
     import fsharp_mapreduce_spark.operators.temporal  # noqa: F401
+    import fsharp_mapreduce_spark.sources.pull_source  # noqa: F401
     import fsharp_mapreduce_spark.streaming.queries  # noqa: F401

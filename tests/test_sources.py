@@ -174,3 +174,30 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path_factory):
     assert back.count() == nation_v1.count() * 2
     nulls = back.where(F.col("batch_tag").isNull()).count()
     assert nulls == nation_v1.count()
+
+
+def test_pull_source_partitions_are_chunked_pulls(spark):
+    """The custom Python DataSource plans one input partition per
+    (skip, take) pull — Loader.fs:14-38's cursor contract as Spark
+    splits — and the generated rows equal the expression-derived
+    source exactly."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.sources.pull_source import register_pull_source
+
+    register_pull_source(spark)
+    rows, chunk = 10_000, 1_024
+    src = (
+        spark.read.format("gimme_dice")
+        .option("rows", rows)
+        .option("chunk", chunk)
+        .load()
+    )
+    # 10000/1024 -> 9 full pulls + 1 short pull (the end-of-source
+    # short read, Loader.fs:32-38)
+    assert src.rdd.getNumPartitions() == 10
+    expected = spark.range(rows).select(
+        F.col("id").alias("roll_id"), ((F.col("id") % 6) + 1).cast("int").alias("roll")
+    )
+    assert src.exceptAll(expected).count() == 0
+    assert expected.exceptAll(src).count() == 0

@@ -234,10 +234,14 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
     """The TTL semantics st10's docstring defers here: a duplicate
     arriving AFTER the watermark passes the first copy's event time +
     delay is re-admitted (state expired — bounded state is the whole
-    point); a duplicate within the delay is dropped. Three ordered
+    point); a duplicate within the delay is dropped. Four ordered
     micro-batches (maxFilesPerTrigger=1): K@00:00 (+in-delay dup),
-    X@05:00 advances the watermark to 04:00 > K's 01:00 expiry, then
-    K@10:00 must be emitted AGAIN."""
+    X@05:00 advances the watermark to 04:00 > K's expiry, Y@06:00 is
+    the spacer batch in which eviction actually runs (measured: the
+    store evicts a key one batch AFTER the watermark passes its
+    expiry, and an arriving duplicate refreshes the key's state before
+    eviction — so re-admission needs a key-free batch in between),
+    then K@10:00 must be emitted AGAIN."""
     import tempfile
 
     from pyspark.sql.types import (
@@ -258,15 +262,26 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
 
     chunk(0, [(datetime(2026, 1, 1, 0, 0), "K"), (datetime(2026, 1, 1, 0, 30), "K")])
     chunk(1, [(datetime(2026, 1, 1, 5, 0), "X")])
-    chunk(2, [(datetime(2026, 1, 1, 10, 0), "K")])
+    chunk(2, [(datetime(2026, 1, 1, 6, 0), "Y")])
+    chunk(3, [(datetime(2026, 1, 1, 10, 0), "K")])
     # one staged dir, lexicographic file order = chunk order
     import glob
     import shutil
 
     staged = tempfile.mkdtemp(prefix="fsmr_st10_staged_")
-    for i in range(3):
+    import os
+    import time as _time
+
+    base = _time.time()
+    for i in range(4):
         src = glob.glob(f"{d}/c{i}/part-*.parquet")[0]
-        shutil.copy(src, f"{staged}/{i:03d}.parquet")
+        dst = f"{staged}/{i:03d}.parquet"
+        shutil.copy(src, dst)
+        # FileStreamSource orders new files by MODIFICATION TIME, not
+        # name — sub-ms copy times tie and the replay order (the whole
+        # point of this test) becomes arbitrary. Pin strictly
+        # increasing mtimes, oldest first.
+        os.utime(dst, (base + i * 10, base + i * 10))
 
     stream = (
         spark.readStream.schema(schema)
@@ -289,7 +304,8 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
     out = [(r["k"], r["ts"]) for r in spark.sql("SELECT * FROM st10_ttl").collect()]
     ks = sorted(t for k, t in out if k == "K")
     # K emitted twice (00:00 survivor + 10:00 re-admission after
-    # expiry); the 00:30 in-delay duplicate dropped; X once.
+    # expiry); the 00:30 in-delay duplicate dropped; X and Y once.
     assert len(ks) == 2, out
     assert ks[0] == datetime(2026, 1, 1, 0, 0) and ks[1] == datetime(2026, 1, 1, 10, 0)
     assert len([k for k, _ in out if k == "X"]) == 1
+    assert len([k for k, _ in out if k == "Y"]) == 1
