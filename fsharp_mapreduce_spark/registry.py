@@ -94,6 +94,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # fingerprint family: t08 holds the gate slot; t22 is the
     # winnowing (MOSS) substring-containment sibling
     "t22_winnow_containment_pairs": "t08_fingerprint",
+    # pull-stream family: st01 holds the gate slot; st11 is the same
+    # chunked-pull semantics on the custom Python streaming source
+    "st11_dice_pull_stream": "st01_stream_tumbling_agg",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -1,87 +1,42 @@
 """The reference's pull-based loader as a REAL Spark data source.
 
-The reference source contract (Loader.fs:14-38) is a user function
-``dataLoadFn skip take`` pulled in chunks by the orchestrator until a
-short read signals end-of-source (Gimme/chunkSize,
-Orchestrator.fs:74). Spark 4's Python DataSource API lets that
-contract exist as a first-class connector instead of a test harness:
-``partitions()`` returns one descriptor per (skip, take) pull and each
-executor task replays exactly one pull — the chunk boundary IS the
-input split, so the pulls run in parallel instead of the reference's
-sequential loop, and Spark's task scheduler owns retry/locality.
-
-The shipped instance generates the example job's dice source
-(Example-Job.fs:46-49) deterministically: ``roll = (roll_id % 6) + 1``
-— the same derivation the q27 flagship uses, so results are
-value-hash comparable across the compat path, the SQL path, and this
-connector path.
+See ``pull_source_impl`` for the connector classes and the full design
+note; this module registers the connector on a session and declares
+the q40/st11 queries that prove it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
-GIMME_SCHEMA = StructType(
-    [
-        StructField("roll_id", LongType()),
-        StructField("roll", IntegerType()),
-    ]
+from fsharp_mapreduce_spark.sources.pull_source_impl import (  # noqa: F401
+    GIMME_SCHEMA,
+    GimmeDiceDataSource,
+    GimmeDiceReader,
+    GimmeDiceStreamReader,
+    GimmePull,
 )
-
-
-class GimmePull(InputPartition):
-    """One (skip, take) pull — the Loader.fs:14 cursor contract."""
-
-    def __init__(self, skip: int, take: int):
-        self.skip = skip
-        self.take = take
-
-
-class GimmeDiceReader(DataSourceReader):
-    def __init__(self, options):
-        self.rows = int(options.get("rows", 60_000))
-        self.chunk = int(options.get("chunk", 8_192))
-        if self.chunk <= 0:
-            raise ValueError("chunk must be positive")
-
-    def partitions(self):
-        # ceil(rows/chunk) pulls; the final short pull is the
-        # end-of-source signal (Loader.fs:32-38) — here it is simply a
-        # shorter split, no sentinel needed.
-        return [
-            GimmePull(skip, min(self.chunk, self.rows - skip))
-            for skip in range(0, self.rows, self.chunk)
-        ]
-
-    def read(self, partition: GimmePull):
-        for i in range(partition.skip, partition.skip + partition.take):
-            yield (i, (i % 6) + 1)
-
-
-class GimmeDiceDataSource(DataSource):
-    """``spark.read.format("gimme_dice").option("rows", N)``."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "gimme_dice"
-
-    def schema(self):
-        return GIMME_SCHEMA
-
-    def reader(self, schema):
-        return GimmeDiceReader(self.options)
 
 
 def register_pull_source(spark) -> None:
     """Idempotently register the connector on a session. The
-    DataSource instance is pickled into the planner/worker processes,
-    which must be able to import this module — ship the package first
-    (the external-driver case: a vanilla session launched outside the
-    repo has no fsharp_mapreduce_spark on executor paths)."""
-    from fsharp_mapreduce_spark.session import ensure_package_shipped
+    DataSource class is pickled into planner/worker processes that may
+    not have this repo on their import path (external vanilla driver:
+    addPyFile covers executors, but the driver-side streaming source
+    runner inherits only the driver env) — so serialize the leaf impl
+    module BY VALUE: the unpickler rebuilds the classes from the
+    pickle itself, no import needed anywhere."""
+    import fsharp_mapreduce_spark.sources.pull_source_impl as _impl
 
-    ensure_package_shipped(spark)
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(_impl)
+    except Exception:
+        # cloudpickle layout changed — fall back to path shipping
+        # (covers executors; driver-side runner then needs the repo
+        # on PYTHONPATH, which in-repo callers have)
+        from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)
     try:
         spark.dataSource.register(GimmeDiceDataSource)
     except Exception:
@@ -131,3 +86,37 @@ def q40_dice_pull_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     outcome = F.when(F.col("roll") == 3, "Win").otherwise("Lose")
     return src.groupBy(outcome.alias("outcome")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "st11_dice_pull_stream",
+    oracle=f"""
+    SELECT CASE WHEN (i % 6) + 1 = 3 THEN 'Win' ELSE 'Lose' END AS outcome,
+           COUNT(*) AS n
+    FROM generate_series(0, {PULL_ROWS - 1}) t(i)
+    GROUP BY 1
+    """,
+    tags=("streaming", "source", "connector", "mapreduce"),
+)
+def st11_dice_pull_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship through the connector's STREAMING side
+    (pytest-only; st01 holds the pull-stream gate slot): one micro-
+    batch per (skip, take) pull, the cursor persisted as the stream
+    offset — the reference's sequential chunked consumption
+    reproduced exactly, down to completion-by-short-read
+    (Orchestrator.fs:74,142-163). The final answer must equal the
+    batch connector's (q40) and the generate_series oracle — the
+    stream/batch parity property, proven here on a custom source
+    rather than a file replay. sf_dir unused by design."""
+    from fsharp_mapreduce_spark.streaming.loader import run_to_completion
+
+    register_pull_source(spark)
+    src = (
+        spark.readStream.format("gimme_dice")
+        .option("rows", PULL_ROWS)
+        .option("chunk", PULL_CHUNK)
+        .load()
+    )
+    outcome = F.when(F.col("roll") == 3, "Win").otherwise("Lose")
+    agg = src.groupBy(outcome.alias("outcome")).agg(F.count(F.lit(1)).alias("n"))
+    return run_to_completion(agg, "st11_out", output_mode="complete")
