@@ -1410,3 +1410,28 @@ def t11_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (a ~|results|-sized distinct, not a |collisions|-sized one)
         .distinct()
     )
+
+
+@register(
+    "t23_dedup_clusters_star",
+    oracle=_t12_oracle(),
+    tags=("dedup", "clusters", "star-contraction"),
+)
+def t23_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12's keeper assignment computed by the large-star/small-star
+    contraction engine instead of min-label propagation (pytest-only
+    family member; t12 holds the gate slot). Same t03 edge set, same
+    oracle, same answer — the engines differ only in round complexity:
+    min-label needs diameter rounds (fine for shallow dedup graphs),
+    star contraction halves path lengths every round (O(log n) — the
+    variant for adversarial/unbounded-diameter graphs). Registering
+    both keeps the equivalence continuously verified on the live
+    fixture, not just the synthetic chain test."""
+    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    pairs = t03_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components_star(pairs, docs)
+    return comp.select(
+        F.col("v").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
+    )

@@ -97,6 +97,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # pull-stream family: st01 holds the gate slot; st11 is the same
     # chunked-pull semantics on the custom Python streaming source
     "st11_dice_pull_stream": "st01_stream_tumbling_agg",
+    # clustering family: t12 (min-label) holds the gate slot; t23 is
+    # the O(log n)-round star-contraction engine on the same edge set
+    "t23_dedup_clusters_star": "t12_dedup_clusters",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
