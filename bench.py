@@ -51,12 +51,19 @@ HEADLINE = [
     "t16_token_chunking",
     "t17_bigram_pmi",
     "t18_clean_text",
+    "t19_tfidf_top_terms",
+    "t21_bigram_lm_score",
+    "t22_winnow_containment_pairs",
+    "t23_dedup_clusters_star",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s04_knn_ivf",
     "s05_range_search",
     "s06_knn_join",
     "s07_knn_join_lsh",
+    "s08_knn_quantized",
+    "q39_time_range_window",
+    "q40_dice_pull_source",
     "st01_stream_tumbling_agg",
     "m03_frame_sample",
 ]
@@ -160,6 +167,8 @@ DUCKDB_TIMING_SKIP = {
     # fit on the sf0.01 GATE fixture — running it on sf0.1 would time
     # a semantically different query
     "s04_knn_ivf",
+    # shares t12's recursive-CTE oracle (quadratic at sf0.1)
+    "t23_dedup_clusters_star",
 }
 
 

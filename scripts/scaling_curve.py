@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Scaling-curve evidence for SCALING.md: run representative queries at
+sf0.001 / sf0.01 / sf0.1 (100× input growth end-to-end) and report
+wall-clock + scale factor. The claim under test: plans are floor-bound,
+not work-bound, at fixture scale — wall-clock must grow FAR slower than
+input size, because the per-row work rides on the fixed ~0.1-0.3s
+scheduling floor. A query whose time grew ~100× here would be flagged
+as work-dominated already at toy scale (a scale-killer at 100 TB).
+
+Usage: python scripts/scaling_curve.py [query ...]
+Prints one JSON line per query: {"query": ..., "sf": {sf: sec}}.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, REPO)
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+DEFAULT = [
+    "q01_pricing_summary",  # scan + hash agg
+    "q04_revenue_by_nation",  # fact-fact shuffle join
+    "t03_minhash_lsh_pairs",  # bucketed dedup candidates
+    "t22_winnow_containment_pairs",  # fingerprint sketch + bucket join
+    "t12_dedup_clusters",  # iterative connected components
+    "s07_knn_join_lsh",  # sub-quadratic kNN join
+]
+
+
+def main() -> int:
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+    from fsharp_mapreduce_spark.session import get_spark
+
+    load_all_query_modules()
+    spark = get_spark(app_name="fsmr-scaling-curve")
+    names = sys.argv[1:] or DEFAULT
+    for name in names:
+        fn = QUERIES[name].fn
+        out = {}
+        for sf in SFS:
+            for _ in range(2):  # JIT warm-up
+                spark.catalog.clearCache()
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
+            samples = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            out[Path(sf).name] = round(statistics.median(samples), 3)
+        lo, hi = out[Path(SFS[0]).name], out[Path(SFS[-1]).name]
+        print(
+            json.dumps(
+                {"query": name, "sf": out, "time_x_for_100x_data": round(hi / lo, 2)}
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -309,3 +309,73 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
     assert ks[0] == datetime(2026, 1, 1, 0, 0) and ks[1] == datetime(2026, 1, 1, 10, 0)
     assert len([k for k, _ in out if k == "X"]) == 1
     assert len([k for k, _ in out if k == "Y"]) == 1
+
+
+def test_pull_stream_checkpoint_restart_resumes_cursor(spark):
+    """st11's recovery claim, exercised: stop the custom-source stream
+    mid-run, restart from the checkpoint, and the final complete-mode
+    aggregate must equal the full-source answer with the cursor
+    RESUMED, not rewound — the second run may replay at most the one
+    in-flight pull (its offset commit can race the stop), never the
+    chunks already committed."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as FF
+
+    from fsharp_mapreduce_spark.sources.pull_source import register_pull_source
+
+    register_pull_source(spark)
+    rows, chunk = 120_000, 8_192
+    ck = tempfile.mkdtemp(prefix="fsmr_pull_ck_")
+
+    def start(query_name):
+        src = (
+            spark.readStream.format("gimme_dice")
+            .option("rows", rows)
+            .option("chunk", chunk)
+            .load()
+        )
+        outcome = FF.when(FF.col("roll") == 3, "Win").otherwise("Lose")
+        agg = src.groupBy(outcome.alias("outcome")).agg(
+            FF.count(FF.lit(1)).alias("n")
+        )
+        return (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q1 = start("pull_ck_a")
+    try:
+        # wait until at least 2 micro-batches committed, then stop
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            done = [p for p in q1.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= 2:
+                break
+            _time.sleep(0.2)
+        assert len(done) >= 2, "stream never progressed"
+    finally:
+        q1.stop()
+    consumed_first = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert 0 < consumed_first < rows, "phase 1 should stop mid-source"
+
+    q2 = start("pull_ck_b")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {
+        r["outcome"]: r["n"]
+        for r in spark.sql("SELECT * FROM pull_ck_b").collect()
+    }
+    assert got["Win"] + got["Lose"] == rows
+    assert got["Win"] == sum(1 for i in range(rows) if (i % 6) + 1 == 3)
+    consumed_second = sum(p["numInputRows"] for p in q2.recentProgress)
+    # resumed: second run covers the remainder, plus at most the one
+    # in-flight pull from the race with stop()
+    assert consumed_second <= rows - consumed_first + chunk
