@@ -241,8 +241,12 @@ def main() -> None:
             [sys.executable, __file__, "--dice-only", "--runs", str(args.runs)],
             capture_output=True,
             text=True,
-            check=True,
         )
+        if proc.returncode != 0:
+            # surface the child's traceback — CalledProcessError alone
+            # would hide the actual failure
+            print(proc.stderr, file=sys.stderr)
+            raise RuntimeError(f"dice anchor subprocess failed (rc={proc.returncode})")
         dice = json.loads(proc.stdout.strip().splitlines()[-1])["dice_mr_compat_5m"]
     timings = run_spark(sf_dir, args.runs, names)
     result = {

@@ -950,7 +950,7 @@ _QDOT_SQL = (
       SELECT vec_id, embedding,
              list_transform(embedding,
                x -> CAST(least(127, greatest(-127,
-                      round(x::DOUBLE * 127.0 / mx.max_abs))) AS BIGINT)) AS qv
+                      round(x::DOUBLE * (127.0 / mx.max_abs)))) AS BIGINT)) AS qv
       FROM embeddings, mx
     ),
     probes AS (SELECT vec_id AS query_id, embedding AS qe, qv AS qqv
@@ -1010,6 +1010,11 @@ def s08_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))))
         .alias("m")
     ).collect()[0]["m"]
+    # Association order matters for the cross-engine bit-identity
+    # promise: both engines must compute round(x * fl(127/max_abs)) —
+    # the oracle parenthesizes (127.0 / mx.max_abs) to match this
+    # pre-divided scale (x * 127.0 / max_abs differs by 1 ulp on ~half
+    # of elements, which flips int8 values on .5 boundaries).
     scale = 127.0 / max_abs
     qv = F.transform(
         "embedding",

@@ -37,12 +37,10 @@ def register_pull_source(spark) -> None:
         from fsharp_mapreduce_spark.session import ensure_package_shipped
 
         ensure_package_shipped(spark)
-    try:
-        spark.dataSource.register(GimmeDiceDataSource)
-    except Exception:
-        # already registered on this session — the API has no lookup,
-        # and re-registration is the only failure mode here
-        pass
+    # no guard: register() overwrites on re-registration (idempotent by
+    # API contract), and a missing/broken DataSource API should surface
+    # HERE, not as a confusing "source not found" at read time
+    spark.dataSource.register(GimmeDiceDataSource)
 
 
 # -- registered query --------------------------------------------------

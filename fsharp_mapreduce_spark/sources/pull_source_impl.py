@@ -100,6 +100,10 @@ class GimmeDiceStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 60_000))
         self.chunk = int(options.get("chunk", 8_192))
+        if self.chunk <= 0:
+            # mirror the batch reader: chunk=0 would otherwise pin the
+            # cursor forever and silently yield an EMPTY stream
+            raise ValueError("chunk must be positive")
 
     def initialOffset(self) -> dict:
         return {"skip": 0}

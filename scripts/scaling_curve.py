@@ -14,9 +14,7 @@ Prints one JSON line per query: {"query": ..., "sf": {sf: sec}}.
 from __future__ import annotations
 
 import json
-import statistics
 import sys
-import time
 from pathlib import Path
 
 REPO = str(Path(__file__).resolve().parent.parent)
@@ -35,26 +33,15 @@ DEFAULT = [
 
 
 def main() -> int:
-    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
-    from fsharp_mapreduce_spark.session import get_spark
+    # reuse bench.py's measurement loop (warm-ups, clearCache-per-run,
+    # noop sink, median) so the two harnesses can't silently diverge
+    from bench import run_spark
 
-    load_all_query_modules()
-    spark = get_spark(app_name="fsmr-scaling-curve")
     names = sys.argv[1:] or DEFAULT
     for name in names:
-        fn = QUERIES[name].fn
         out = {}
         for sf in SFS:
-            for _ in range(2):  # JIT warm-up
-                spark.catalog.clearCache()
-                fn(spark, sf).write.format("noop").mode("overwrite").save()
-            samples = []
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                fn(spark, sf).write.format("noop").mode("overwrite").save()
-                samples.append(time.perf_counter() - t0)
-            out[Path(sf).name] = round(statistics.median(samples), 3)
+            out[Path(sf).name] = run_spark(sf, runs=3, names=[name])[name]
         lo, hi = out[Path(SFS[0]).name], out[Path(SFS[-1]).name]
         print(
             json.dumps(

@@ -59,8 +59,12 @@ def test_all_pipeline_operators_exposed():
             "exposed family representative in PYTEST_ONLY_FAMILY"
         )
         assert rep in exposed, f"{name}: representative {rep} is not exposed"
-        assert name[0] == rep[0], (
-            f"{name}: representative {rep} is from a different namespace"
+        # full alpha prefix, not name[0] — 's' (similarity) and 'st'
+        # (streaming) are DIFFERENT namespaces
+        ns = re.match(r"[a-z]+", name).group()
+        rep_ns = re.match(r"[a-z]+", rep).group()
+        assert ns == rep_ns, (
+            f"{name} ({ns}*): representative {rep} is from namespace {rep_ns}*"
         )
 
 
