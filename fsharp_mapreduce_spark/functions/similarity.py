@@ -1055,3 +1055,83 @@ def s08_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+MAXSIM_QUERY_LABELS = 2  # labels < 2 are the query "documents"
+MAXSIM_TOP = 3
+
+
+@register(
+    "s09_maxsim_late_interaction",
+    oracle=f"""
+    WITH q AS (
+      SELECT label AS query_label, vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE label < {MAXSIM_QUERY_LABELS}
+    ),
+    c AS (
+      SELECT label AS cand_label, embedding AS ce FROM embeddings
+    ),
+    sims AS (
+      SELECT q.query_label, q.qid, c.cand_label,
+             MAX({_cosine_sql("q.qe", "c.ce")}) AS mx
+      FROM q JOIN c ON c.cand_label <> q.query_label
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_label, cand_label, ROUND(SUM(mx), 4) AS maxsim
+      FROM sims GROUP BY 1, 2
+    )
+    SELECT query_label, cand_label, maxsim, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_label ORDER BY maxsim DESC, cand_label
+      ) AS BIGINT) AS rk FROM scored
+    ) WHERE rk <= {MAXSIM_TOP}
+    """,
+    tags=("similarity", "maxsim", "late-interaction"),
+)
+def s09_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim late-interaction retrieval (Khattab & Zaharia, SIGIR
+    2020 — the ColBERT scoring rule) over multi-vector documents
+    (pytest-only family member; s01 holds the gate slot). Each label
+    group is one "document" of ~50 token vectors; score(q, c) =
+    Σ_{{i∈q}} max_{{j∈c}} cos(q_i, c_j) — the shape modern retrieval
+    pipelines use when one pooled vector per document loses too much.
+
+    Plan for 100 TB: the QUERY side is small by construction (a user's
+    query tokens) and broadcasts; the candidate corpus streams
+    partition-parallel through one cosine projection, a per-(query
+    token, candidate doc) max aggregate (map-side partial max — the
+    combiner absorbs the token fan-out), and a per-(query doc,
+    candidate doc) sum. No corpus×corpus pair ever materializes; state
+    per reducer is one double per (q_i, c). Ranking is on the ROUNDED
+    sum (4 dp, both engines) with a cand_label tiebreak so float
+    summation order can't flip ranks cross-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("label") < MAXSIM_QUERY_LABELS).select(
+        F.col("label").alias("query_label"),
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(F.col("label").alias("cand_label"), F.col("embedding").alias("ce"))
+    sims = (
+        c.join(F.broadcast(q), F.col("cand_label") != F.col("query_label"))
+        .select(
+            "query_label",
+            "qid",
+            "cand_label",
+            cosine(F.col("qe"), F.col("ce")).alias("sim"),
+        )
+        .groupBy("query_label", "qid", "cand_label")
+        .agg(F.max("sim").alias("mx"))
+    )
+    scored = sims.groupBy("query_label", "cand_label").agg(
+        F.round(F.sum("mx"), 4).alias("maxsim")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_label").orderBy(F.col("maxsim").desc(), "cand_label")
+    )
+    return (
+        scored.withColumn("rk", rk.cast("bigint"))
+        .where(F.col("rk") <= MAXSIM_TOP)
+        .select("query_label", "cand_label", "maxsim", "rk")
+    )

@@ -100,6 +100,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # clustering family: t12 (min-label) holds the gate slot; t23 is
     # the O(log n)-round star-contraction engine on the same edge set
     "t23_dedup_clusters_star": "t12_dedup_clusters",
+    # similarity family: s09 is the multi-vector (MaxSim) scoring rule
+    # over label-grouped documents — s01's single-vector sibling
+    "s09_maxsim_late_interaction": "s01_knn_bruteforce",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
