@@ -387,3 +387,24 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_s08_quantized_broadcasts_and_bounded_exchanges(spark):
+    """s08: probes and candidates broadcast (the corpus side never
+    shuffles for the joins); only the two window stages exchange."""
+    df = q("s08_knn_quantized", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert exchange_count(df) <= 2, plan
+
+
+def test_s09_maxsim_broadcasts_queries_with_partial_max(spark):
+    """s09: the query-token side reaches the candidate stream as a
+    broadcast, and the per-(token, doc) max carries a map-side partial
+    aggregate — the combiner that absorbs the token fan-out before any
+    exchange."""
+    df = q("s09_maxsim_late_interaction", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
+    assert exchange_count(df) <= 3, plan
