@@ -20,11 +20,20 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 
+# staged-dir memo: restaging the SAME fixture slice for every query
+# invocation re-writes identical parquet chunks (measured ~1s of
+# st01's wall-clock) and piles up temp dirs. Keyed by the caller's
+# declared identity (sf_dir + slice tag + layout); per-process, so a
+# regenerated fixture in the NEXT driver round can't be served stale.
+_staged_memo: dict[tuple, str] = {}
+
+
 def stage_as_chunked_files(
     df: DataFrame,
     n_chunks: int,
     out_dir: str | None = None,
     order_by: list[str] | None = None,
+    memo_key: tuple | None = None,
 ) -> str:
     """Materialize a DataFrame as ``n_chunks`` parquet files so a file
     stream with maxFilesPerTrigger=1 replays it in n_chunks pulls —
@@ -37,7 +46,14 @@ def stage_as_chunked_files(
     chunks are a random partition of the input (an out-of-order
     source). The global sort here is harness-only code on fixture-
     sized data, not an engine path."""
+    if memo_key is not None:
+        key = (memo_key, n_chunks, tuple(order_by or ()))
+        cached = _staged_memo.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return cached
     out_dir = out_dir or tempfile.mkdtemp(prefix="fsmr_stream_")
+    if memo_key is not None:
+        _staged_memo[key] = out_dir
     if order_by is None:
         df.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
         return out_dir

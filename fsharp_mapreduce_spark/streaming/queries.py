@@ -34,7 +34,9 @@ def st01_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Loader.fs:32-38) with a 1-hour watermark, driven to completion.
     Must equal the batch q25_time_bucket answer — stream/batch parity.
     """
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     ev = read_pull_stream(spark, staged)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -88,7 +90,8 @@ def st03_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract watermarks assume; an out-of-order replay would
     legitimately drop late events."""
     staged = stage_as_chunked_files(
-        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"]
+        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events"),
     )
     ev = read_pull_stream(spark, staged)
     agg = (
@@ -129,7 +132,9 @@ def _stateful_running_totals(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     ev = read_pull_stream(spark, staged)
 
     out_schema = "user_id bigint, n_events bigint, max_value double, total_value double"
@@ -220,7 +225,9 @@ def st02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (state-store backed dropDuplicates) — counts must equal the batch
     distinct count, which is exactly the oracle (stream/batch parity,
     the same shape st01/st03 use)."""
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     ev = read_pull_stream(spark, staged)
     deduped = ev.dropDuplicates(["event_id"]).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique")
@@ -253,7 +260,9 @@ def st08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path."""
     import tempfile
 
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     ev = read_pull_stream(spark, staged)
     sink_dir = tempfile.mkdtemp(prefix="fsmr_st08_")
 
@@ -305,7 +314,9 @@ def st06_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     state store and the watermark bounds how long a window stays
     mutable. Oracle replays the overlap by fanning each event out to
     its two containing window starts (stream/batch parity)."""
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     ev = read_pull_stream(spark, staged)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -340,7 +351,9 @@ def st07_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of q03's broadcast dim join and the standard
     shape for enriching a 100 TB/day event firehose with reference
     data. Oracle = the identical batch join (stream/batch parity)."""
-    staged = stage_as_chunked_files(table(spark, sf_dir, "events"), n_chunks=4)
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
+    )
     dim = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     ev = read_pull_stream(spark, staged)
     joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
@@ -379,7 +392,8 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     assume; out-of-order replay would legitimately evict join state
     before a late match arrives."""
     staged = stage_as_chunked_files(
-        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"]
+        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events"),
     )
     clicks = (
         read_pull_stream(spark, staged)
@@ -440,7 +454,8 @@ def st10_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming.py) rather than the fixture oracle."""
     ev_batch = table(spark, sf_dir, "events")
     staged = stage_as_chunked_files(
-        ev_batch.unionAll(ev_batch), n_chunks=4, order_by=["event_id"]
+        ev_batch.unionAll(ev_batch), n_chunks=4, order_by=["event_id"],
+        memo_key=(sf_dir, "events-doubled"),
     )
     ev = read_pull_stream(spark, staged)
     deduped = (
