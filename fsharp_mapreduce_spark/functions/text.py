@@ -771,3 +771,127 @@ def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", "n_shared", F.round("containment", 6).alias("containment")
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERY_TERMS = 3
+BM25_TOP_DOCS = 10
+
+
+@register(
+    "t24_bm25_ranking",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t AS tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+    stats AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT SUM(len(ws)) * 1.0 / COUNT(*) FROM w) AS avgdl
+    ),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(tf) AS BIGINT) AS corpus_tf
+              FROM tf GROUP BY 1),
+    query_terms AS (
+      SELECT tok, df FROM dfreq
+      WHERE NOT list_contains({_sql_list(STOPWORDS["en"])}, tok)
+      ORDER BY corpus_tf DESC, tok LIMIT {BM25_N_QUERY_TERMS}
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN query_terms q USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25, rk FROM (
+      SELECT doc_id, score, CAST(ROW_NUMBER() OVER (
+        ORDER BY ROUND(score, 6) DESC, doc_id
+      ) AS BIGINT) AS rk FROM scored
+    ) WHERE rk <= {BM25_TOP_DOCS}
+    """,
+    tags=("text", "bm25", "retrieval"),
+)
+def t24_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson & Walker's Okapi weighting,
+    the Lucene +1-idf variant) — the sparse-retrieval member of the
+    trio t19 (TF-IDF weights) / t24 (BM25 ranking) / s09 (dense
+    MaxSim). Pytest-only (family rep: t17, the corpus-statistics
+    slot). The query is SELF-DERIVED so the oracle needs no literals:
+    the top-{3} non-stopword tokens by corpus frequency (exact-int
+    counts, token tiebreak — both engines select identically).
+
+    Plan: the explode→(doc,tok) hash agg is the same staging table as
+    t19; document lengths and the corpus (N, avgdl) scalar broadcast;
+    the query-term table is {3} rows — the scoring join is a broadcast
+    against the tf stream, the per-doc sum is a keyed aggregate, and
+    the global top-{10} is TakeOrderedAndProject on the ROUNDED score
+    (doc_id tiebreak), so float summation order cannot flip ranks."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tokd = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    toks = tokd.select("doc_id", F.explode("ws").alias("tok"))
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist()
+    )
+    dl = tokd.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
+    stats = tokd.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("ws")) * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("corpus_tf"),
+    )
+    stop = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    query_terms = (
+        dfreq.where(~F.array_contains(stop, F.col("tok")))
+        .orderBy(F.col("corpus_tf").desc(), "tok")
+        .limit(BM25_N_QUERY_TERMS)
+        .select("tok", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(query_terms), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+    )
+    out = (
+        scored.orderBy(F.round("score", 6).desc(), "doc_id")
+        .limit(BM25_TOP_DOCS)
+        .select(
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))
+    return out.withColumn("rk", rk.cast("bigint"))

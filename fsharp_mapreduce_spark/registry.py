@@ -103,6 +103,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # similarity family: s09 is the multi-vector (MaxSim) scoring rule
     # over label-grouped documents — s01's single-vector sibling
     "s09_maxsim_late_interaction": "s01_knn_bruteforce",
+    # corpus-statistics family: t24 is BM25 ranking over the same
+    # doc-term staging table as t19 (query self-derived from counts)
+    "t24_bm25_ranking": "t17_bigram_pmi",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
