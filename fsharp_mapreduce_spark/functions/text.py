@@ -895,3 +895,79 @@ def t24_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rk = F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))
     return out.withColumn("rk", rk.cast("bigint"))
+
+
+DECON_NGRAM = 8  # tokens per contamination n-gram
+DECON_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out eval set
+
+
+@register(
+    "t25_decontaminate",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) >= {DECON_NGRAM} THEN
+               [list_aggregate(ws[i : i + {DECON_NGRAM - 1}], 'string_agg', ' ')
+                for i in generate_series(1, len(ws) - {DECON_NGRAM} + 1)]
+             ELSE [] END) AS gram
+      FROM w
+    ),
+    gh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(gram), 1, 12))::BIGINT % 2147483647 AS h
+      FROM g
+    ),
+    ev AS (SELECT DISTINCT h FROM gh WHERE doc_id % {DECON_EVAL_MOD} = 0)
+    SELECT gh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM gh JOIN ev USING (h)
+    WHERE gh.doc_id % {DECON_EVAL_MOD} <> 0
+    GROUP BY 1
+    """,
+    tags=("text", "decontamination", "ngram"),
+)
+def t25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the GPT-3-style n-gram overlap scan
+    (Brown et al. 2020, appendix C): flag every training document that
+    shares an {8}-token n-gram with the held-out eval set (here: the
+    deterministic doc_id % {50} slice plays the eval set). Distinct
+    from dedup: the comparison is ASYMMETRIC — a tiny probe set
+    against the full corpus — so the plan broadcasts the eval-gram
+    hashes and the corpus side never shuffles for the membership test.
+    Pytest-only (family rep: t02, the n-gram pair slot).
+
+    Per doc: sliding {8}-token windows → one native md5 per gram
+    (the cross-engine md5-slice family, dedup.md5_int_hash) → distinct
+    (doc, hash) → broadcast-join against the eval hash set → per-doc
+    hit count. Exchanges carry 8-byte hashes, never gram text; the
+    48-bit→M31 hash space makes a false hit ~n_eval_grams/2³¹ per
+    gram — identical in both engines, so the oracle replays exactly."""
+    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size("ws") >= DECON_NGRAM,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {DECON_NGRAM} + 1), "
+            f"i -> array_join(slice(ws, i, {DECON_NGRAM}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gh = (
+        docs.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", md5_int_hash(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    ev = (
+        gh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select("h")
+        .distinct()
+    )
+    return (
+        gh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )

@@ -106,6 +106,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # corpus-statistics family: t24 is BM25 ranking over the same
     # doc-term staging table as t19 (query self-derived from counts)
     "t24_bm25_ranking": "t17_bigram_pmi",
+    # n-gram pair family: t02 holds the gate slot; t25 is the
+    # asymmetric eval-overlap (decontamination) variant
+    "t25_decontaminate": "t02_ngram_jaccard_pairs",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
