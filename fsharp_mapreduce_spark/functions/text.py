@@ -839,7 +839,13 @@ def t24_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global top-{10} is TakeOrderedAndProject on the ROUNDED score
     (doc_id tiebreak), so float summation order cannot flip ranks."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    tokd = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    # persist the tokenized projection: it feeds the tf explode, the
+    # doc-length table AND the corpus stats scalar — without the cache
+    # Catalyst re-expands the scan+split once per consumer (t17's
+    # pattern; three corpus scans instead of one at 100 TB).
+    tokd = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    ).persist()
     toks = tokd.select("doc_id", F.explode("ws").alias("tok"))
     tf = (
         toks.groupBy("doc_id", "tok")
