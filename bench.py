@@ -69,6 +69,21 @@ HEADLINE = [
 ]
 
 
+def _last_json_obj(stdout: str) -> dict:
+    """The subprocess payload: the LAST stdout line that parses as a
+    JSON object. Spark/py4j occasionally emit stray trailing lines on
+    stdout, so blindly parsing splitlines()[-1] throws an unexplained
+    JSONDecodeError (ADVICE r3)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict):
+            return obj
+    raise RuntimeError(f"no JSON payload in subprocess stdout:\n{stdout[-2000:]}")
+
+
 def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
     from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
     from fsharp_mapreduce_spark.session import get_spark
@@ -247,7 +262,7 @@ def main() -> None:
             # would hide the actual failure
             print(proc.stderr, file=sys.stderr)
             raise RuntimeError(f"dice anchor subprocess failed (rc={proc.returncode})")
-        dice = json.loads(proc.stdout.strip().splitlines()[-1])["dice_mr_compat_5m"]
+        dice = _last_json_obj(proc.stdout)["dice_mr_compat_5m"]
     timings = run_spark(sf_dir, args.runs, names)
     result = {
         "metric": "sum of per-query median wall-clock, headline queries",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import fan_out, register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, scoped_persist, table
 
 NGRAM = 3
 JACCARD_THRESHOLD = 0.5
@@ -226,12 +226,12 @@ def ngram_jaccard_pairs(
     # the fixture corpus — explode of the inline array 2.1s vs 0.12s
     # off the materialized one). The cached slim (doc_id, array<long>)
     # rows also serve the size lookups for free.
-    hsets = hashed_shingle_sets(docs).persist()
+    hsets = scoped_persist(hashed_shingle_sets(docs))
     e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
     # persist: hot feeds the emptiness probe, the anti-join (candidate
     # gen) and the per-doc hot-array build; without the cache the df
     # aggregation would scan the exploded corpus once per consumer.
-    hot = _hot_shingles(e, cap).persist()
+    hot = scoped_persist(_hot_shingles(e, cap))
     # Adaptive guard (AQE-style runtime decision, one cached scalar
     # probe — not a data collect): a clean corpus pays only the df
     # aggregation; the anti-join and the hot-remainder patch joins
@@ -513,7 +513,7 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: feeds the band posexplode (both sides of the self-join)
     # AND the verification hs-lookup joins — one materialization, three
     # consumers, slim (doc_id, hs, bands) rows.
-    sigs = minhash_band_signatures(ce_hashed_shingle_sets(docs)).persist()
+    sigs = scoped_persist(minhash_band_signatures(ce_hashed_shingle_sets(docs)))
     bands = sigs.select(
         "doc_id",
         F.posexplode("bands").alias("band", "band_sig"),
@@ -1059,8 +1059,9 @@ def connected_components_star(
     out = vertices.join(roots, "v", "left").select(
         "v", F.coalesce("label", "v").alias("label")
     )
-    # materialize before releasing the star edges the plan reads
-    out = out.persist()
+    # materialize before releasing the star edges the plan reads;
+    # scoped so the next registry query releases the label cache
+    out = scoped_persist(out)
     out.count()
     e.unpersist()
     return out

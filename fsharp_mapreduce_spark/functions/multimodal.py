@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fsharp_mapreduce_spark.registry import fan_out, register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, scoped_persist, table
 
 # Typed metadata carried alongside every payload.
 MEDIA_META = T.StructType(
@@ -415,7 +415,7 @@ def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the feature table feeds both the probe side and the
     # corpus side of the join; without it the Arrow extraction stage
     # runs twice.
-    feats = extract_features(media).select("media_id", "features").persist()
+    feats = scoped_persist(extract_features(media).select("media_id", "features"))
     q = feats.where(F.col("media_id") < M05_N_QUERIES).select(
         F.col("media_id").alias("query_id"), F.col("features").alias("qe")
     )

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.registry import register, scoped_persist, table
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the probe vectors
@@ -235,9 +235,9 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale this materialization is the LSH index itself, written out
     # bucketed by (tbl, bucket) rather than cached.
     bucket_ids = _lsh_bucket_udf()
-    indexed = emb.select(
-        "vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs")
-    ).persist()
+    indexed = scoped_persist(
+        emb.select("vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs"))
+    )
     tagged = indexed.select(
         "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
     )
@@ -1010,6 +1010,14 @@ def s08_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))))
         .alias("m")
     ).collect()[0]["m"]
+    # ADVICE r3: surface degenerate corpora as a clear error at plan
+    # build instead of an opaque TypeError (empty → None) or
+    # ZeroDivisionError (all-zero → 0.0) from the scale division.
+    if max_abs is None or max_abs == 0.0:
+        raise ValueError(
+            "s08_knn_quantized: embeddings table is empty or all-zero — "
+            "cannot derive the int8 quantization scale (127/max|x|)"
+        )
     # Association order matters for the cross-engine bit-identity
     # promise: both engines must compute round(x * fl(127/max_abs)) —
     # the oracle parenthesizes (127.0 / mx.max_abs) to match this

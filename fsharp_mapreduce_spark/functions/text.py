@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import fan_out, register, table
+from fsharp_mapreduce_spark.registry import fan_out, register, scoped_persist, table
 
 # Minimal per-language stopword lists. A deterministic heuristic, not a
 # model: predicted language = argmax of distinct-stopword overlap, ties
@@ -332,7 +332,7 @@ def t17_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs once per consumer (measured 2.1s → 1.2s at sf0.1). At real
     # scale this cache is the tokenized staging table a pipeline
     # materializes once and reuses.
-    tokd = docs.select(F.split(F.lower(F.col("text")), " ").alias("ws")).persist()
+    tokd = scoped_persist(docs.select(F.split(F.lower(F.col("text")), " ").alias("ws")))
     bigrams = F.when(
         F.size("ws") >= 2,
         F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"),
@@ -342,11 +342,10 @@ def t17_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the unigram table too — it feeds the total, both join
     # sides (ta/tb), and is vocabulary-sized, so the cache is tiny and
     # AQE broadcasts it into the pair joins.
-    toks = (
+    toks = scoped_persist(
         tokd.select(F.explode("ws").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     total = toks.agg(F.sum("c").alias("total"))
     ta = toks.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
@@ -466,10 +465,9 @@ def t19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees — without the cache the scan+explode+hash-agg pipeline
     # runs once per consumer (t17's pattern; at scale this is the
     # doc-term staging table a pipeline materializes once).
-    tf = (
+    tf = scoped_persist(
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -628,11 +626,10 @@ def t21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     # persist the per-doc bigram stream: it feeds the pair-count fit
     # AND the scoring join (Catalyst re-expands shared subtrees).
-    flat = (
+    flat = scoped_persist(
         docs.select("doc_id", ws.alias("ws"))
         .select("doc_id", F.explode(bigrams).alias("p"))
         .select("doc_id", "p.a", "p.b")
-        .persist()
     )
     pairs = flat.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
     starts = pairs.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
@@ -745,10 +742,9 @@ def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: the fingerprint table feeds both self-join sides and
     # the size lookup (three consumers of one expensive projection)
-    fps = (
+    fps = scoped_persist(
         d.withColumn("hs", hs)
         .select("doc_id", fps_col.alias("fps"))
-        .persist()
     )
     flat = fps.select("doc_id", F.explode("fps").alias("fp"))
     sizes = fps.select("doc_id", F.size("fps").cast("bigint").alias("n_fp"))
@@ -843,14 +839,13 @@ def t24_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-length table AND the corpus stats scalar — without the cache
     # Catalyst re-expands the scan+split once per consumer (t17's
     # pattern; three corpus scans instead of one at 100 TB).
-    tokd = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
-    ).persist()
+    tokd = scoped_persist(
+        docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    )
     toks = tokd.select("doc_id", F.explode("ws").alias("tok"))
-    tf = (
+    tf = scoped_persist(
         toks.groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist()
     )
     dl = tokd.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
     stats = tokd.agg(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.registry import register, scoped_persist, table
 
 
 @register(
@@ -186,14 +186,13 @@ def global_row_numbers(
     # exchange subtree — measured 20 parquet scans and 25 exchanges in
     # one q31 plan (Catalyst's exchange reuse doesn't fire because
     # column pruning makes each copy structurally different).
-    local = (
+    local = scoped_persist(
         ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
         .select(
             "*",
             F.shiftright("_mid", 33).cast("int").alias("_pid"),
             (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_lrn"),
         )
-        .persist()
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # Prefix sum over the counts table via triangular self-join — NOT a
@@ -256,9 +255,9 @@ def q31_global_ranks_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: rnked feeds the distinct-price dense pass AND the final
     # join — same subtree-duplication economics as in
     # global_row_numbers.
-    rnked = rn.withColumn(
-        "rnk", F.min("rn").over(W.partitionBy("o_totalprice"))
-    ).persist()
+    rnked = scoped_persist(
+        rn.withColumn("rnk", F.min("rn").over(W.partitionBy("o_totalprice")))
+    )
     # dense rank: rank the distinct prices themselves — the same
     # two-pass machinery on the distinct-value table. dropDuplicates
     # on the price reuses the window's hash(price) partitioning (no

@@ -45,6 +45,39 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Query-scoped persist tracking (ADVICE r3): many operators persist a
+# shared staging projection (tokenized docs, shingle sets, fingerprint
+# tables) that several plan consumers read. The cache must live until
+# the CALLER materializes the returned DataFrame — which is after the
+# query function returns — so the function itself cannot unpersist.
+# Instead every scoped_persist() is recorded here and released when
+# the NEXT registered query is invoked (see `register`): a long-lived
+# session running the registry sequentially (the driver gate,
+# verify_probe, the differential suite) holds at most one query's
+# staging blocks at a time instead of accumulating all of them.
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """persist() whose storage is released when the next registry
+    query starts building (or on an explicit release_scoped_caches()).
+    Use for per-query staging tables; NOT for caches an operator
+    eagerly materializes and unpersists itself (the CC loop)."""
+    _SCOPED_CACHES.append(df.persist())
+    return df
+
+
+def release_scoped_caches() -> None:
+    """Unpersist every scoped cache recorded since the last release.
+    Safe to call at any time: already-collected results are plain
+    driver data, and an un-materialized plan just recomputes."""
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 # The driver evaluates oracle_sql() against /root/testdata/sf0.01
 # (TESTDATA.md; observed r1/r2) — data-derived oracles target it.
 GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
@@ -173,8 +206,22 @@ def register(
                 sql = oracle_factory(GATE_SF_DIR)
             except Exception:  # fixture unreadable → driver sees no_oracle
                 sql = None
+
+        # Release the PREVIOUS query's scoped staging caches before
+        # building this one: registry consumers (driver gate,
+        # verify_probe, oracle suite) run queries sequentially, so the
+        # prior result is already materialized by the time the next
+        # build starts. Keeps long sessions from accumulating every
+        # query's persisted staging blocks (ADVICE r3).
+        import functools
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
         QUERIES[name] = QuerySpec(
-            name, fn, sql, tuple(tags), fn.__doc__ or "", oracle_factory
+            name, scoped, sql, tuple(tags), fn.__doc__ or "", oracle_factory
         )
         return fn
 

@@ -46,16 +46,21 @@ def stage_as_chunked_files(
     chunks are a random partition of the input (an out-of-order
     source). The global sort here is harness-only code on fixture-
     sized data, not an engine path."""
+    key = None
     if memo_key is not None:
         key = (memo_key, n_chunks, tuple(order_by or ()))
         cached = _staged_memo.get(key)
         if cached is not None and os.path.isdir(cached):
             return cached
     out_dir = out_dir or tempfile.mkdtemp(prefix="fsmr_stream_")
-    if memo_key is not None:
-        _staged_memo[key] = out_dir
+    # The memo is populated ONLY after the staging write (and mtime
+    # pinning) completes: a failed/interrupted write must not leave a
+    # memo entry pointing at an empty or partial dir that later calls
+    # would silently stream (ADVICE r3).
     if order_by is None:
         df.repartition(n_chunks).write.mode("overwrite").parquet(out_dir)
+        if key is not None:
+            _staged_memo[key] = out_dir
         return out_dir
 
     from pyspark.sql import Window as W
@@ -80,6 +85,8 @@ def stage_as_chunked_files(
             if f.endswith(".parquet") and p not in seen:
                 os.utime(p, (now, now))
                 seen.add(p)
+    if key is not None:  # all chunks staged + mtimes pinned → memoizable
+        _staged_memo[key] = out_dir
     return out_dir
 
 
