@@ -648,6 +648,113 @@ WINNOW_K = 8  # k-gram length (chars)
 WINNOW_W = 16  # winnowing window (k-gram positions)
 WINNOW_MOD = 1_000_000_007
 WINNOW_CONTAINMENT = 0.5
+# Hot-fingerprint cap (VERDICT r3 #2 — t02's STOP_SHINGLE_MAX_POSTINGS
+# applied to winnowing): a fingerprint posted by more than this many
+# documents is dropped from CANDIDATE GENERATION only. Winnowing
+# fingerprints of boilerplate (headers, licenses, navigation chrome)
+# are hot in any real corpus and would emit O(cap²) pairs per hot
+# value — the classic 100 TB skew killer. Containment of every emitted
+# pair stays EXACT: verification intersects the FULL fingerprint
+# sketches; the only effect is that a pair connected solely through
+# boilerplate fingerprints is not surfaced — the standard web-dedup
+# trade. Inert on the fixture (max posting count ≪ 1024); the
+# skew-corpus test pins the bounded-pairs behavior at a small cap.
+WINNOW_MAX_POSTINGS = 1024
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fps: array<long>) — distinct winnowing fingerprints:
+    {WINNOW_K}-gram polynomial rolling hashes (t08's 31/1e9+7 family,
+    exact BIGINT mod arithmetic — cross-engine bit-identical), minimum
+    per {WINNOW_W}-wide window, ≈ 2/(w+1) of positions survive — an 8×
+    sketch compression, all expression-only map work."""
+    codes = F.transform(
+        F.filter(F.split("text", ""), lambda x: x != F.lit("")),
+        lambda x: F.ascii(x).cast("long"),
+    )
+    d = docs.select("doc_id", codes.alias("cs"))
+    # k-gram rolling hashes; Spark's sequence(1, n) is DESCENDING for
+    # n < 1, so the short-doc case must be guarded (t17's idiom)
+    hs = F.when(
+        F.size("cs") >= WINNOW_K,
+        F.expr(
+            f"transform(sequence(1, size(cs) - {WINNOW_K} + 1), "
+            f"i -> aggregate(slice(cs, i, {WINNOW_K}), 0L, "
+            f"(a, b) -> (a * 31 + b) % {WINNOW_MOD}))"
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps_col = F.array_distinct(
+        F.when(F.size("hs") == 0, F.array().cast("array<long>"))
+        .when(F.size("hs") < WINNOW_W, F.array(F.array_min("hs")))
+        .otherwise(
+            F.expr(
+                f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), "
+                f"j -> array_min(slice(hs, j, {WINNOW_W})))"
+            )
+        )
+    )
+    return d.withColumn("hs", hs).select("doc_id", fps_col.alias("fps"))
+
+
+def winnow_candidate_pairs(fps: DataFrame, cap: int) -> DataFrame:
+    """(doc_a, doc_b) distinct pairs sharing ≥1 non-hot fingerprint.
+    Posting counts per fingerprint (one partial-aggregated exchange on
+    8-byte keys), anti-join the hot set (tiny by construction →
+    broadcast), self-equi-join the kept postings. Parameterized on the
+    cap so the skew-corpus test can exercise a small one directly."""
+    flat = fps.select("doc_id", F.explode("fps").alias("fp"))
+    hot = (
+        flat.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") > cap)
+        .select("fp")
+    )
+    kept = flat.join(F.broadcast(hot), "fp", "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    # shuffle_hash hint (t02's rationale): the planner's size estimate
+    # would otherwise broadcast the exploded corpus, and both join
+    # inputs are the identical subplan so the single shuffle is
+    # computed once and reused for both sides.
+    return (
+        a.hint("shuffle_hash")
+        .join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def winnow_containment_pairs(
+    docs: DataFrame, cap: int = WINNOW_MAX_POSTINGS
+) -> DataFrame:
+    """Containment pairs over winnowing sketches with a hot-fingerprint
+    cap on candidate generation. Verification intersects the FULL
+    sketches of each candidate pair, so the emitted containment is
+    exact regardless of the cap."""
+    fps = scoped_persist(winnow_fingerprints(docs))
+    cand = winnow_candidate_pairs(fps, cap)
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b"))
+    out = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("fps_a", "fps_b"))
+            .cast("bigint")
+            .alias("n_shared"),
+            F.least(F.size("fps_a"), F.size("fps_b"))
+            .cast("bigint")
+            .alias("min_fp"),
+        )
+        .withColumn("containment", F.col("n_shared") / F.col("min_fp"))
+        .where(F.col("containment") >= WINNOW_CONTAINMENT)
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_shared", F.round("containment", 6).alias("containment")
+    )
 
 
 @register(
@@ -679,94 +786,51 @@ WINNOW_CONTAINMENT = 0.5
       FROM grams
     ),
     flat AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
-    sizes AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp FROM fps),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-      FROM flat a JOIN flat b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
+    hot AS (
+      SELECT fp FROM flat GROUP BY fp
+      HAVING count(*) > {WINNOW_MAX_POSTINGS}
+    ),
+    kept AS (SELECT flat.doc_id, flat.fp FROM flat ANTI JOIN hot USING (fp)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.fps, sb.fps)) AS BIGINT) AS n_shared,
+             least(len(sa.fps), len(sb.fps)) AS min_fp
+      FROM cand
+      JOIN fps sa ON doc_a = sa.doc_id
+      JOIN fps sb ON doc_b = sb.doc_id
     )
     SELECT doc_a, doc_b, n_shared,
-           ROUND(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6) AS containment
-    FROM shared
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_shared * 1.0 / least(sa.n_fp, sb.n_fp) >= {WINNOW_CONTAINMENT}
+           ROUND(n_shared * 1.0 / min_fp, 6) AS containment
+    FROM v
+    WHERE n_shared * 1.0 / min_fp >= {WINNOW_CONTAINMENT}
     """,
     tags=("text", "fingerprint", "winnowing", "dedup"),
 )
 def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     SIGMOD 2003 — the MOSS algorithm) + containment pairs — the
-    fingerprint-family scale-out of t08's whole-document hash
-    (pytest-only family member; t08 holds the gate slot). Whole-doc
-    hashes only catch EXACT duplicates and MinHash estimates whole-doc
-    resemblance; winnowing guarantees any shared substring of length
-    ≥ w+k−1 chars leaves a common fingerprint, so CONTAINMENT —
-    one document quoting a chunk of another — is detectable, the case
-    both t01 and t03 miss by design.
+    fingerprint-family scale-out of t08's whole-document hash.
+    Whole-doc hashes only catch EXACT duplicates and MinHash estimates
+    whole-doc resemblance; winnowing guarantees any shared substring
+    of length ≥ w+k−1 chars leaves a common fingerprint, so
+    CONTAINMENT — one document quoting a chunk of another — is
+    detectable, the case both t01 and t03 miss by design.
 
-    Per doc: {8}-gram polynomial hashes (exact BIGINT mod arithmetic,
-    t08's 31/1e9+7 family — cross-engine bit-identical), minimum per
-    {16}-wide window, distinct survivors ≈ 2/(w+1) of positions — an
-    8× sketch compression, all expression-only map work. Pairing is
-    the t01/t03 bucket shape: explode fingerprints, self-join on the
-    8-byte value, count shared per pair, threshold on
-    shared/min(|fps|) ≥ {0.5}. A production corpus would add t02's
-    stop-shingle cap on hot fingerprints (boilerplate); the fixture
-    corpus needs none."""
+    Pairing is t02's capped-postings shape: fingerprints posted by
+    more than {WINNOW_MAX_POSTINGS} documents (boilerplate) are
+    dropped from candidate generation — without the cap one hot
+    boilerplate fingerprint emits O(postings²) pairs, the 100 TB skew
+    killer — and every candidate pair is then verified by
+    intersecting the FULL sketches, so emitted containments are exact.
+    Exchanges carry 8-byte fingerprint keys; the hot set is tiny by
+    construction and broadcasts into the anti-join. Skew behavior
+    pinned by tests/test_dedup.py::test_winnow_cap_bounds_candidates."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    codes = F.transform(
-        F.filter(F.split("text", ""), lambda x: x != F.lit("")),
-        lambda x: F.ascii(x).cast("long"),
-    )
-    d = docs.select("doc_id", codes.alias("cs"))
-    # k-gram rolling hashes; Spark's sequence(1, n) is DESCENDING for
-    # n < 1, so the short-doc case must be guarded (t17's idiom)
-    hs = F.when(
-        F.size("cs") >= WINNOW_K,
-        F.expr(
-            f"transform(sequence(1, size(cs) - {WINNOW_K} + 1), "
-            f"i -> aggregate(slice(cs, i, {WINNOW_K}), 0L, "
-            f"(a, b) -> (a * 31 + b) % {WINNOW_MOD}))"
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    fps_col = F.array_distinct(
-        F.when(F.size("hs") == 0, F.array().cast("array<long>"))
-        .when(F.size("hs") < WINNOW_W, F.array(F.array_min("hs")))
-        .otherwise(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {WINNOW_W} + 1), "
-                f"j -> array_min(slice(hs, j, {WINNOW_W})))"
-            )
-        )
-    )
-    # persist: the fingerprint table feeds both self-join sides and
-    # the size lookup (three consumers of one expensive projection)
-    fps = scoped_persist(
-        d.withColumn("hs", hs)
-        .select("doc_id", fps_col.alias("fps"))
-    )
-    flat = fps.select("doc_id", F.explode("fps").alias("fp"))
-    sizes = fps.select("doc_id", F.size("fps").cast("bigint").alias("n_fp"))
-    a = flat.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = flat.select(F.col("doc_id").alias("doc_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb"))
-    out = (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("containment", F.col("n_shared") / F.least("na", "nb"))
-        .where(F.col("containment") >= WINNOW_CONTAINMENT)
-    )
-    return out.select(
-        "doc_a", "doc_b", "n_shared", F.round("containment", 6).alias("containment")
-    )
+    return winnow_containment_pairs(docs)
 
 
 BM25_K1 = 1.2
@@ -902,6 +966,52 @@ DECON_NGRAM = 8  # tokens per contamination n-gram
 DECON_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out eval set
 
 
+def decontamination_gram_hashes(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Distinct (doc_id, h): one md5-family hash per sliding {n}-token
+    window (cross-engine md5-slice family, dedup.md5_int_hash)."""
+    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
+
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size("ws") >= n,
+        F.expr(
+            f"transform(sequence(1, size(ws) - {n} + 1), "
+            f"i -> array_join(slice(ws, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", md5_int_hash(F.col("gram")).alias("h"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, eval_docs: DataFrame | None = None) -> DataFrame:
+    """Per-training-doc count of {DECON_NGRAM}-gram hashes shared with
+    the eval set. ``eval_docs`` is the real API: any (doc_id, text)
+    DataFrame plays the held-out benchmark. When None, the
+    deterministic doc_id % {DECON_EVAL_MOD} slice of ``docs`` stands
+    in (the registered fixture query) — in that mode the (doc, hash)
+    projection is persisted so the corpus is scanned ONCE: both the
+    eval-hash derivation and the training-side probe read the cache
+    (VERDICT r3 #1 — Catalyst re-expands shared subtrees otherwise)."""
+    if eval_docs is None:
+        gh = scoped_persist(decontamination_gram_hashes(docs))
+        ev = gh.where(F.col("doc_id") % DECON_EVAL_MOD == 0).select("h").distinct()
+        train = gh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    else:
+        # separate eval table: its gram derivation is a scan of the
+        # (tiny) eval input, never a second corpus scan
+        ev = decontamination_gram_hashes(eval_docs).select("h").distinct()
+        train = decontamination_gram_hashes(docs)
+    return (
+        train.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
 @register(
     "t25_decontaminate",
     oracle=f"""
@@ -931,44 +1041,21 @@ DECON_EVAL_MOD = 50  # doc_id % 50 == 0 plays the held-out eval set
 def t25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the GPT-3-style n-gram overlap scan
     (Brown et al. 2020, appendix C): flag every training document that
-    shares an {8}-token n-gram with the held-out eval set (here: the
-    deterministic doc_id % {50} slice plays the eval set). Distinct
-    from dedup: the comparison is ASYMMETRIC — a tiny probe set
-    against the full corpus — so the plan broadcasts the eval-gram
-    hashes and the corpus side never shuffles for the membership test.
-    Pytest-only (family rep: t02, the n-gram pair slot).
+    shares an {8}-token n-gram with the held-out eval set. The real
+    API (`decontaminate`) takes the eval set as a second DataFrame;
+    the registered query uses the deterministic doc_id % {50} fixture
+    slice so the oracle replays exactly. Distinct from dedup: the
+    comparison is ASYMMETRIC — a tiny probe set against the full
+    corpus — so the plan broadcasts the eval-gram hashes and the
+    corpus side never shuffles for the membership test.
 
-    Per doc: sliding {8}-token windows → one native md5 per gram
-    (the cross-engine md5-slice family, dedup.md5_int_hash) → distinct
-    (doc, hash) → broadcast-join against the eval hash set → per-doc
-    hit count. Exchanges carry 8-byte hashes, never gram text; the
-    48-bit→M31 hash space makes a false hit ~n_eval_grams/2³¹ per
-    gram — identical in both engines, so the oracle replays exactly."""
-    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
-
+    Per doc: sliding {8}-token windows → one native md5 per gram →
+    distinct (doc, hash) — persisted, ONE corpus scan feeds both the
+    eval derivation and the training probe (plan-pinned by
+    tests/test_plans.py::test_t25_single_corpus_scan) → broadcast-join
+    against the eval hash set → per-doc hit count. Exchanges carry
+    8-byte hashes, never gram text; the 48-bit→M31 hash space makes a
+    false hit ~n_eval_grams/2³¹ per gram — identical in both engines,
+    so the oracle replays exactly."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    ws = F.split(F.lower(F.col("text")), " ")
-    grams = F.when(
-        F.size("ws") >= DECON_NGRAM,
-        F.expr(
-            f"transform(sequence(1, size(ws) - {DECON_NGRAM} + 1), "
-            f"i -> array_join(slice(ws, i, {DECON_NGRAM}), ' '))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    gh = (
-        docs.select("doc_id", ws.alias("ws"))
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", md5_int_hash(F.col("gram")).alias("h"))
-        .distinct()
-    )
-    ev = (
-        gh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
-        .select("h")
-        .distinct()
-    )
-    return (
-        gh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
-        .join(F.broadcast(ev), "h")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_ngrams"))
-    )
+    return decontaminate(docs)

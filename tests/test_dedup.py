@@ -550,3 +550,99 @@ def test_t22_winnowing_detects_containment_quote(spark, tmp_path):
     assert (0, 1) in pairs, out
     assert pairs[(0, 1)] >= 0.9
     assert all(2 not in p for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def winnow_skew_docs(spark):
+    """A corpus with hot winnowing fingerprints: 100 of 200 docs share
+    a 40-char boilerplate prefix (≥ w + k − 1 = 23 chars ⇒ guaranteed
+    common fingerprints, each posted by 100 docs) but are otherwise
+    unique random text; plus one true duplicate pair that shares no
+    boilerplate."""
+    import random
+
+    rng = random.Random(13)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+
+    def rand_text(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    boiler = "copyright acme corp all rights reserved "  # 40 chars
+    rows = [(i, boiler + rand_text(160)) for i in range(100)]
+    rows += [(i, rand_text(200)) for i in range(100, 200)]
+    dup = rand_text(200)
+    rows.append((300, dup))
+    rows.append((301, dup))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_cap_bounds_candidates(spark, winnow_skew_docs):
+    """Hot boilerplate fingerprints (posted by 100 docs > cap=10) must
+    be dropped from candidate generation: capped candidates stay
+    O(true dups) while uncapped candidates blow up O(postings²)."""
+    from fsharp_mapreduce_spark.functions.text import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(winnow_skew_docs).persist()
+    try:
+        uncapped = winnow_candidate_pairs(fps, cap=10**9).count()
+        capped = winnow_candidate_pairs(fps, cap=10).count()
+    finally:
+        fps.unpersist()
+    assert uncapped >= 100 * 99 // 2  # the quadratic blowup the cap kills
+    assert capped <= 5
+
+
+def test_winnow_cap_keeps_true_dups_exact(spark, winnow_skew_docs):
+    """With the cap active, the true duplicate pair is still surfaced
+    via its own fingerprints with EXACT containment 1.0 (verification
+    intersects the full sketches, not the capped postings)."""
+    from fsharp_mapreduce_spark.functions.text import winnow_containment_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in winnow_containment_pairs(winnow_skew_docs, cap=10).collect()
+    }
+    assert pairs[(300, 301)] == 1.0
+    # boilerplate-only pairs are connected solely through hot
+    # fingerprints — the cap keeps them out of the candidate set
+    assert all((a, b) == (300, 301) for a, b in pairs)
+
+
+def test_decontaminate_with_external_eval_table(spark):
+    """The real decontamination API (VERDICT r3 #8): the eval set is a
+    SECOND DataFrame, not a doc_id slice. A training doc sharing an
+    8-token run with an eval doc is flagged with the correct overlap
+    count; disjoint docs are not flagged."""
+    from fsharp_mapreduce_spark.functions.text import decontaminate
+
+    contaminated = "a b c d e f g h i j"  # 10 tokens → 3 shared 8-grams
+    clean = "q r s t u v w x y z"
+    train = spark.createDataFrame(
+        [(1, contaminated), (2, clean)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(900, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.n_shared_ngrams for r in decontaminate(train, ev).collect()}
+    assert rows == {1: 3}
+
+
+def test_decontaminate_fixture_slice_matches_external_eval(spark):
+    """Passing the doc_id % 50 slice explicitly as the eval table must
+    reproduce the registered fixture query exactly (minus the slice's
+    self-exclusion, which the default mode applies)."""
+    from fsharp_mapreduce_spark.functions.text import DECON_EVAL_MOD, decontaminate
+    from fsharp_mapreduce_spark.registry import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    ev = docs.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    explicit = {
+        (r.doc_id, r.n_shared_ngrams) for r in decontaminate(train, ev).collect()
+    }
+    default = {(r.doc_id, r.n_shared_ngrams) for r in decontaminate(docs).collect()}
+    assert explicit == default

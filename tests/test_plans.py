@@ -344,6 +344,23 @@ def test_t19_tfidf_broadcasts_and_caches_tf(spark):
     spark.catalog.clearCache()
 
 
+def test_t25_single_corpus_scan(spark):
+    """t25 (VERDICT r3 #1): the (doc, gram-hash) projection feeds BOTH
+    the eval-hash derivation and the training-side probe; it must be
+    cached so the corpus scan + Generate + distinct exchange run once
+    — without the persist, Catalyst re-expands the shared subtree and
+    the whole pipeline executes twice."""
+    df = q("t25_decontaminate", spark)
+    plan = formatted_plan(df)
+    # both consumers read the cache: every parquet scan in the plan is
+    # the cached relation's own definition (printed once per
+    # InMemoryRelation node), never a second live corpus scan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("Scan parquet") <= plan.count("InMemoryRelation"), plan
+    assert has_broadcast_join(df), plan  # eval hashes broadcast into the probe
+    spark.catalog.clearCache()
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark):
     """Runtime Bloom-filter join pruning (the shuffle-side complement
     to broadcast pruning, SCALING.md fact-fact row): when a selective
