@@ -120,6 +120,97 @@ def t01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_TOKENS = 16  # tokens per "paragraph" block (fixture docs are
+# single-line token streams — no newline boundaries — so the exact
+# substring-dedup unit is a fixed disjoint token block; a production
+# corpus would pass a newline/blank-line segmenter instead)
+
+
+def paragraph_blocks(docs: DataFrame, para_tokens: int = PARA_TOKENS) -> DataFrame:
+    """(doc_id, bh): one md5 digest per disjoint {PARA_TOKENS}-token
+    block of the lowercased text, one row per block POSITION (a block
+    repeated inside a doc emits multiple rows). Expression-only map
+    work — the Generate is the only per-row cost."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    n_blocks = F.ceil(F.size("ws") / F.lit(para_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice("ws", i * para_tokens + 1, para_tokens), " "),
+    )
+    return docs.select("doc_id", ws.alias("ws")).select(
+        "doc_id", F.explode(blocks).alias("block")
+    ).select("doc_id", F.md5("block").alias("bh"))
+
+
+def paragraph_dedup(docs: DataFrame, para_tokens: int = PARA_TOKENS) -> DataFrame:
+    """Exact substring-level dedup (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" class, at paragraph
+    granularity): per document, the fraction of its text blocks that
+    appear verbatim in at least one OTHER document. t01 only catches
+    whole-document copies; this catches the far more common partial
+    copy — syndicated passages, quoted chunks, licensing boilerplate.
+
+    Plan at 100 TB (t01's digest-exchange shape throughout): the
+    shuffle keys are 32-byte md5 digests, never block text. One
+    exchange keyed (doc_id, bh) collapses within-doc repeats with
+    map-side combine; a second keyed on bh computes each block's
+    document frequency (partial agg — the hot-block combiner); the
+    join back to per-doc rows re-uses the bh key; the final per-doc
+    roll-up is a keyed aggregate. No self-join, no pair explosion —
+    cost is linear in corpus blocks regardless of duplication skew."""
+    b = paragraph_blocks(docs, para_tokens)
+    per_doc_block = b.groupBy("doc_id", "bh").agg(
+        F.count(F.lit(1)).alias("pos_cnt")
+    )
+    per_hash = per_doc_block.groupBy("bh").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_pos = F.when(F.col("n_docs") >= 2, F.col("pos_cnt")).otherwise(F.lit(0))
+    return (
+        per_doc_block.join(per_hash, "bh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("pos_cnt").cast("bigint").alias("n_blocks"),
+            F.sum(dup_pos).cast("bigint").alias("n_dup_blocks"),
+            F.round(F.sum(dup_pos) / F.sum("pos_cnt"), 6).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "t26_paragraph_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             [list_aggregate(ws[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}], 'string_agg', ' ')
+              for i in generate_series(0, CAST(ceil(len(ws) * 1.0 / {PARA_TOKENS}) AS BIGINT) - 1)] AS blocks
+      FROM w
+    ),
+    e AS (SELECT doc_id, md5(unnest(blocks)) AS bh FROM b),
+    pdb AS (SELECT doc_id, bh, COUNT(*) AS pos_cnt FROM e GROUP BY 1, 2),
+    ph AS (SELECT bh, COUNT(*) AS n_docs FROM pdb GROUP BY 1)
+    SELECT doc_id,
+           CAST(SUM(pos_cnt) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN n_docs >= 2 THEN pos_cnt ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           ROUND(SUM(CASE WHEN n_docs >= 2 THEN pos_cnt ELSE 0 END) * 1.0
+                 / SUM(pos_cnt), 6) AS dup_fraction
+    FROM pdb JOIN ph USING (bh)
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact", "paragraph"),
+)
+def t26_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact paragraph-level dedup — the canonical training-set
+    substring operator between t01 (whole-doc exact) and t22
+    (approximate containment): disjoint {PARA_TOKENS}-token blocks,
+    md5 digests, per-doc duplicated-block fraction. See
+    `paragraph_dedup` for the 100 TB plan analysis. Full value-hash
+    oracle (both engines hash identical block strings)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return paragraph_dedup(docs)
+
+
 _NGRAM_ORACLE = f"""
     WITH w AS (
       SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents

@@ -96,11 +96,17 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # and runnable by users — they just don't occupy gate slots.
 # Family → exposed representative:
 #   q04/q05/q06/q07/q33 (join variants)        → q03 + q08
-#   q09/q11/q12/q28/q29/q30/q32/q37 (agg/Expand/sketch) → q01 + q10
-#   q14/q15/q16 (window variants)              → q13 + q31
+#   q09/q10/q11/q12/q28/q29/q30/q32/q37 (agg/Expand/sketch) → q01
+#   q13/q14/q15/q16 (window variants)          → q31 + q39
 #   q18/q20/q21 (set ops)                      → q19
 #   q22/q23/q24/q25/q34/q35/q36/q38 (scalar/sequence fns) → q26 + q27
-#   q39 (RANGE frame)                          → q13 + q31
+#
+# ROTATION (round 4, VERDICT r3 "Next round" #1): the round-3
+# additions (t19–t25, s08/s09, st10/st11, q39/q40) spent r3 in the
+# pytest-only tier; this round they hold the gate slots and their
+# already-twice-driver-green family siblings fold to pytest-only.
+# Every folded query keeps its oracle and is value-hash-verified
+# against DuckDB on every pytest run by test_oracle_differential.
 #
 # Non-q entries folded out MUST name their exposed representative in
 # PYTEST_ONLY_FAMILY below (pinned by tests/test_registry_exposure.py)
@@ -108,54 +114,60 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
-    # corpus-statistics family: t17 (bigram PMI) holds the gate slot;
-    # t19 is the same explode→hash-agg→broadcast-join→top-k shape
-    "t19_tfidf_top_terms": "t17_bigram_pmi",
-    # quality-scoring family: t06 holds the gate slot; t20 is the
-    # repetition-rule sibling (map-only array expressions)
-    "t20_repetition_filter": "t06_quality_score",
-    # n-gram LM family: t21 scores docs under the corpus bigram model
-    # (perplexity-filter shape) — same Generate→hash-agg→join plan as
-    # t17's fit
-    "t21_bigram_lm_score": "t17_bigram_pmi",
-    # streaming-dedup family: st02 holds the gate slot; st10 is the
-    # TTL-bounded (dropDuplicatesWithinWatermark) production variant
-    "st10_dedup_within_watermark": "st02_stream_dedup",
-    # similarity family: s08 is the int8-quantized two-stage variant
-    # of s01's exact search (4× memory/shuffle story; recall-pinned)
-    "s08_knn_quantized": "s01_knn_bruteforce",
-    # fingerprint family: t08 holds the gate slot; t22 is the
-    # winnowing (MOSS) substring-containment sibling
-    "t22_winnow_containment_pairs": "t08_fingerprint",
-    # pull-stream family: st01 holds the gate slot; st11 is the same
-    # chunked-pull semantics on the custom Python streaming source
-    "st11_dice_pull_stream": "st01_stream_tumbling_agg",
-    # clustering family: t12 (min-label) holds the gate slot; t23 is
-    # the O(log n)-round star-contraction engine on the same edge set
-    "t23_dedup_clusters_star": "t12_dedup_clusters",
-    # similarity family: s09 is the multi-vector (MaxSim) scoring rule
-    # over label-grouped documents — s01's single-vector sibling
-    "s09_maxsim_late_interaction": "s01_knn_bruteforce",
-    # corpus-statistics family: t24 is BM25 ranking over the same
-    # doc-term staging table as t19 (query self-derived from counts)
-    "t24_bm25_ranking": "t17_bigram_pmi",
-    # n-gram pair family: t02 holds the gate slot; t25 is the
-    # asymmetric eval-overlap (decontamination) variant
-    "t25_decontaminate": "t02_ngram_jaccard_pairs",
+    # n-gram overlap family: t25 (decontamination probe) holds the
+    # slot this round; t02 is the exact Jaccard pair sibling (driver-
+    # green r1–r3), same capped-postings candidate shape
+    "t02_ngram_jaccard_pairs": "t25_decontaminate",
+    # quality-scoring family: t20 (repetition rules) holds the slot;
+    # t06 is the surface-ratio sibling (driver-green r1–r3)
+    "t06_quality_score": "t20_repetition_filter",
+    # token-statistics family: t19's tf staging is the per-(doc,token)
+    # count table; t07 is the per-language roll-up of the same counts
+    "t07_token_count": "t19_tfidf_top_terms",
+    # fingerprint family: t22 (winnowing containment) holds the slot;
+    # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
+    "t08_fingerprint": "t22_winnow_containment_pairs",
+    # clustering family: t23 (star contraction) holds the slot; t12 is
+    # the min-label sibling on the same edge set (driver-green r2–r3)
+    "t12_dedup_clusters": "t23_dedup_clusters_star",
+    # sampling family: t13 (hash sample) keeps the slot; t14 is the
+    # per-stratum variant of the same map-only key-hash filter
+    "t14_stratified_sample": "t13_hash_sample",
+    # map-only text-transform family: t18 (cleaning) keeps the slot;
+    # t16 is the chunking sibling (same Generate-over-projection, no
+    # shuffle; driver-green r1–r3)
+    "t16_token_chunking": "t18_clean_text",
+    # corpus-statistics family: t19 (TF-IDF) holds the slot; t17 is
+    # the bigram-PMI sibling (driver-green r1–r3), same
+    # explode→hash-agg→broadcast-join shape
+    "t17_bigram_pmi": "t19_tfidf_top_terms",
+    # similarity family: s08 (int8 two-stage) holds the slot; s01 is
+    # the exact probe-broadcast sibling it re-ranks with
+    # (driver-green r1–r3; recall pin ties them)
+    "s01_knn_bruteforce": "s08_knn_quantized",
+    # kNN-join family: s07 (sub-quadratic LSH join) holds the slot;
+    # s06 is its declared exact verifier twin (driver-green r2–r3)
+    "s06_knn_join": "s07_knn_join_lsh",
+    # pull-stream family: st11 (custom Python streaming source) holds
+    # the slot; st01 is the file-staged chunk-pull sibling
+    # (driver-green r1–r3)
+    "st01_stream_tumbling_agg": "st11_dice_pull_stream",
+    # streaming-dedup family: st10 (TTL watermark dedup) holds the
+    # slot; st02 is the unbounded-state sibling (driver-green r3)
+    "st02_stream_dedup": "st10_dedup_within_watermark",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
     {
-        "q39_time_range_window",
-        # connector twin of the q27 flagship (custom Python DataSource)
-        "q40_dice_pull_source",
         "q04_revenue_by_nation",
         "q05_semi_join",
         "q06_anti_join",
         "q07_range_join",
         "q09_agg_distinct",
+        "q10_cube",
         "q11_rollup",
         "q12_grouping_sets",
+        "q13_window_topk_per_group",
         "q14_window_running_sum",
         "q15_window_lag_lead",
         "q16_window_ranks",

@@ -646,3 +646,44 @@ def test_decontaminate_fixture_slice_matches_external_eval(spark):
     }
     default = {(r.doc_id, r.n_shared_ngrams) for r in decontaminate(docs).collect()}
     assert explicit == default
+
+
+def test_paragraph_dedup_planted_partial_copy(spark):
+    """t26's reason to exist: doc B copies exactly one 16-token block
+    of doc A (a partial copy t01 misses — the docs are not equal — and
+    exact-substring, which t03's whole-doc resemblance dilutes).
+    Block accounting: A = 32 tokens (2 blocks, 1 duplicated), B = that
+    one block verbatim (1 block, duplicated), C unrelated (0 dup)."""
+    from fsharp_mapreduce_spark.functions.dedup import paragraph_dedup
+
+    block1 = " ".join(f"w{i}" for i in range(16))
+    block2 = " ".join(f"x{i}" for i in range(16))
+    other = " ".join(f"z{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, f"{block1} {block2}"), (2, block1), (3, other)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocks, r.n_dup_blocks, r.dup_fraction)
+           for r in paragraph_dedup(df).collect()}
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (1, 1, 1.0)
+    assert out[3] == (1, 0, 0.0)
+
+
+def test_paragraph_dedup_counts_repeated_positions_once_per_doc_pairing(spark):
+    """A block repeated WITHIN one doc only (no other doc has it) is
+    not cross-doc duplication; the same block in two docs marks every
+    occurrence in both."""
+    from fsharp_mapreduce_spark.functions.dedup import paragraph_dedup
+
+    rep = " ".join(f"r{i}" for i in range(16))
+    solo = " ".join(f"s{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, f"{solo} {solo}"),            # within-doc repeat only
+         (2, f"{rep} {rep}"), (3, rep)],   # cross-doc duplicate, repeated in 2
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_blocks, r.n_dup_blocks) for r in paragraph_dedup(df).collect()}
+    assert out[1] == (2, 0)
+    assert out[2] == (2, 2)
+    assert out[3] == (1, 1)
