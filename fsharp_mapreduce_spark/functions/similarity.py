@@ -472,6 +472,114 @@ def _s04_oracle_for(sf_dir: str) -> str | None:
 """
 
 
+def _cell_sims_udf(cent_mat: np.ndarray):
+    """Arrow-batched cosine of every vector against all cells in ONE
+    numpy GEMM (vectorized decisions, fold for emitted scores — the
+    house split every LSH/IVF path uses). Literal-free plan on
+    purpose: a cells×dim literal fold tree costs ~1 s of Catalyst
+    analysis per invocation (measured); the UDF closure ships the
+    matrix for free."""
+    cents_t = cent_mat.T.copy()
+    cn = np.array([_seq_norm(c) for c in cent_mat])
+
+    @F.pandas_udf("array<double>")
+    def cell_sims(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        xn = np.sqrt((mat * mat).sum(axis=1))
+        xn[xn == 0.0] = 1.0
+        sims = (mat @ cents_t[: mat.shape[1]]) / (xn[:, None] * cn[None, :])
+        return pd.Series(list(sims))
+
+    return cell_sims
+
+
+def _probe_cells(qbase: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
+    """(query_id, qe, cell_id): each query's {N_PROBE} nearest cells,
+    from a (vec_id, embedding, cs) projection. Tie → lower cell (the
+    oracle's ROW_NUMBER order)."""
+    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
+    return (
+        qbase.select("vec_id", "embedding", F.posexplode("cs").alias("cell_id", "csim"))
+        .withColumn("r", F.row_number().over(wv))
+        .where(F.col("r") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            "cell_id",
+        )
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, index_path: str, n_cells: int = N_CELLS
+) -> np.ndarray:
+    """Materialize the inverted file s04 computes on the fly — the
+    code twin of its 100 TB claim (VERDICT r3 #6, mirroring s02's
+    `build_lsh_index`): fit the coarse quantizer, assign every vector
+    with the map-only Arrow-GEMM projection (zero corpus-keyed
+    exchanges — the same shape test_s04_assignment_is_map_only pins),
+    and write the posting lists as parquet PARTITIONED BY cell_id.
+    Each cell is a physical partition directory, so a probe that
+    filters on cell_id prunes to nprobe/ncells of the corpus AT THE
+    FILE-LISTING LEVEL — unselected cells are never read, listed
+    splits scale with nprobe, not corpus size. Returns the centroid
+    matrix (the probe's query-side quantizer needs it)."""
+    cent_mat = _kmeans_centroids(emb, n_cells)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_path)
+    return cent_mat
+
+
+def knn_ivf_probe(
+    spark: SparkSession,
+    index_path: str,
+    cent_mat: np.ndarray,
+    queries: DataFrame,
+    n_probe: int = N_PROBE,
+    k: int = TOP_K,
+) -> DataFrame:
+    """ANN top-k against a materialized `build_ivf_index` layout.
+    The query side is tiny by construction: its cell ranking collects
+    to the driver (Q×n_probe rows) and becomes a LITERAL cell_id
+    filter, so Catalyst partition-prunes the index scan statically —
+    the plan's PartitionFilters lists the probed cells and
+    `partitionCount` shows ≤ Q×n_probe of n_cells directories read
+    (pinned by tests/test_similarity.py::
+    test_ivf_index_probe_prunes_partitions). Candidates are exact
+    fold-cosine-scored and window-top-k'd, identical semantics to
+    s04's inline pipeline."""
+    qbase = queries.select(
+        "vec_id", "embedding", _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs")
+    )
+    probes = _probe_cells(qbase, n_probe)
+    cells = sorted({r.cell_id for r in probes.select("cell_id").distinct().collect()})
+    idx = spark.read.parquet(index_path).where(F.col("cell_id").isin(cells))
+    scored = idx.join(
+        F.broadcast(probes),
+        (idx.cell_id == probes.cell_id) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
 @register(
     "s04_knn_ivf",
     oracle_factory=_s04_oracle_for,
@@ -499,9 +607,10 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        cosine + per-query window top-k over the pruned candidates.
 
     At 100 TB the posting lists are written out partitioned by
-    cell_id, so a probe prunes to nprobe/ncells of the corpus at the
-    parquet-scan level; the map-only assignment is the same pass that
-    write. Zero corpus-keyed exchanges in the whole plan (pinned by
+    cell_id — `build_ivf_index` + `knn_ivf_probe` are that
+    materialized path: the probe becomes a literal cell filter that
+    partition-prunes the index scan to nprobe/ncells directories
+    (plan-pinned). Zero corpus-keyed exchanges in the whole plan (pinned by
     tests/test_plans.py::test_s04_assignment_is_map_only). Recall vs
     s01_knn_bruteforce pinned in tests/test_similarity.py."""
     emb = table(spark, sf_dir, "embeddings")
@@ -520,20 +629,9 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix for free. Map-only assignment: no centroid join, no 16×
     # blow-up, no full-corpus groupBy(vec_id) exchange (the r2 max_by
     # formulation's cost).
-    cents_t = cent_mat.T.copy()
-    cn = np.array([_seq_norm(c) for c in cent_mat])
-
-    @F.pandas_udf("array<double>")
-    def cell_sims(embs: pd.Series) -> pd.Series:
-        if len(embs) == 0:
-            return pd.Series([], dtype=object)
-        mat = np.stack(embs.to_numpy()).astype(np.float64)
-        xn = np.sqrt((mat * mat).sum(axis=1))
-        xn[xn == 0.0] = 1.0
-        sims = (mat @ cents_t[: mat.shape[1]]) / (xn[:, None] * cn[None, :])
-        return pd.Series(list(sims))
-
-    base = emb.select("vec_id", "embedding", cell_sims(F.col("embedding")).alias("cs"))
+    base = emb.select(
+        "vec_id", "embedding", _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs")
+    )
     # argmax on the materialized array: array_position's first match ==
     # np.argmax's first max == the oracle's (csim DESC, cell_id ASC)
     assigned = base.select(
@@ -541,18 +639,7 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
     )
-    wv = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell_id")
-    probes = (
-        base.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding", F.posexplode("cs").alias("cell_id", "csim"))
-        .withColumn("r", F.row_number().over(wv))
-        .where(F.col("r") <= N_PROBE)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            "cell_id",
-        )
-    )
+    probes = _probe_cells(base.where(F.col("vec_id") < N_QUERIES))
     scored = (
         assigned.join(
             F.broadcast(probes),

@@ -295,3 +295,68 @@ def test_s08_candidate_stage_is_integer_exact(spark):
         for r in qt.where(FF.col("vec_id") != probe).collect()
     }
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, tmp_path_factory):
+    """A materialized cell_id-partitioned IVF index over the fixture
+    corpus (VERDICT r3 #6: the code twin of s04's 100 TB claim)."""
+    from fsharp_mapreduce_spark.functions.similarity import build_ivf_index
+
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    cents = build_ivf_index(table(spark, SF_SMOKE, "embeddings"), path)
+    return path, cents
+
+
+def test_ivf_index_probe_matches_on_the_fly(spark, ivf_index):
+    """Probing the materialized index returns exactly the inline s04
+    answer — the index is a cache of the cell assignment, not a
+    different algorithm."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        N_QUERIES,
+        knn_ivf_probe,
+        s04_knn_ivf,
+    )
+
+    path, cents = ivf_index
+    queries = table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    fly = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+           for r in s04_knn_ivf(spark, SF_SMOKE).collect()}
+    idx = {(r.query_id, r.neighbor_id, r.rank, r.sim)
+           for r in knn_ivf_probe(spark, path, cents, queries).collect()}
+    assert idx == fly
+
+
+def test_ivf_index_probe_prunes_partitions(spark, ivf_index):
+    """The partition-pruning claim, pinned: the probe's literal cell
+    filter must reach the scan as a PartitionFilter, and the scan must
+    read only the probed cell directories — at 100 TB unselected cells
+    are never listed, so probe I/O scales with nprobe, not corpus."""
+    import re
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        N_CELLS,
+        N_QUERIES,
+        knn_ivf_probe,
+    )
+
+    path, cents = ivf_index
+    queries = table(spark, SF_SMOKE, "embeddings").where(F.col("vec_id") < N_QUERIES)
+    df = knn_ivf_probe(spark, path, cents, queries)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry the literal cell set as a partition
+    # filter: "PartitionFilters: [cell_id#N INSET c1, c2, ..." on the
+    # FileScan over the index path
+    scan_line = next(
+        line for line in plan.splitlines() if "FileScan" in line and "/index" in line
+    )
+    m = re.search(r"PartitionFilters: \[cell_id#\d+ INSET ([\d, ]+)", scan_line)
+    assert m, scan_line
+    probed = {int(c) for c in m.group(1).split(",") if c.strip()}
+    # the written index has N_CELLS directories; the probe must read a
+    # strict subset (on the fixture: Q×nprobe with overlap < N_CELLS)
+    import os
+
+    n_dirs = len([d for d in os.listdir(path) if d.startswith("cell_id=")])
+    assert n_dirs == N_CELLS
+    assert 0 < len(probed) < N_CELLS, (probed, N_CELLS)
