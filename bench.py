@@ -25,22 +25,34 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# Shapes chosen to cover the engine surface: scan/agg, fact-fact join,
-# window, distinct, JSON, sessionize, dedup (exact-jaccard + LSH),
-# text, similarity, and the flagship MapReduce query.
+# Shapes chosen to cover the engine surface: scan/agg, joins, window,
+# set ops, JSON, sessionize, dedup (exact + every approximate family),
+# text, similarity, streaming, multimodal, and the flagship MapReduce
+# query. Round-3 names are all retained for round-over-round
+# comparability; round-4 adds enough rows that EVERY gate-exposed
+# query's operator family has a bench row (VERDICT r3 #7) — the
+# mapping is FAMILY_COVERAGE below, pinned by
+# tests/test_registry_exposure.py.
 HEADLINE = [
     "q01_pricing_summary",
     "q02_filter_project",
+    "q03_broadcast_dim_join",
     "q04_revenue_by_nation",
+    "q08_asof_join",
     "q09_agg_distinct",
     "q13_window_topk_per_group",
     "q17_topk_global",
+    "q19_intersect",
     "q31_global_ranks_scalable",
     "q24_json_extract",
     "q26_sessionize",
     "q27_dice_frequency",
+    "q39_time_range_window",
+    "q40_dice_pull_source",
+    "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
+    "t05_language_id",
     "t06_quality_score",
     "t08_fingerprint",
     "t09_embedding_neardup",
@@ -52,21 +64,54 @@ HEADLINE = [
     "t17_bigram_pmi",
     "t18_clean_text",
     "t19_tfidf_top_terms",
+    "t20_repetition_filter",
     "t21_bigram_lm_score",
     "t22_winnow_containment_pairs",
     "t23_dedup_clusters_star",
+    "t24_bm25_ranking",
+    "t25_decontaminate",
+    "t26_paragraph_dedup",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
+    "s03_embedding_stats",
     "s04_knn_ivf",
     "s05_range_search",
     "s06_knn_join",
     "s07_knn_join_lsh",
     "s08_knn_quantized",
-    "q39_time_range_window",
-    "q40_dice_pull_source",
+    "s09_maxsim_late_interaction",
     "st01_stream_tumbling_agg",
+    "st04_stream_stateful_running_max",
+    "st05_stream_stream_join",
+    "st10_dedup_within_watermark",
+    "st11_dice_pull_stream",
+    "m01_multimodal_meta",
     "m03_frame_sample",
 ]
+
+# Every gate-exposed query → the HEADLINE row that benchmarks its
+# operator family (identity for queries benchmarked directly). Pinned
+# by tests/test_registry_exposure.py::test_bench_covers_every_exposed_family.
+FAMILY_COVERAGE = {
+    # multimodal: m01 = metadata/typed-binary scan; m03 = the Arrow-
+    # batched per-media UDF pipeline (m02/m04 same batch shape);
+    # m05 = feature-kNN (the m03 features + s-family probe join)
+    "m02_feature_extract": "m03_frame_sample",
+    "m04_resize": "m03_frame_sample",
+    "m05_visual_knn": "m03_frame_sample",
+    # streaming: st03/st06 are watermark+window variants of st01's
+    # machinery; st07/st08 share st05's join/sink micro-batch loop;
+    # st09 is st04's query on the RocksDB provider
+    "st03_stream_session_window": "st01_stream_tumbling_agg",
+    "st06_stream_sliding_window": "st01_stream_tumbling_agg",
+    "st07_stream_static_join": "st05_stream_stream_join",
+    "st08_foreach_batch_sink": "st05_stream_stream_join",
+    "st09_stateful_rocksdb": "st04_stream_stateful_running_max",
+    # sampling: t15's TakeOrderedAndProject rides t13's map-only scan
+    "t15_fixed_size_sample": "t13_hash_sample",
+    # simhash: t04 emits the signatures t11 pairs on
+    "t04_simhash": "t11_simhash_neardup_pairs",
+}
 
 
 def _last_json_obj(stdout: str) -> dict:
@@ -218,6 +263,39 @@ def run_duckdb(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
     return timings
 
 
+def _headline_groups(names: list[str]) -> list[tuple[str, list[str]]]:
+    """Split the headline set into namespace-grouped JVM batches:
+    relational (q*), pipeline (t*), similarity (s*), streaming +
+    multimodal (st*/m*). Preserves order within each group."""
+    groups = {"q": [], "t": [], "s": [], "stm": []}
+    for n in names:
+        if n.startswith("st") or n.startswith("m"):
+            groups["stm"].append(n)
+        elif n.startswith("q"):
+            groups["q"].append(n)
+        elif n.startswith("t"):
+            groups["t"].append(n)
+        else:
+            groups["s"].append(n)
+    return [(k, v) for k, v in groups.items() if v]
+
+
+def _run_child(child_args: list[str], runs: int) -> str:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, *child_args, "--runs", str(runs)],
+        capture_output=True,
+        text=True,
+    )
+    # child progress lines (`# spark <name> <sec>`) pass through so a
+    # watcher sees per-query progress even in grouped mode
+    print(proc.stderr, file=sys.stderr, end="")
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench subprocess {child_args[:2]} failed (rc={proc.returncode})")
+    return proc.stdout
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -250,20 +328,28 @@ def main() -> None:
         # floor-bound SQL queries 2-3× (the anchor's 32 Python workers
         # + 40M-row RDD heap churn linger). Process isolation makes
         # both readings quiet-JVM numbers, comparable to BASELINE.md.
-        import subprocess
-
-        proc = subprocess.run(
-            [sys.executable, __file__, "--dice-only", "--runs", str(args.runs)],
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0:
-            # surface the child's traceback — CalledProcessError alone
-            # would hide the actual failure
-            print(proc.stderr, file=sys.stderr)
-            raise RuntimeError(f"dice anchor subprocess failed (rc={proc.returncode})")
-        dice = _last_json_obj(proc.stdout)["dice_mr_compat_5m"]
-    timings = run_spark(sf_dir, args.runs, names)
+        dice = _last_json_obj(_run_child(["--dice-only"], args.runs))[
+            "dice_mr_compat_5m"
+        ]
+        # Headline queries run in a few namespace-grouped subprocess
+        # JVMs (VERDICT r3 #4): r3 measured all 37 in ONE JVM and the
+        # sub-second floor-bound queries read 1.3-1.6× their
+        # isolated-JVM numbers (q04 1.13s vs 0.84s isolated — heap
+        # churn + code-cache pollution from the heavy t/s queries, the
+        # same effect the dice-anchor investigation proved in both
+        # directions). Grouping by namespace keeps each JVM's working
+        # set homogeneous, so floor-bound relational queries are
+        # measured in a quiet JVM while expression-heavy pipelines
+        # still amortize their JIT warm-up within their own group.
+        timings = {}
+        for label, group in _headline_groups(names):
+            child_out = _run_child(["--queries", *group], args.runs)
+            got = _last_json_obj(child_out)["queries"]
+            print(f"# group {label}: {round(sum(got.values()), 2)}s", file=sys.stderr)
+            timings.update(got)
+        timings = {n: timings[n] for n in names if n in timings}
+    else:
+        timings = run_spark(sf_dir, args.runs, names)
     result = {
         "metric": "sum of per-query median wall-clock, headline queries",
         "value": round(sum(timings.values()), 4),

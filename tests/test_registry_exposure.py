@@ -81,3 +81,20 @@ def test_every_pytest_only_query_has_oracle_or_reason():
 
 def test_flagship_exposed():
     assert "q27_dice_frequency" in exposed_queries()
+
+
+def test_bench_covers_every_exposed_family():
+    """VERDICT r3 #7: every gate-exposed query's operator family has a
+    bench row — directly in HEADLINE or via a declared FAMILY_COVERAGE
+    representative that IS in HEADLINE."""
+    import bench
+
+    headline = set(bench.HEADLINE)
+    unknown = headline - set(QUERIES)
+    assert not unknown, f"HEADLINE names not in registry: {sorted(unknown)}"
+    for name in exposed_queries():
+        if name in headline:
+            continue
+        rep = bench.FAMILY_COVERAGE.get(name)
+        assert rep, f"exposed query {name} has no bench row and no FAMILY_COVERAGE entry"
+        assert rep in headline, f"{name}: coverage rep {rep} is not in HEADLINE"
