@@ -137,3 +137,75 @@ def t15_fixed_size_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "doc_id")
         .limit(FIXED_SAMPLE_K)
     )
+
+
+# t27: mixture rebalancing. B controls rate granularity; kept small
+# enough that h * n_docs stays in BIGINT range even at 100 TB row
+# counts (1e6 * 1e12 < 2^63) — the membership test is EXACT integer
+# arithmetic on both engines, no float rate thresholds.
+MIX_BUCKETS = 1_000_000
+
+
+@register(
+    "t27_mixture_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_docs) AS min_docs FROM c),
+    k AS (
+      SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN c USING (source) CROSS JOIN m
+      WHERE {_sql_bucket("d.doc_id::VARCHAR", MIX_BUCKETS)} * c.n_docs
+            < m.min_docs * {MIX_BUCKETS}
+      GROUP BY 1
+    )
+    SELECT c.source, c.n_docs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           ROUND(m.min_docs * 1.0 / c.n_docs, 6) AS target_rate,
+           ROUND(COALESCE(k.n_kept, 0) * 1.0 / c.n_docs, 6) AS achieved_rate
+    FROM c LEFT JOIN k USING (source) CROSS JOIN m
+    """,
+    tags=("sampling", "mixture"),
+)
+def t27_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing — the step that turns a skewed crawl
+    into the target training mixture: compute per-source document
+    counts, derive the per-source keep-rate that equalizes every
+    source to the smallest one (uniform target mixture at the maximum
+    feasible total), and take a deterministic hash sample at exactly
+    that rate. Output is the per-source audit (counts, target and
+    achieved rate).
+
+    Determinism at 100 TB: the keep decision is
+    ``hash(doc_id) % {MIX_BUCKETS} * n_source < min_docs * {MIX_BUCKETS}``
+    — pure BIGINT arithmetic, so membership is bit-identical across
+    engines, reruns, and partitionings (no float thresholds, no RNG).
+    Plan: one vocabulary-of-sources aggregate (broadcast back), the
+    membership test is a map-only filter over the corpus, the audit a
+    keyed aggregate. The source-count table and min-count scalar
+    broadcast; the corpus never shuffles to be sampled."""
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    m = c.agg(F.min("n_docs").alias("min_docs"))
+    h = hash_bucket(F.col("doc_id").cast("string"), MIX_BUCKETS)
+    kept = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(m))
+        .where(h * F.col("n_docs") < F.col("min_docs") * F.lit(MIX_BUCKETS))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    return (
+        c.join(kept, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(F.col("min_docs") / F.col("n_docs"), 6).alias("target_rate"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_docs"), 6).alias(
+                "achieved_rate"
+            ),
+        )
+    )

@@ -1059,3 +1059,131 @@ def t25_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle replays exactly."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return decontaminate(docs)
+
+
+FUNNEL_SAMPLE_PCT = 50  # final deterministic subsample rate (%)
+
+
+@register(
+    "t28_preprocess_funnel",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             string_split(lower(text), ' ') AS ws,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> len(t) >= {CLEAN_MIN_TOKEN_LEN}
+                      AND NOT list_contains({_sql_list(STOPWORDS["en"])}, t)))
+               >= {CLEAN_MIN_TOKENS} AS clean_keep
+      FROM documents
+    ),
+    fq AS (
+      SELECT doc_id, text, clean_keep,
+             (ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                <= {REP_MAX_DUP_TOKEN_RATIO}
+              AND CASE WHEN len(ws) < 2 THEN TRUE
+                  ELSE ROUND(1.0 - len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1]
+                          for i in generate_series(1, len(ws) - 1)]))
+                       * 1.0 / (len(ws) - 1), 6) <= {REP_MAX_DUP_BIGRAM_RATIO}
+                  END) AS qual_keep
+      FROM f
+    ),
+    s2 AS (SELECT doc_id, text FROM fq WHERE clean_keep AND qual_keep),
+    k AS (SELECT md5(text) AS dg, MIN(doc_id) AS keeper FROM s2 GROUP BY 1),
+    j AS (
+      SELECT s2.doc_id, (s2.doc_id = k.keeper) AS dedup_keep
+      FROM s2 JOIN k ON md5(s2.text) = k.dg
+    ),
+    a1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN clean_keep THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN clean_keep AND qual_keep THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM fq
+    ),
+    a2 AS (
+      SELECT CAST(SUM(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN dedup_keep
+                  AND (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % 2147483647) % 100 < {FUNNEL_SAMPLE_PCT}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM j
+    )
+    SELECT stage, stage_name, n_docs FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name, n0 AS n_docs FROM a1
+      UNION ALL SELECT 1, 'clean', n1 FROM a1
+      UNION ALL SELECT 2, 'quality', n2 FROM a1
+      UNION ALL SELECT 3, 'dedup', n3 FROM a2
+      UNION ALL SELECT 4, 'sample', n4 FROM a2
+    )
+    """,
+    tags=("text", "pipeline", "funnel"),
+)
+def t28_preprocess_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end preprocessing funnel every training
+    pipeline runs, as ONE declarative plan with per-stage survivor
+    counts: raw → cleaning (t18's empty-shell rule) → repetition
+    quality (t20's Gopher thresholds) → exact dedup keeper (t01's
+    min-doc_id-per-digest) → deterministic {50}% subsample (t13's
+    hash rule). The output is the funnel audit (stage, name, count) —
+    the first artifact anyone asks for from a preprocessing run.
+
+    Scale shape: stages 1-2 are flag EXPRESSIONS on one corpus scan
+    (no materialization between stages — Catalyst fuses the whole
+    filter chain into the scan projection); the dedup stage is t01's
+    digest-keyed exchange over stage-2 survivors only; the sample
+    flag is map-only. Two aggregates (conditional sums) + a 5-row
+    stack — nothing corpus-sized ever hits the driver."""
+    from fsharp_mapreduce_spark.functions.sampling import hash_bucket
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    clean_kept = F.filter(
+        ws, lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN) & ~F.array_contains(stop, t)
+    )
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    flags = (
+        docs.select("doc_id", "text", ws.alias("ws"))
+        .withColumn("bg", bg)
+        .select(
+            "doc_id",
+            "text",
+            (F.size(clean_kept) >= CLEAN_MIN_TOKENS).alias("clean_keep"),
+            (
+                (
+                    F.round(1.0 - F.size(F.array_distinct("ws")) / F.size("ws"), 6)
+                    <= REP_MAX_DUP_TOKEN_RATIO
+                )
+                & F.when(F.size("bg") == 0, F.lit(True)).otherwise(
+                    F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6)
+                    <= REP_MAX_DUP_BIGRAM_RATIO
+                )
+            ).alias("qual_keep"),
+        )
+    )
+    a1 = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.sum(F.col("clean_keep").cast("long")).cast("bigint").alias("n1"),
+        F.sum((F.col("clean_keep") & F.col("qual_keep")).cast("long"))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    s2 = flags.where(F.col("clean_keep") & F.col("qual_keep")).select("doc_id", "text")
+    k = s2.groupBy(F.md5("text").alias("dg")).agg(F.min("doc_id").alias("keeper"))
+    j = s2.join(k, F.md5(s2.text) == k.dg).select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("dedup_keep")
+    )
+    samp = hash_bucket(F.col("doc_id").cast("string"), 100) < FUNNEL_SAMPLE_PCT
+    a2 = j.agg(
+        F.sum(F.col("dedup_keep").cast("long")).cast("bigint").alias("n3"),
+        F.sum((F.col("dedup_keep") & samp).cast("long")).cast("bigint").alias("n4"),
+    )
+    return a1.crossJoin(a2).select(
+        F.expr(
+            "stack(5, 0L, 'raw', n0, 1L, 'clean', n1, 2L, 'quality', n2, "
+            "3L, 'dedup', n3, 4L, 'sample', n4) AS (stage, stage_name, n_docs)"
+        )
+    )

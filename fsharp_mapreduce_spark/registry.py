@@ -155,6 +155,14 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # streaming-dedup family: st10 (TTL watermark dedup) holds the
     # slot; st02 is the unbounded-state sibling (driver-green r3)
     "st02_stream_dedup": "st10_dedup_within_watermark",
+    # sampling family: t13's deterministic key-hash rule is exactly
+    # the membership test t27 applies per source (round-4 addition,
+    # pytest-only this round per the rotation cadence)
+    "t27_mixture_rebalance": "t13_hash_sample",
+    # cleaning/filter-funnel family: t28 composes t18's cleaning rule
+    # with t20/t01/t13 stages; t18 holds the slot (round-4 addition,
+    # pytest-only this round per the rotation cadence)
+    "t28_preprocess_funnel": "t18_clean_text",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

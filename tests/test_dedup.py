@@ -687,3 +687,38 @@ def test_paragraph_dedup_counts_repeated_positions_once_per_doc_pairing(spark):
     assert out[1] == (2, 0)
     assert out[2] == (2, 2)
     assert out[3] == (1, 1)
+
+
+def test_mixture_rebalance_equalizes_sources(spark):
+    """t27: the smallest source keeps EVERYTHING (rate 1 → the integer
+    membership test is h*n < n*B, always true), every rate is feasible
+    (≤ 1), the funnel is monotone (n_kept ≤ n_docs), and the achieved
+    per-source sample sizes are near-equal (hash-uniformity noise)."""
+    from fsharp_mapreduce_spark.functions.sampling import t27_mixture_rebalance
+
+    rows = t27_mixture_rebalance(spark, SF_SMOKE).collect()
+    assert rows
+    min_docs = min(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert r.target_rate <= 1.0
+        if r.n_docs == min_docs:
+            assert r.n_kept == r.n_docs  # smallest source: rate exactly 1
+    kept = [r.n_kept for r in rows]
+    # target is min_docs per source; binomial noise around it
+    assert max(kept) <= 1.5 * min_docs + 5 and min(kept) >= 0.5 * min_docs - 5
+
+
+def test_preprocess_funnel_monotone(spark):
+    """t28: the funnel only removes documents — counts are
+    non-increasing across stages and stage 0 is the full corpus."""
+    from fsharp_mapreduce_spark.functions.text import t28_preprocess_funnel
+    from fsharp_mapreduce_spark.registry import table
+
+    total = table(spark, SF_SMOKE, "documents").count()
+    rows = sorted(t28_preprocess_funnel(spark, SF_SMOKE).collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0].n_docs == total
+    counts = [r.n_docs for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert counts[-1] > 0
