@@ -71,6 +71,8 @@ HEADLINE = [
     "t24_bm25_ranking",
     "t25_decontaminate",
     "t26_paragraph_dedup",
+    "t27_mixture_rebalance",
+    "t28_preprocess_funnel",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",

@@ -1153,6 +1153,14 @@ def s08_knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAXSIM_QUERY_LABELS = 2  # labels < 2 are the query "documents"
+# Bounded query-token set: a real late-interaction query side is a
+# USER'S handful of documents (tens of token vectors), not a corpus
+# slice — without the bound the fixture's label<2 slice grows with
+# the corpus and the broadcast-side fan-out becomes corpus x corpus
+# (measured 15.5s at sf0.1 vs 1.6s bounded). Constant across SFs
+# (42 tokens at every fixture SF), so scaling curves measure the
+# CORPUS side, which is the side that scales.
+MAXSIM_MAX_QUERY_VEC = 200
 MAXSIM_TOP = 3
 
 
@@ -1161,7 +1169,8 @@ MAXSIM_TOP = 3
     oracle=f"""
     WITH q AS (
       SELECT label AS query_label, vec_id AS qid, embedding AS qe
-      FROM embeddings WHERE label < {MAXSIM_QUERY_LABELS}
+      FROM embeddings
+      WHERE label < {MAXSIM_QUERY_LABELS} AND vec_id < {MAXSIM_MAX_QUERY_VEC}
     ),
     c AS (
       SELECT label AS cand_label, embedding AS ce FROM embeddings
@@ -1202,7 +1211,10 @@ def s09_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum (4 dp, both engines) with a cand_label tiebreak so float
     summation order can't flip ranks cross-engine."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("label") < MAXSIM_QUERY_LABELS).select(
+    q = emb.where(
+        (F.col("label") < MAXSIM_QUERY_LABELS)
+        & (F.col("vec_id") < MAXSIM_MAX_QUERY_VEC)
+    ).select(
         F.col("label").alias("query_label"),
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),

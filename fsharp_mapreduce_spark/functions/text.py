@@ -712,13 +712,8 @@ def winnow_candidate_pairs(fps: DataFrame, cap: int) -> DataFrame:
     kept = flat.join(F.broadcast(hot), "fp", "left_anti")
     a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
     b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
-    # shuffle_hash hint (t02's rationale): the planner's size estimate
-    # would otherwise broadcast the exploded corpus, and both join
-    # inputs are the identical subplan so the single shuffle is
-    # computed once and reused for both sides.
     return (
-        a.hint("shuffle_hash")
-        .join(b, "fp")
+        a.join(b, "fp")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -729,31 +724,83 @@ def winnow_containment_pairs(
     docs: DataFrame, cap: int = WINNOW_MAX_POSTINGS
 ) -> DataFrame:
     """Containment pairs over winnowing sketches with a hot-fingerprint
-    cap on candidate generation. Verification intersects the FULL
-    sketches of each candidate pair, so the emitted containment is
-    exact regardless of the cap."""
+    cap on candidate generation — t02's exact-count machinery: shared
+    counts come from the codegen self-join+agg over NON-HOT postings,
+    patched with the hot remainder computed from tiny per-doc
+    hot-fingerprint arrays, so every emitted containment is exact
+    (kept ∩ + hot ∩ = full sketch ∩; fingerprints are distinct per
+    doc). The adaptive `has_hot` probe (one cached scalar) keeps a
+    clean corpus — the fixture — on the plain two-stage plan with
+    zero patch joins (the r3 candidate-then-reverify formulation
+    re-intersected FULL sketches per pair: measured 8.3s vs 2.3s at
+    sf0.1)."""
     fps = scoped_persist(winnow_fingerprints(docs))
-    cand = winnow_candidate_pairs(fps, cap)
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b"))
-    out = (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("fps_a", "fps_b"))
-            .cast("bigint")
-            .alias("n_shared"),
-            F.least(F.size("fps_a"), F.size("fps_b"))
-            .cast("bigint")
-            .alias("min_fp"),
+    flat = fps.select("doc_id", F.explode("fps").alias("fp"))
+    hot = scoped_persist(
+        flat.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") > cap)
+        .select("fp")
+    )
+    has_hot = bool(hot.head(1))
+    kept = flat.join(F.broadcast(hot), "fp", "left_anti") if has_hot else flat
+    a, b = kept.alias("a"), kept.alias("b")
+    # NO join-strategy hint on purpose: unlike t02's shingle join, the
+    # winnowing posting stream is 8×-compressed, so at bench SF the
+    # exploded side is broadcast-sized and AQE's runtime choice
+    # (broadcast here, shuffle-hash once the index outgrows the
+    # threshold) beats a forced shuffle 5× (measured 1.1s vs 5.6s at
+    # sf0.1) — exactly the decision AQE exists to make per actual
+    # sizes.
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .withColumn("containment", F.col("n_shared") / F.col("min_fp"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("kept_shared"))
+    )
+    sz = fps.select("doc_id", F.size("fps").cast("bigint").alias("n_fp"))
+    out = pairs.join(
+        sz.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("na")), "doc_a"
+    ).join(sz.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nb")), "doc_b")
+    if has_hot:
+        hot_arr = (
+            flat.join(F.broadcast(hot), "fp")
+            .groupBy("doc_id")
+            .agg(F.collect_list("fp").alias("ha"))
+        )
+        out = (
+            out.join(
+                hot_arr.select(F.col("doc_id").alias("doc_a"), F.col("ha").alias("h_a")),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_arr.select(F.col("doc_id").alias("doc_b"), F.col("ha").alias("h_b")),
+                "doc_b",
+                "left",
+            )
+            .withColumn(
+                "n_shared",
+                F.col("kept_shared")
+                + F.when(
+                    F.col("h_a").isNotNull() & F.col("h_b").isNotNull(),
+                    F.size(F.array_intersect("h_a", "h_b")),
+                ).otherwise(F.lit(0)),
+            )
+        )
+    else:
+        out = out.withColumn("n_shared", F.col("kept_shared"))
+    out = (
+        out.withColumn("containment", F.col("n_shared") / F.least("na", "nb"))
         .where(F.col("containment") >= WINNOW_CONTAINMENT)
     )
     return out.select(
-        "doc_a", "doc_b", "n_shared", F.round("containment", 6).alias("containment")
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.round("containment", 6).alias("containment"),
     )
 
 
@@ -820,14 +867,15 @@ def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAINMENT — one document quoting a chunk of another — is
     detectable, the case both t01 and t03 miss by design.
 
-    Pairing is t02's capped-postings shape: fingerprints posted by
-    more than {WINNOW_MAX_POSTINGS} documents (boilerplate) are
+    Pairing is t02's capped-postings machinery: fingerprints posted
+    by more than {WINNOW_MAX_POSTINGS} documents (boilerplate) are
     dropped from candidate generation — without the cap one hot
     boilerplate fingerprint emits O(postings²) pairs, the 100 TB skew
-    killer — and every candidate pair is then verified by
-    intersecting the FULL sketches, so emitted containments are exact.
-    Exchanges carry 8-byte fingerprint keys; the hot set is tiny by
-    construction and broadcasts into the anti-join. Skew behavior
+    killer. Shared counts stay EXACT: the codegen self-join+agg
+    counts non-hot overlap and the hot remainder is patched from tiny
+    per-doc hot-fingerprint arrays (adaptive — a hot-free corpus pays
+    zero patch joins). Exchanges carry 8-byte fingerprint keys; the
+    hot set is tiny by construction and broadcasts. Skew behavior
     pinned by tests/test_dedup.py::test_winnow_cap_bounds_candidates."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return winnow_containment_pairs(docs)

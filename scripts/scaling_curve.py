@@ -29,6 +29,9 @@ DEFAULT = [
     "t22_winnow_containment_pairs",  # fingerprint sketch + bucket join
     "t12_dedup_clusters",  # iterative connected components
     "s07_knn_join_lsh",  # sub-quadratic kNN join
+    "t25_decontaminate",  # broadcast-probe n-gram membership (r4)
+    "t26_paragraph_dedup",  # digest-keyed exact block dedup (r4)
+    "t28_preprocess_funnel",  # composed filter funnel (r4)
 ]
 
 
