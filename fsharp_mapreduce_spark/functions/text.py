@@ -1219,9 +1219,13 @@ def t28_preprocess_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n2"),
     )
-    s2 = flags.where(F.col("clean_keep") & F.col("qual_keep")).select("doc_id", "text")
-    k = s2.groupBy(F.md5("text").alias("dg")).agg(F.min("doc_id").alias("keeper"))
-    j = s2.join(k, F.md5(s2.text) == k.dg).select(
+    # digest projected BEFORE the join so the exchange carries 32-byte
+    # keys + doc_id, never document bodies (t01's rule)
+    s2 = flags.where(F.col("clean_keep") & F.col("qual_keep")).select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    k = s2.groupBy("dg").agg(F.min("doc_id").alias("keeper"))
+    j = s2.join(k, "dg").select(
         "doc_id", (F.col("doc_id") == F.col("keeper")).alias("dedup_keep")
     )
     samp = hash_bucket(F.col("doc_id").cast("string"), 100) < FUNNEL_SAMPLE_PCT

@@ -425,3 +425,45 @@ def test_s09_maxsim_broadcasts_queries_with_partial_max(spark):
     assert has_broadcast_join(df), plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
     assert exchange_count(df) <= 3, plan
+
+
+def test_t26_digest_keyed_exchanges_only(spark):
+    """t26 (exact paragraph dedup): every exchange is keyed on the
+    block digest or doc_id — block TEXT never rides a shuffle, and no
+    stage collapses to a single partition. The per-hash doc-frequency
+    join may broadcast or shuffle (AQE's call by size); what must hold
+    at 100 TB is the key discipline."""
+    import re
+
+    df = q("t26_paragraph_dedup", spark)
+    plan = formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith(("doc_id", "bh")) for k in keys), keys
+
+
+def test_t27_corpus_never_exchanged(spark):
+    """t27 (mixture rebalance): the corpus side takes the membership
+    filter map-only — the ONLY keyed exchanges are the vocabulary-of-
+    sources aggregates; the source-count table and min scalar reach
+    the corpus as broadcasts."""
+    import re
+
+    df = q("t27_mixture_rebalance", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("source") for k in keys), keys
+
+
+def test_t28_funnel_digest_exchange_no_text_shuffle(spark):
+    """t28 (preprocess funnel): the dedup stage's exchange carries the
+    md5 digest projected BEFORE the shuffle (t01's rule — document
+    bodies never ride an exchange), and the only single-partition
+    stages are the two one-row audit aggregates."""
+    df = q("t28_preprocess_funnel", spark)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(dg" in plan, plan
+    assert "hashpartitioning(text" not in plan, plan
+    # the two scalar audit aggregates are the only SinglePartition use
+    assert plan.count("Exchange SinglePartition") <= 4, plan
