@@ -131,7 +131,9 @@ def _last_json_obj(stdout: str) -> dict:
     raise RuntimeError(f"no JSON payload in subprocess stdout:\n{stdout[-2000:]}")
 
 
-def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
+def run_spark(
+    sf_dir: str, runs: int, names: list[str], spread: dict | None = None
+) -> dict[str, float]:
     from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
     from fsharp_mapreduce_spark.session import get_spark
 
@@ -161,6 +163,11 @@ def run_spark(sf_dir: str, runs: int, names: list[str]) -> dict[str, float]:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
+        if spread is not None:
+            # auditable per-query variance band (BASELINE.md r4 notes):
+            # min/max of the measured runs, so a cross-round delta can
+            # be judged against the query's own run-to-run noise
+            spread[name] = [round(min(samples), 4), round(max(samples), 4)]
         print(f"# spark {name} {timings[name]}", file=sys.stderr, flush=True)
     return timings
 
@@ -343,20 +350,24 @@ def main() -> None:
         # set homogeneous, so floor-bound relational queries are
         # measured in a quiet JVM while expression-heavy pipelines
         # still amortize their JIT warm-up within their own group.
-        timings = {}
+        timings, spread = {}, {}
         for label, group in _headline_groups(names):
             child_out = _run_child(["--queries", *group], args.runs)
-            got = _last_json_obj(child_out)["queries"]
+            payload = _last_json_obj(child_out)
+            got = payload["queries"]
+            spread.update(payload.get("spread", {}))
             print(f"# group {label}: {round(sum(got.values()), 2)}s", file=sys.stderr)
             timings.update(got)
         timings = {n: timings[n] for n in names if n in timings}
     else:
-        timings = run_spark(sf_dir, args.runs, names)
+        spread = {}
+        timings = run_spark(sf_dir, args.runs, names, spread)
     result = {
         "metric": "sum of per-query median wall-clock, headline queries",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": {n: spread[n] for n in timings if n in spread},
         "sf": sf,
     }
     if dice is not None:
