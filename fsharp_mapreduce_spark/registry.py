@@ -163,6 +163,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # with t20/t01/t13 stages; t18 holds the slot (round-4 addition,
     # pytest-only this round per the rotation cadence)
     "t28_preprocess_funnel": "t18_clean_text",
+    # streaming-aggregation family: st12 is the map-only
+    # quality-filtered stream with a complete-mode audit aggregate;
+    # st06 holds the streaming-agg slot (round-4 addition, pytest-only
+    # this round per the rotation cadence)
+    "st12_stream_quality_filter": "st06_stream_sliding_window",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -83,3 +83,37 @@ def write_bucketed(
         .sortBy(*bucket_cols)
         .saveAsTable(table_name)
     )
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> int:
+    """Size-targeted write — the small-files tool a 100 TB pipeline
+    needs at every materialization boundary: too many tiny files make
+    downstream listing/scheduling the bottleneck (NameNode pressure,
+    one task per splinter); too few giant files cap read parallelism.
+
+    File count = ceil(estimated_bytes / target): the estimate comes
+    from Catalyst's logical plan statistics (`sizeInBytes` — for plain
+    scans the files' actual footprint, for derived plans the
+    optimizer's propagated estimate, both available WITHOUT executing
+    the plan or collecting data). The repartition is round-robin so
+    output files are even-sized regardless of input key skew. Returns
+    the file count it chose.
+
+    Two deliberate non-choices: `coalesce` (narrows parallelism of the
+    WRITING stage itself and inherits upstream skew) and
+    `maxRecordsPerFile` (per-task cap — a skewed stage still emits
+    splinter files per task)."""
+    est_bytes = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_files = max(1, -(-est_bytes // target_file_bytes))
+    writer = df.repartition(n_files).write.mode(mode).options(**options)
+    writer.format(fmt).save(path)
+    return n_files

@@ -465,3 +465,94 @@ def st10_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
     return run_to_completion(deduped, "st10_out", output_mode="complete")
+
+
+@register(
+    "st12_stream_quality_filter",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> len(t) >= 2 AND NOT list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for'], t)))
+               >= 5 AS clean_keep,
+             string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    fq AS (
+      SELECT source, clean_keep,
+             (ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) <= 0.3
+              AND CASE WHEN len(ws) < 2 THEN TRUE
+                  ELSE ROUND(1.0 - len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1]
+                          for i in generate_series(1, len(ws) - 1)]))
+                       * 1.0 / (len(ws) - 1), 6) <= 0.2 END) AS qual_keep
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clean_keep AND qual_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM fq GROUP BY source
+    """,
+    tags=("streaming", "quality", "pipeline"),
+)
+def st12_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The preprocessing filters running UNCHANGED over a stream — the
+    property that makes the t-namespace a streaming-ingest pipeline,
+    not just a batch library: t18's cleaning rule and t20's repetition
+    thresholds are pure column expressions, so the identical Column
+    objects drop into a readStream and execute per micro-batch with
+    zero state; only the final per-source audit aggregate keeps
+    (tiny, vocabulary-of-sources) state across batches. Oracle =
+    the batch equivalent over the same corpus (stream/batch parity).
+    At 100 TB this is the live-ingest filter: map-only per batch,
+    state bounded by the number of sources."""
+    from fsharp_mapreduce_spark.functions.text import (
+        CLEAN_MIN_TOKEN_LEN,
+        CLEAN_MIN_TOKENS,
+        REP_MAX_DUP_BIGRAM_RATIO,
+        REP_MAX_DUP_TOKEN_RATIO,
+        STOPWORDS,
+    )
+
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "documents"), n_chunks=4, memo_key=(sf_dir, "documents")
+    )
+    docs = read_pull_stream(spark, staged)
+    ws = F.split(F.lower(F.col("text")), " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    # built from the ws COLUMN (text is pruned away by the first select)
+    clean_kept = F.filter(
+        F.col("ws"),
+        lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN) & ~F.array_contains(stop, t),
+    )
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    flags = (
+        docs.select("source", ws.alias("ws"))
+        .withColumn("bg", bg)
+        .select(
+            "source",
+            (F.size(clean_kept) >= CLEAN_MIN_TOKENS).alias("clean_keep"),
+            (
+                (
+                    F.round(1.0 - F.size(F.array_distinct("ws")) / F.size("ws"), 6)
+                    <= REP_MAX_DUP_TOKEN_RATIO
+                )
+                & F.when(F.size("bg") == 0, F.lit(True)).otherwise(
+                    F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6)
+                    <= REP_MAX_DUP_BIGRAM_RATIO
+                )
+            ).alias("qual_keep"),
+        )
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("clean_keep") & F.col("qual_keep")).cast("long"))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+    return run_to_completion(agg, "st12_out", output_mode="complete")

@@ -201,3 +201,34 @@ def test_pull_source_partitions_are_chunked_pulls(spark):
     )
     assert src.exceptAll(expected).count() == 0
     assert expected.exceptAll(src).count() == 0
+
+
+def test_write_compacted_targets_file_size(spark, tmp_path):
+    """write_compacted derives its file count from plan statistics:
+    a ~N-byte input with target N/4 must land 4±1 even-sized files,
+    and a target larger than the input must land exactly one."""
+    import os
+
+    from fsharp_mapreduce_spark.sources.io import write_compacted
+
+    src = str(tmp_path / "src")
+    spark.range(200_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+
+    out = str(tmp_path / "out")
+    n = write_compacted(df, out, target_file_bytes=total // 4)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n
+    assert 3 <= n <= 6, n  # stats estimate ≈ on-disk footprint
+
+    out1 = str(tmp_path / "out1")
+    n1 = write_compacted(df, out1, target_file_bytes=total * 10)
+    files1 = [f for f in os.listdir(out1) if f.endswith(".parquet")]
+    assert n1 == 1 and len(files1) == 1
