@@ -1239,3 +1239,99 @@ def t28_preprocess_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "3L, 'dedup', n3, 4L, 'sample', n4) AS (stage, stage_name, n_docs)"
         )
     )
+
+
+SEQ_BUDGET = 256  # token budget per packed training sequence
+N_PACK_BUCKETS = 8  # parallel packing lanes (cluster-width-scaled)
+
+
+@register(
+    "t29_sequence_pack",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+                    ELSE CAST(ceil((n - {CHUNK_TOKENS}) * 1.0 / {CHUNK_STRIDE}) AS BIGINT)
+               END)) AS chunk_idx,
+             n
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, chunk_idx,
+             CAST(least({CHUNK_TOKENS}, n - chunk_idx * {CHUNK_STRIDE}) AS BIGINT)
+               AS n_tokens,
+             CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                   % 2147483647) % {N_PACK_BUCKETS} AS BIGINT) AS bucket
+      FROM c
+    ),
+    p AS (
+      SELECT bucket, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM b
+    )
+    SELECT bucket,
+           CAST(pre // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM p
+    GROUP BY 1, 2
+    """,
+    tags=("text", "packing", "chunking"),
+)
+def t29_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-prep step after chunking:
+    assign every t16 chunk to a fixed-budget ({SEQ_BUDGET}-token)
+    training sequence so samples fill the context window instead of
+    wasting it on padding. Deterministic distributed formulation:
+    chunks land in {N_PACK_BUCKETS} hash buckets (the parallel packing
+    lanes — sized to cluster width at scale), each lane packs greedily
+    in (doc_id, chunk_idx) order via an EXCLUSIVE running token sum,
+    sequence id = pre_sum div budget. No RNG, no driver loop — one
+    keyed exchange on the bucket, one window per lane, rerun- and
+    partitioning-invariant (the same property as t13's sampling).
+    Chunk lengths are derived arithmetically (min(chunk, n - i*stride))
+    — the chunk TEXT never materializes for packing. Output is the
+    per-sequence audit (chunk count + filled tokens ≈ budget)."""
+    from fsharp_mapreduce_spark.functions.sampling import hash_bucket
+    from pyspark.sql import Window as W
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    n = F.size(F.split(F.lower(F.col("text")), " "))
+    last_idx = F.when(n <= CHUNK_TOKENS, F.lit(0)).otherwise(
+        F.ceil((n - CHUNK_TOKENS) / F.lit(CHUNK_STRIDE)).cast("int")
+    )
+    c = docs.select(
+        "doc_id", n.alias("n"), F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx")
+    )
+    b = c.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("chunk_idx") * CHUNK_STRIDE)
+        .cast("bigint")
+        .alias("n_tokens"),
+        hash_bucket(F.col("doc_id").cast("string"), N_PACK_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    p = b.select(
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("pre"),
+    )
+    return p.groupBy(
+        "bucket", F.floor(F.col("pre") / SEQ_BUDGET).cast("bigint").alias("seq_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

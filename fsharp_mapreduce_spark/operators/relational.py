@@ -873,3 +873,55 @@ def q33_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nk").isNotNull().cast("bigint").alias("has_customers"),
         F.col("s_nk").isNotNull().cast("bigint").alias("has_suppliers"),
     )
+
+
+@register(
+    "q41_recursive_calendar",
+    oracle="""
+    WITH RECURSIVE cal(m, mx) AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP),
+             CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
+      FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, mx FROM cal WHERE m < mx
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS revenue
+    FROM cal LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = cal.m
+    GROUP BY m
+    """,
+    tags=("sql", "recursive_cte", "calendar"),
+)
+def q41_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) — calendar
+    densification: generate every month between the first and last
+    order date BY RECURSION, then left-join monthly order counts, so
+    gap months surface as zero rows (the densification reports need
+    that batch group-bys silently drop). The recursion is
+    METADATA-sized — ~80 single-row iterative steps on the driver-side
+    loop, nothing corpus-shaped recurses — and the fact-side join +
+    agg stay ordinary distributed operators; depth is bounded by the
+    date span (≪ spark.sql.cteRecursionLevelLimit's 100 default at
+    the fixture's ~7-year span). DuckDB runs the identical recursive
+    SQL — the one query in the registry where BOTH engines execute the
+    same text verbatim."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE cal(m, mx) AS (
+          SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP),
+                 CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
+          FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, mx FROM cal WHERE m < mx
+        )
+        SELECT CAST(m AS DATE) AS month,
+               CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+               ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS revenue
+        FROM cal LEFT JOIN orders
+          ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = cal.m
+        GROUP BY m
+        """
+    )

@@ -168,6 +168,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # st06 holds the streaming-agg slot (round-4 addition, pytest-only
     # this round per the rotation cadence)
     "st12_stream_quality_filter": "st06_stream_sliding_window",
+    # deterministic-key-hash family: t29's packing lanes are t13's
+    # key-hash rule + a per-lane window; same rerun/partitioning
+    # invariance contract (round-4 addition, pytest-only this round)
+    "t29_sequence_pack": "t13_hash_sample",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
@@ -201,6 +205,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         "q36_array_functions",
         "q37_approx_quantiles",
         "q38_funnel",
+        # recursive-CTE calendar (metadata-sized recursion; round-4
+        # addition, pytest-only this round per the rotation cadence)
+        "q41_recursive_calendar",
     }
 )
 
