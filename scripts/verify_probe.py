@@ -12,6 +12,7 @@ Rows-only queries (no oracle) are required to return >0 rows.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -47,7 +48,11 @@ def main() -> int:
     )
     import __spark_entry__ as e
 
-    sf = "/root/testdata/sf0.01"
+    # overridable for cross-SF sweeps (SURVEY §9 pattern): e.g.
+    # SPARK_GRAFT_PROBE_SF_DIR=/root/testdata/sf0.1 probes the bench
+    # fixture. Data-derived oracles regenerate per SF via their
+    # registered oracle_factory below.
+    sf = os.environ.get("SPARK_GRAFT_PROBE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     for t in TABLES.split():
         con.execute(
