@@ -1242,3 +1242,60 @@ def s09_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= MAXSIM_TOP)
         .select("query_label", "cand_label", "maxsim", "rk")
     )
+
+
+@register(
+    "s10_label_cohesion",
+    oracle=f"""
+    WITH reps AS (
+      SELECT label, MIN(vec_id) AS rep_id FROM embeddings GROUP BY label
+    ),
+    rv AS (
+      SELECT r.label, r.rep_id, e.embedding AS re
+      FROM reps r JOIN embeddings e ON e.vec_id = r.rep_id
+    ),
+    scored AS (
+      SELECT e.label, {_cosine_sql('e.embedding', 'rv.re')} AS sim
+      FROM embeddings e JOIN rv ON e.label = rv.label
+      WHERE e.vec_id <> rv.rep_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(AVG(sim), 4) AS avg_cohesion,
+           ROUND(MIN(sim), 6) AS min_cohesion
+    FROM scored GROUP BY label
+    """,
+    tags=("similarity", "audit", "cohesion"),
+)
+def s10_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space cohesion audit — the health check run before
+    trusting labels/clusters for curriculum or dedup decisions: for
+    each label, cosine of every member to the label REPRESENTATIVE
+    (the min-vec_id member — deterministic and exact, where a mean
+    centroid's float-summation order would differ across engines and
+    partitionings), aggregated to avg/min cohesion. A label whose
+    min_cohesion is low contains mislabeled or outlier vectors.
+
+    Plan at 100 TB: the representative table is label-cardinality-
+    sized — two tiny aggregates and a broadcast join; the corpus
+    streams through one fold-cosine projection and a per-label
+    aggregate with map-side combine. No corpus×corpus pair, no
+    corpus-keyed wide exchange. avg rounded at 4 dp (summation-order
+    tolerance band, the s09 convention); min is order-free and takes
+    6 dp."""
+    emb = table(spark, sf_dir, "embeddings")
+    reps = emb.groupBy("label").agg(F.min("vec_id").alias("rep_id"))
+    rv = reps.join(
+        emb.select(F.col("vec_id").alias("rep_id"), F.col("embedding").alias("re")),
+        "rep_id",
+    )
+    scored = (
+        emb.join(F.broadcast(rv), "label")
+        .where(F.col("vec_id") != F.col("rep_id"))
+        .select("label", cosine(F.col("embedding"), F.col("re")).alias("sim"))
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.avg("sim"), 4).alias("avg_cohesion"),
+        F.round(F.min("sim"), 6).alias("min_cohesion"),
+    )

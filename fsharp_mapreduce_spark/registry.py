@@ -172,6 +172,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # key-hash rule + a per-lane window; same rerun/partitioning
     # invariance contract (round-4 addition, pytest-only this round)
     "t29_sequence_pack": "t13_hash_sample",
+    # embedding-statistics family: s10's cohesion audit is s03's
+    # array-math aggregate shape with a broadcast representative join
+    # (round-4 addition, pytest-only this round)
+    "s10_label_cohesion": "s03_embedding_stats",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
