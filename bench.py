@@ -316,6 +316,11 @@ def main() -> None:
         help="measure only the MapReduce anchor (used by the subprocess below)",
     )
     args = ap.parse_args()
+    # `--queries` with zero names must mean "the default headline run"
+    # (grouped-JVM isolation), not a single-JVM run of all of HEADLINE
+    # — the polluted mode the grouping exists to eliminate
+    if not args.queries:
+        args.queries = None
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)

@@ -19,7 +19,8 @@ own scheduling, batching, acking and fault tolerance (SURVEY.md §3-4):
 - ``plans``      — plan-inspection helpers (pushdown / broadcast audits)
 """
 
+from fsharp_mapreduce_spark.registry import release_scoped_caches
 from fsharp_mapreduce_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_scoped_caches"]
 __version__ = "0.1.0"

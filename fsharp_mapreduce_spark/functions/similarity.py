@@ -561,7 +561,10 @@ def knn_ivf_probe(
     qbase = queries.select(
         "vec_id", "embedding", _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs")
     )
-    probes = _probe_cells(qbase, n_probe)
+    # persist the (tiny) probe table: the cells collect below AND the
+    # broadcast join both consume it — without the cache the query-side
+    # Arrow GEMM + ranking window executes twice (code-review r4)
+    probes = scoped_persist(_probe_cells(qbase, n_probe))
     cells = sorted({r.cell_id for r in probes.select("cell_id").distinct().collect()})
     idx = spark.read.parquet(index_path).where(F.col("cell_id").isin(cells))
     scored = idx.join(

@@ -399,12 +399,7 @@ def t18_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB. The oracle replays the identical token predicate, so the
     cleaned TEXT ITSELF is value-hash-checked, not just counts."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    kept = F.filter(
-        F.split(F.lower(F.col("text")), " "),
-        lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN)
-        & ~F.array_contains(stop, t),
-    )
+    kept = clean_kept_tokens(F.split(F.lower(F.col("text")), " "))
     out = docs.select(
         "doc_id",
         "lang",
@@ -502,6 +497,52 @@ REP_MAX_DUP_TOKEN_RATIO = 0.30
 REP_MAX_DUP_BIGRAM_RATIO = 0.20
 
 
+def clean_kept_tokens(ws: Column) -> Column:
+    """t18's cleaning rule as a reusable expression: the tokens that
+    survive (length >= CLEAN_MIN_TOKEN_LEN, not an English stopword).
+    Shared by t18 (emits the kept text), t28 and st12 (use the count
+    as a keep-flag) so the rule has exactly one definition."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return F.filter(
+        ws, lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN) & ~F.array_contains(stop, t)
+    )
+
+
+def clean_keep_col(ws: Column) -> Column:
+    """Boolean: does the document survive t18's empty-shell filter?"""
+    return F.size(clean_kept_tokens(ws)) >= CLEAN_MIN_TOKENS
+
+
+def bigram_strings_col(ws_name: str) -> Column:
+    """Adjacent-token bigram strings of an array column (BY NAME - the
+    transform lambda references the materialized column attribute).
+    Spark's sequence(1, n) is DESCENDING for n < 1, so the short-doc
+    case is guarded (t17's idiom). Shared by t20/t28/st12."""
+    return F.when(
+        F.size(ws_name) >= 2,
+        F.expr(
+            f"transform(sequence(1, size({ws_name}) - 1), "
+            f"i -> concat({ws_name}[i-1], ' ', {ws_name}[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_keep_col(ws_name: str, bg_name: str) -> Column:
+    """Boolean: does the document pass t20's Gopher repetition rules?
+    (6-dp-rounded exact-int ratios, the cross-engine convention.)
+    Shared by t20's keep column, t28 and st12."""
+    tok_ok = (
+        F.round(1.0 - F.size(F.array_distinct(ws_name)) / F.size(ws_name), 6)
+        <= REP_MAX_DUP_TOKEN_RATIO
+    )
+    bg_ok = F.when(F.size(bg_name) == 0, F.lit(True)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(bg_name)) / F.size(bg_name), 6)
+        <= REP_MAX_DUP_BIGRAM_RATIO
+    )
+    return tok_ok & bg_ok
+
+
+
 @register(
     "t20_repetition_filter",
     oracle=f"""
@@ -547,12 +588,7 @@ def t20_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the boolean `keep` threshold compares identically."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.col("text")), " ")
-    # sequence(1, size-1) is DESCENDING when size < 2 (Spark yields
-    # [1, 0]) — guard exactly like t17's bigram builder.
-    bg = F.when(
-        F.size("ws") >= 2,
-        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
+    bg = bigram_strings_col("ws")
     withcols = (
         docs.select("doc_id", ws.alias("ws"))
         .withColumn("bg", bg)
@@ -1185,31 +1221,14 @@ def t28_preprocess_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(table(spark, sf_dir, "documents"))
     ws = F.split(F.lower(F.col("text")), " ")
-    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    clean_kept = F.filter(
-        ws, lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN) & ~F.array_contains(stop, t)
-    )
-    bg = F.when(
-        F.size("ws") >= 2,
-        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
     flags = (
         docs.select("doc_id", "text", ws.alias("ws"))
-        .withColumn("bg", bg)
+        .withColumn("bg", bigram_strings_col("ws"))
         .select(
             "doc_id",
             "text",
-            (F.size(clean_kept) >= CLEAN_MIN_TOKENS).alias("clean_keep"),
-            (
-                (
-                    F.round(1.0 - F.size(F.array_distinct("ws")) / F.size("ws"), 6)
-                    <= REP_MAX_DUP_TOKEN_RATIO
-                )
-                & F.when(F.size("bg") == 0, F.lit(True)).otherwise(
-                    F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6)
-                    <= REP_MAX_DUP_BIGRAM_RATIO
-                )
-            ).alias("qual_keep"),
+            clean_keep_col(F.col("ws")).alias("clean_keep"),
+            repetition_keep_col("ws", "bg").alias("qual_keep"),
         )
     )
     a1 = flags.agg(

@@ -180,19 +180,27 @@ def global_row_numbers(
     ranged = df.repartitionByRange(n_partitions, *sort_cols).sortWithinPartitions(
         *sort_cols
     )
-    # persist: the numbered table feeds the row output AND the
-    # partition-count/offset pipeline (plus a second global_row_numbers
-    # pass in q31). Without it every consumer re-expands the range
-    # exchange subtree — measured 20 parquet scans and 25 exchanges in
-    # one q31 plan (Catalyst's exchange reuse doesn't fire because
-    # column pruning makes each copy structurally different).
-    local = scoped_persist(
+    # localCheckpoint (eager), NOT a releasable cache: the numbered
+    # table feeds the row output AND the partition-count/offset
+    # pipeline (plus a second global_row_numbers pass in q31), and it
+    # is a CORRECTNESS barrier, not a perf cache — re-expanded copies
+    # would each re-run range-boundary sampling and
+    # monotonically_increasing_id with different RDD ids, so the
+    # offset table from one copy would join against local numbers from
+    # another and produce silently wrong ranks (code-review r4). The
+    # checkpoint materializes ONE set of ids that every consumer reads
+    # even if built/materialized across other registry invocations;
+    # blocks are reclaimed by the ContextCleaner when the plan is
+    # garbage. (Without any materialization: measured 20 parquet scans
+    # and 25 exchanges in one q31 plan.)
+    local = (
         ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
         .select(
             "*",
             F.shiftright("_mid", 33).cast("int").alias("_pid"),
             (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_lrn"),
         )
+        .localCheckpoint(eager=True)
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # Prefix sum over the counts table via triangular self-join — NOT a

@@ -70,7 +70,12 @@ def scoped_persist(df: DataFrame) -> DataFrame:
 def release_scoped_caches() -> None:
     """Unpersist every scoped cache recorded since the last release.
     Safe to call at any time: already-collected results are plain
-    driver data, and an un-materialized plan just recomputes."""
+    driver data, and an un-materialized plan just recomputes.
+    Registered queries release automatically (the `register` wrapper
+    calls this before each build); DIRECT library users of the
+    operator APIs (decontaminate, winnow_containment_pairs,
+    knn_ivf_probe, ...) should call this themselves between pipeline
+    steps in long-lived sessions — it is exported at package level."""
     while _SCOPED_CACHES:
         df = _SCOPED_CACHES.pop()
         try:

@@ -113,7 +113,22 @@ def write_compacted(
     est_bytes = int(
         df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
+    # Stat-less leaves (custom Python DataSources, RDD-backed plans,
+    # JDBC) report defaultSizeInBytes ≈ Long.MaxValue; dividing that by
+    # the target would ask for billions of shuffle partitions. Refuse
+    # loudly instead of scheduling a doomed write (code-review r4).
+    if est_bytes >= (1 << 62):
+        raise ValueError(
+            "write_compacted: the plan has no usable size statistics "
+            f"(sizeInBytes={est_bytes}) — materialize to a stat-carrying "
+            "format first or use write(..., num_files=...) explicitly"
+        )
     n_files = max(1, -(-est_bytes // target_file_bytes))
+    if n_files > 1_000_000:  # sanity ceiling: ~128 TB at the default target
+        raise ValueError(
+            f"write_compacted: {n_files} files from est={est_bytes}B at "
+            f"target={target_file_bytes}B — raise target_file_bytes"
+        )
     writer = df.repartition(n_files).write.mode(mode).options(**options)
     writer.format(fmt).save(path)
     return n_files

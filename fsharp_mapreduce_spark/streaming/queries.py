@@ -467,26 +467,40 @@ def st10_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(deduped, "st10_out", output_mode="complete")
 
 
+from fsharp_mapreduce_spark.functions.text import (
+    CLEAN_MIN_TOKEN_LEN as _CLEAN_LEN,
+    CLEAN_MIN_TOKENS as _CLEAN_MIN,
+    REP_MAX_DUP_BIGRAM_RATIO as _REP_BG,
+    REP_MAX_DUP_TOKEN_RATIO as _REP_TOK,
+    STOPWORDS as _STOPWORDS,
+    _sql_list as _text_sql_list,
+)
+
+
 @register(
     "st12_stream_quality_filter",
+    # the oracle interpolates the SAME constants the Spark side imports
+    # (code-review r4): tuning a threshold in text.py changes both
+    # sides together, or neither
     oracle=f"""
     WITH f AS (
       SELECT source,
              len(list_filter(string_split(lower(text), ' '),
-                 t -> len(t) >= 2 AND NOT list_contains(
-                   ['the','and','of','to','a','in','is','it','that','for'], t)))
-               >= 5 AS clean_keep,
+                 t -> len(t) >= {_CLEAN_LEN} AND NOT list_contains(
+                   {_text_sql_list(_STOPWORDS["en"])}, t)))
+               >= {_CLEAN_MIN} AS clean_keep,
              string_split(lower(text), ' ') AS ws
       FROM documents
     ),
     fq AS (
       SELECT source, clean_keep,
-             (ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6) <= 0.3
+             (ROUND(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+                <= {_REP_TOK}
               AND CASE WHEN len(ws) < 2 THEN TRUE
                   ELSE ROUND(1.0 - len(list_distinct(
                          [ws[i] || ' ' || ws[i+1]
                           for i in generate_series(1, len(ws) - 1)]))
-                       * 1.0 / (len(ws) - 1), 6) <= 0.2 END) AS qual_keep
+                       * 1.0 / (len(ws) - 1), 6) <= {_REP_BG} END) AS qual_keep
       FROM f
     )
     SELECT source,
@@ -509,11 +523,9 @@ def st12_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the live-ingest filter: map-only per batch,
     state bounded by the number of sources."""
     from fsharp_mapreduce_spark.functions.text import (
-        CLEAN_MIN_TOKEN_LEN,
-        CLEAN_MIN_TOKENS,
-        REP_MAX_DUP_BIGRAM_RATIO,
-        REP_MAX_DUP_TOKEN_RATIO,
-        STOPWORDS,
+        bigram_strings_col,
+        clean_keep_col,
+        repetition_keep_col,
     )
 
     staged = stage_as_chunked_files(
@@ -521,32 +533,13 @@ def st12_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = read_pull_stream(spark, staged)
     ws = F.split(F.lower(F.col("text")), " ")
-    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    # built from the ws COLUMN (text is pruned away by the first select)
-    clean_kept = F.filter(
-        F.col("ws"),
-        lambda t: (F.length(t) >= CLEAN_MIN_TOKEN_LEN) & ~F.array_contains(stop, t),
-    )
-    bg = F.when(
-        F.size("ws") >= 2,
-        F.expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))"),
-    ).otherwise(F.array().cast("array<string>"))
     flags = (
         docs.select("source", ws.alias("ws"))
-        .withColumn("bg", bg)
+        .withColumn("bg", bigram_strings_col("ws"))
         .select(
             "source",
-            (F.size(clean_kept) >= CLEAN_MIN_TOKENS).alias("clean_keep"),
-            (
-                (
-                    F.round(1.0 - F.size(F.array_distinct("ws")) / F.size("ws"), 6)
-                    <= REP_MAX_DUP_TOKEN_RATIO
-                )
-                & F.when(F.size("bg") == 0, F.lit(True)).otherwise(
-                    F.round(1.0 - F.size(F.array_distinct("bg")) / F.size("bg"), 6)
-                    <= REP_MAX_DUP_BIGRAM_RATIO
-                )
-            ).alias("qual_keep"),
+            clean_keep_col(F.col("ws")).alias("clean_keep"),
+            repetition_keep_col("ws", "bg").alias("qual_keep"),
         )
     )
     agg = flags.groupBy("source").agg(
