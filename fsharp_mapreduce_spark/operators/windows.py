@@ -149,7 +149,10 @@ def q16_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def global_row_numbers(
-    df: DataFrame, sort_cols: list, n_partitions: int | None = None
+    df: DataFrame,
+    sort_cols: list,
+    n_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Append a global ``rn`` (1-based row number in ``sort_cols``
     order) WITHOUT a single-partition window — the two-pass
@@ -193,15 +196,17 @@ def global_row_numbers(
     # blocks are reclaimed by the ContextCleaner when the plan is
     # garbage. (Without any materialization: measured 20 parquet scans
     # and 25 exchanges in one q31 plan.)
-    local = (
-        ranged.select("*", F.monotonically_increasing_id().alias("_mid"))
-        .select(
-            "*",
-            F.shiftright("_mid", 33).cast("int").alias("_pid"),
-            (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_lrn"),
-        )
-        .localCheckpoint(eager=True)
+    local = ranged.select(
+        "*", F.monotonically_increasing_id().alias("_mid")
+    ).select(
+        "*",
+        F.shiftright("_mid", 33).cast("int").alias("_pid"),
+        (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("_lrn"),
     )
+    if checkpoint:  # checkpoint=False is for plan audits ONLY — the
+        # un-checkpointed plan is NOT safe to materialize if its
+        # subtree gets re-expanded (see above)
+        local = local.localCheckpoint(eager=True)
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # Prefix sum over the counts table via triangular self-join — NOT a
     # global window, which would itself plan an Exchange

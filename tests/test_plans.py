@@ -189,20 +189,39 @@ def test_q31_no_single_partition_exchange(spark):
     Exchange SinglePartition: every exchange is range- or hash-keyed
     and the only driver-width data is the partition-count table. This
     is the at-scale contrast to q16's documented global window (which
-    IS single-partition by design, on a bounded dimension table)."""
+    IS single-partition by design, on a bounded dimension table).
+
+    The registered query eagerly checkpoints its numbered staging
+    table (a correctness barrier — see global_row_numbers), which
+    truncates the visible lineage, so the range-exchange shape is
+    audited on the checkpoint=False logical twin and the
+    SinglePartition discipline on the registered plan."""
+    import re
+
     df = q("q31_global_ranks_scalable", spark)
     plan = formatted_plan(df)
     # The ONLY single-partition exchange allowed is the final step of
     # the scalar count(*) aggregate — one partial-count row per
     # partition, metadata-width. Anything else (a Window/Sort over row
     # data) is a scale regression.
-    import re
-
     for m in re.finditer(
         r"Input \[(\d+)\]: \[([^\]]*)\]\nArguments: SinglePartition", plan
     ):
         assert m.group(1) == "1" and m.group(2).startswith("count#"), plan
-    assert "rangepartitioning" in plan.lower(), plan
+    # range-exchange shape: the staging pipeline (un-checkpointed
+    # audit twin) must plan a range partitioning, never a global sort
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.operators.windows import global_row_numbers
+    from fsharp_mapreduce_spark.registry import table
+
+    o = table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    staged = global_row_numbers(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], checkpoint=False
+    )
+    splan = formatted_plan(staged)
+    assert "rangepartitioning" in splan.lower(), splan
+    assert "Exchange SinglePartition" not in splan, splan
 
 
 def test_q16_single_partition_is_documented_exception(spark):
