@@ -177,6 +177,17 @@ class MapReduceJob:
         n = self.num_partitions or spark.sparkContext.defaultParallelism
 
         if self.ordered:
+            if self.zero is None:
+                # The ordered fold seeds every key with `zero`
+                # (acc = seq(v, zero) for the first value); the
+                # unordered zero=None path instead seeds with the first
+                # VALUE via reduceByKey. Passing None here would feed
+                # seq(v, None) deep inside an executor task — refuse
+                # with the real cause instead (code-review r4).
+                raise ValueError(
+                    "ordered=True requires an explicit zero accumulator: "
+                    "the sequential fold seeds each key with it"
+                )
             merged = dict(self._run_ordered(pairs, n))
         else:
             zero, seq = self.zero, self.reduce_fn
@@ -219,6 +230,11 @@ class MapReduceJob:
         from pyspark.rdd import portable_hash
 
         zero, seq = self.zero, self.reduce_fn
+        # zipWithIndex launches a per-partition COUNT job before the
+        # real pass — without the persist that first job re-executes
+        # the whole source scan + map_fn, doubling the map phase
+        # (code-review r4)
+        pairs = pairs.persist()
         indexed = pairs.zipWithIndex().map(lambda t: ((t[0][0], t[1]), t[0][1]))
         parted = indexed.repartitionAndSortWithinPartitions(
             numPartitions=n,
@@ -232,7 +248,10 @@ class MapReduceJob:
                 accs[k] = seq(v, accs[k] if k in accs else zero)
             return iter(accs.items())
 
-        return parted.mapPartitions(fold_stream).collect()
+        try:
+            return parted.mapPartitions(fold_stream).collect()
+        finally:
+            pairs.unpersist()
 
     def _finish(self, merged: dict):
         if self.handle_results is not None:

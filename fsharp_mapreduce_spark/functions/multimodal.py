@@ -138,6 +138,26 @@ def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feature_words_ctes() -> str:
+    """Shared DuckDB fragment reconstructing `fake_features`' uint32
+    words from the sha256 hex digest: CTEs h (digest) / w (word index)
+    / words (doc_id, wi, word). ONE definition of the per-byte hex
+    parse — m02's per-dim stats and m05's per-doc arrays both build on
+    it, so a digest-parsing fix cannot silently apply to only one
+    oracle (code-review r4)."""
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    word = " + ".join(
+        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
+        for j in range(4)
+    )
+    return f"""h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    w(wi) AS (SELECT unnest(generate_series(0, 7))),
+    words AS (
+      SELECT doc_id, wi, {word} AS word
+      FROM h CROSS JOIN w
+    )"""
+
+
 def _m02_oracle() -> str:
     """DuckDB replica of the sha256-seeded fake feature extractor
     (`fake_features`): word w of the feature vector is the w-th
@@ -147,18 +167,8 @@ def _m02_oracle() -> str:
     ::REAL is the same IEEE round-to-nearest float32 numpy applies).
     min/max pick one exactly-representable value; avg sums in double
     on both engines with round-4 far above summation-order noise."""
-    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
-    word = " + ".join(
-        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
-        for j in range(4)
-    )
     return f"""
-    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
-    w(wi) AS (SELECT unnest(generate_series(0, 7))),
-    words AS (
-      SELECT doc_id, wi, {word} AS word
-      FROM h CROSS JOIN w
-    ),
+    WITH {_feature_words_ctes()},
     feats AS (
       SELECT CAST(wi + k.o AS INTEGER) AS dim,
              ((word / 4294967295.0)::REAL)::DOUBLE AS v
@@ -353,18 +363,8 @@ def _m05_oracle() -> str:
     per-document arrays, then s01's brute-force fold-cosine top-k."""
     from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
 
-    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
-    word = " + ".join(
-        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
-        for j in range(4)
-    )
     return f"""
-    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
-    w(wi) AS (SELECT unnest(generate_series(0, 7))),
-    words AS (
-      SELECT doc_id, wi, {word} AS word
-      FROM h CROSS JOIN w
-    ),
+    WITH {_feature_words_ctes()},
     dims AS (
       SELECT doc_id, wi + k.o AS dim,
              ((word / 4294967295.0)::REAL)::DOUBLE AS v

@@ -24,7 +24,7 @@ from fsharp_mapreduce_spark.registry import register, table
       FROM orders o
       ASOF LEFT JOIN (
         SELECT user_id, ts, ROUND(MAX(value), 6) AS ev_value
-        FROM events GROUP BY user_id, ts
+        FROM events WHERE user_id < 150 GROUP BY user_id, ts
       ) e
       ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
     )
@@ -46,8 +46,13 @@ def q08_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise "the" as-of row is ambiguous in any engine.
     """
     o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    # mirror the probe filter on the build side: only user_id < 150
+    # rows can survive the final probe selection, so everything else
+    # would ride the dedup exchange + window for nothing — the filter
+    # pushes to the parquet scan (code-review r4)
     ev = (
         table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 150)
         .groupBy("user_id", "ts")
         .agg(F.round(F.max("value"), 6).alias("ev_value"))
     )

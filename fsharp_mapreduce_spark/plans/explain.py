@@ -32,10 +32,13 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """PushedFilters entries of every parquet scan in the plan."""
+    """PushedFilters entries of every parquet scan in the plan.
+    Matches to END OF LINE, not the first ']' — In(col, [a,b]) filters
+    contain nested brackets that a non-greedy class would truncate
+    (code-review r4)."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan):
+    for m in re.finditer(r"PushedFilters: \[(.*)\]", plan):
         if m.group(1).strip():
             out.extend(s.strip() for s in m.group(1).split(","))
     return out
@@ -45,14 +48,18 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
     """Column sets actually read from each parquet scan (pruning audit)."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<(.*?)>", plan):
+    # greedy to the LAST '>' on the line: nested types
+    # (struct<a:array<int>,b:string>) would otherwise truncate at the
+    # inner '>' and drop later columns from the audit (code-review r4)
+    for m in re.finditer(r"ReadSchema: struct<(.*)>", plan):
         cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
         out.append(cols)
     return out
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # one JVM explain round-trip, not two
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def codegen_stage_count(df: DataFrame) -> int:

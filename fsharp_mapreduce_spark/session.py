@@ -102,9 +102,16 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     pkg_root = Path(__file__).resolve().parent
     dest = Path(tempfile.gettempdir()) / f"fsmr_pkg_{appid}.zip"
     if not dest.exists():
-        with zipfile.ZipFile(dest, "w") as z:
+        # write-then-rename: an interrupted zip write must not leave a
+        # truncated file that dest.exists() later mistakes for a good
+        # archive and ships to executors (code-review r4)
+        import os
+
+        tmp = dest.with_suffix(".zip.tmp")
+        with zipfile.ZipFile(tmp, "w") as z:
             for p in sorted(pkg_root.rglob("*.py")):
                 z.write(p, str(Path("fsharp_mapreduce_spark") / p.relative_to(pkg_root)))
+        os.replace(tmp, dest)
     spark.sparkContext.addPyFile(str(dest))
     _shipped_apps.add(appid)
 

@@ -129,6 +129,8 @@ def write_compacted(
             f"write_compacted: {n_files} files from est={est_bytes}B at "
             f"target={target_file_bytes}B — raise target_file_bytes"
         )
+    if fmt == "csv":  # same default as write() — one rule per module
+        options.setdefault("header", "true")
     writer = df.repartition(n_files).write.mode(mode).options(**options)
     writer.format(fmt).save(path)
     return n_files

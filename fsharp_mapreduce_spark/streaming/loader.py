@@ -48,6 +48,14 @@ def stage_as_chunked_files(
     sized data, not an engine path."""
     key = None
     if memo_key is not None:
+        if out_dir is not None:
+            # the memo key omits out_dir, so a later hit would return
+            # the FIRST call's directory and silently never populate
+            # the requested one (code-review r4)
+            raise ValueError(
+                "stage_as_chunked_files: memo_key and out_dir are "
+                "mutually exclusive — a memo hit bypasses out_dir"
+            )
         key = (memo_key, n_chunks, tuple(order_by or ()))
         cached = _staged_memo.get(key)
         if cached is not None and os.path.isdir(cached):
@@ -67,7 +75,12 @@ def stage_as_chunked_files(
     from pyspark.sql import functions as F
 
     w = W.orderBy(*order_by)
-    chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(w))
+    # persist: each of the n_chunks filtered writes below would
+    # otherwise re-execute the scan + global sort from scratch —
+    # n_chunks full sorts instead of one (code-review r4; harness-only
+    # fixture-sized data, but the staging wall-clock is paid by every
+    # first streaming-query invocation)
+    chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(w)).persist()
     seen: set[str] = set()
     for i in range(1, n_chunks + 1):
         (
@@ -85,6 +98,7 @@ def stage_as_chunked_files(
             if f.endswith(".parquet") and p not in seen:
                 os.utime(p, (now, now))
                 seen.add(p)
+    chunked.unpersist()
     if key is not None:  # all chunks staged + mtimes pinned → memoizable
         _staged_memo[key] = out_dir
     return out_dir
