@@ -705,7 +705,10 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # differ only by ~1e-12 relative rounding; 1e-6 slop means no pair
     # the fold accepts can be lost at candidate gen.
     block = 1024
-    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    if max_id is None:
+        raise ValueError("embeddings table is empty: nothing to near-dup scan")
+    n = max_id + 1
     n_blocks = max(1, -(-n // block))
 
     # row in block i serves side A of pairs (i, q>=i) and side B of

@@ -790,7 +790,10 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     block = 1024
-    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    if max_id is None:
+        raise ValueError("embeddings table is empty: nothing to kNN-join")
+    n = max_id + 1
     n_blocks = max(1, -(-n // block))
 
     def pair_targets(i_col):
@@ -816,7 +819,20 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def block_pair_topk(pdf):
         p, q = int(pdf["p"].iloc[0]), int(pdf["q"].iloc[0])
+        # ascending-id column order + STABLE argsort below = exact ties
+        # at the k boundary keep the smallest neighbor_id — the
+        # oracle's ROW_NUMBER(sim DESC, neighbor_id) tiebreak. Without
+        # it duplicate embeddings (cosine exactly tied) survive the
+        # local cut arbitrarily and the final window can diverge from
+        # the oracle (code-review r4).
+        pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
+        # normalize-to-unit prologue appears inline in each GEMM UDF
+        # ON PURPOSE (here, s07, t09, t10): t09's closure is
+        # deliberately self-contained (no package import → no
+        # ensure_package_shipped dependency), so a shared helper would
+        # split the four sites into two import regimes — reviewed r4,
+        # duplication accepted with this pointer.
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0.0] = 1.0
@@ -833,7 +849,9 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sims.shape[1] == 0:
                 return ids_l[:0], ids_r[:0]
             kk = min(k, sims.shape[1])
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # stable sort, ids_r ascending by column ⇒ tied sims keep
+            # ascending neighbor_id (argpartition has no tie order)
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             li = np.repeat(np.arange(len(ids_l)), kk)
             a, b = ids_l[li], ids_r[part.ravel()]
             keep = np.isfinite(sims[li, part.ravel()])
@@ -918,6 +936,9 @@ def _knn_join_lsh_candidates(
                 "neighbor_id": np.array([], dtype=np.int64),
             }
         )
+        # ascending-id column order + stable argsort = oracle tiebreak
+        # for exactly-tied candidates at the k boundary (see s06)
+        pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = len(ids)
         if m < 2:
@@ -933,7 +954,7 @@ def _knn_join_lsh_candidates(
             rows = np.arange(s, min(s + chunk, m))
             sims = unit[rows] @ unit.T  # (c, m)
             sims[np.arange(len(rows)), rows] = -np.inf  # mask self
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             li = np.repeat(np.arange(len(rows)), kk)
             cols = part.ravel()
             keep = np.isfinite(sims[li, cols])  # s06's -inf guard

@@ -26,21 +26,39 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
-@dataclass(frozen=True)
+@dataclass
 class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
+    oracle_static: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
     # A per-SF oracle generator for queries whose oracle embeds
     # DATA-DERIVED literals (s04's k-means centroids): called with an
     # sf_dir, returns the oracle SQL valid for THAT fixture (or None if
-    # the fixture is unreadable). The static `oracle` field holds
-    # factory(GATE_SF_DIR) — the string the driver runs at its sf0.01
-    # gate; the local differential suite re-invokes the factory for its
-    # own SF so both verifications stay value-exact.
+    # the fixture is unreadable). `.oracle` resolves factory(GATE_SF_DIR)
+    # LAZILY on first read (code-review r4: eager resolution ran s04's
+    # full k-means fit at import time for every consumer, including
+    # ones that never touch s04) — the string the driver runs at its
+    # sf0.01 gate; the local differential suite re-invokes the factory
+    # for its own SF so both verifications stay value-exact.
     oracle_factory: Callable[[str], str | None] | None = None
+    _resolved: str | None = field(default=None, repr=False, compare=False)
+    _resolve_tried: bool = field(default=False, repr=False, compare=False)
+
+    @property
+    def oracle(self) -> str | None:
+        if self.oracle_static is not None:
+            return self.oracle_static
+        if self.oracle_factory is None:
+            return None
+        if not self._resolve_tried:
+            self._resolve_tried = True
+            try:
+                self._resolved = self.oracle_factory(GATE_SF_DIR)
+            except Exception:  # fixture unreadable → driver sees no_oracle
+                self._resolved = None
+        return self._resolved
 
 
 QUERIES: dict[str, QuerySpec] = {}
@@ -241,13 +259,6 @@ def register(
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        sql = oracle
-        if sql is None and oracle_factory is not None:
-            try:
-                sql = oracle_factory(GATE_SF_DIR)
-            except Exception:  # fixture unreadable → driver sees no_oracle
-                sql = None
-
         # Release the PREVIOUS query's scoped staging caches before
         # building this one: registry consumers (driver gate,
         # verify_probe, oracle suite) run queries sequentially, so the
@@ -262,7 +273,7 @@ def register(
             return fn(spark, sf_dir)
 
         QUERIES[name] = QuerySpec(
-            name, scoped, sql, tuple(tags), fn.__doc__ or "", oracle_factory
+            name, scoped, oracle, tuple(tags), fn.__doc__ or "", oracle_factory
         )
         return fn
 

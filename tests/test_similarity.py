@@ -360,3 +360,34 @@ def test_ivf_index_probe_prunes_partitions(spark, ivf_index):
     n_dirs = len([d for d in os.listdir(path) if d.startswith("cell_id=")])
     assert n_dirs == N_CELLS
     assert 0 < len(probed) < N_CELLS, (probed, N_CELLS)
+
+
+def test_knn_join_exact_ties_break_by_neighbor_id(spark, tmp_path_factory):
+    """Code-review r4: duplicate embeddings make cosines EXACTLY tied,
+    and the in-UDF local top-k cut used to keep an arbitrary k of them
+    (argpartition has no tie order) while the oracle's ROW_NUMBER
+    keeps the smallest neighbor_ids. Six identical vectors, k=3: every
+    member's neighbors must be the three smallest OTHER ids, in both
+    the exact (s06) and LSH (s07) joins."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        KNN_JOIN_K,
+        s06_knn_join,
+        s07_knn_join_lsh,
+    )
+
+    assert KNN_JOIN_K == 3
+    vec = [1.0, 0.5, -0.25, 2.0, 0.0, 1.5, -1.0, 0.75]
+    far = [-5.0, 3.0, 2.0, -1.0, 4.0, -2.0, 0.5, -3.0]
+    rows = [(i, vec) for i in range(6)] + [(10, far)]
+    d = str(tmp_path_factory.mktemp("knn_ties"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    for fn in (s06_knn_join, s07_knn_join_lsh):
+        got = {}
+        for r in fn(spark, d).collect():
+            got.setdefault(r.vec_id, set()).add(r.neighbor_id)
+        for v in range(6):
+            want = sorted(set(range(6)) - {v})[:3]
+            assert got[v] == set(want), (fn.__name__, v, got[v], want)
