@@ -2,13 +2,24 @@
 """Benchmark harness (driver contract + BASELINE.md table of record).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line:
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (VERDICT r4 #1 — the driver captures only a ~2000-char
+stdout TAIL, and round 4's single 6 KB JSON line got truncated
+mid-object, leaving the round's bench artifact unparseable):
+
+- the FULL payload (per-query medians, min/max spread bands, duckdb
+  timings) is printed as an early stdout line AND written to
+  ``BENCH_DETAIL.json`` at the repo root (committed per round);
+- the very LAST stdout line is a SHORT summary JSON object (≲400
+  bytes, size pinned by tests/test_registry_exposure.py) that always
+  fits the tail:
+
+    {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries":
+     K, "dice_mr_compat_5m": ..., "detail": "BENCH_DETAIL.json"}
 
 ``value`` is the sum of per-query median wall-clock (seconds, median
-of --runs measured runs after one warm-up). ``--duckdb`` additionally
+of --runs measured runs after warm-ups). ``--duckdb`` additionally
 times the DuckDB oracles on the same files — that populates the
 BASELINE.md ratio table.
 """
@@ -49,6 +60,7 @@ HEADLINE = [
     "q27_dice_frequency",
     "q39_time_range_window",
     "q40_dice_pull_source",
+    "q41_recursive_calendar",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
@@ -73,6 +85,7 @@ HEADLINE = [
     "t26_paragraph_dedup",
     "t27_mixture_rebalance",
     "t28_preprocess_funnel",
+    "t29_sequence_pack",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -82,13 +95,17 @@ HEADLINE = [
     "s07_knn_join_lsh",
     "s08_knn_quantized",
     "s09_maxsim_late_interaction",
+    "s10_label_cohesion",
+    "s11_knn_ivf_index_probe",
     "st01_stream_tumbling_agg",
     "st04_stream_stateful_running_max",
     "st05_stream_stream_join",
     "st10_dedup_within_watermark",
     "st11_dice_pull_stream",
+    "st12_stream_quality_filter",
     "m01_multimodal_meta",
     "m03_frame_sample",
+    "m06_bmp_decode_stats",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its
@@ -236,6 +253,8 @@ DUCKDB_TIMING_SKIP = {
     # fit on the sf0.01 GATE fixture — running it on sf0.1 would time
     # a semantically different query
     "s04_knn_ivf",
+    # shares s04's data-derived centroid-literal oracle factory
+    "s11_knn_ivf_index_probe",
     # shares t12's recursive-CTE oracle (quadratic at sf0.1)
     "t23_dedup_clusters_star",
 }
@@ -289,11 +308,31 @@ def _headline_groups(names: list[str]) -> list[tuple[str, list[str]]]:
     return [(k, v) for k, v in groups.items() if v]
 
 
+def summary_obj(result: dict) -> dict:
+    """The short final-stdout-line object. MUST stay small: the driver
+    captures only a ~2000-char stdout tail, and anything that doesn't
+    fit is truncated mid-object (BENCH_r04 was `parsed: null` for
+    exactly this reason). Size pinned ≤400 bytes by
+    tests/test_registry_exposure.py::test_bench_summary_line_fits_tail."""
+    out = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(result["queries"]),
+        "detail": "BENCH_DETAIL.json",
+    }
+    for k in ("dice_mr_compat_5m", "duckdb_value"):
+        if k in result:
+            out[k] = result[k]
+    return out
+
+
 def _run_child(child_args: list[str], runs: int) -> str:
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, __file__, *child_args, "--runs", str(runs)],
+        [sys.executable, __file__, *child_args, "--runs", str(runs), "--child"],
         capture_output=True,
         text=True,
     )
@@ -314,6 +353,13 @@ def main() -> None:
         "--dice-only",
         action="store_true",
         help="measure only the MapReduce anchor (used by the subprocess below)",
+    )
+    ap.add_argument(
+        "--child",
+        action="store_true",
+        help="internal: subprocess mode — print the FULL payload as the "
+        "last line (the parent captures complete stdout, no tail limit) "
+        "and skip the detail-file/summary-line top-level contract",
     )
     args = ap.parse_args()
     # `--queries` with zero names must mean "the default headline run"
@@ -382,7 +428,20 @@ def main() -> None:
         result["duckdb_queries"] = duck
         result["duckdb_value"] = round(sum(duck.values()), 4)
 
-    print(json.dumps(result))
+    if args.child:
+        # parent parses complete stdout via _last_json_obj — full
+        # payload as the last line is the right contract here
+        print(json.dumps(result))
+        return
+
+    # Top-level contract (VERDICT r4 #1): full payload EARLY on stdout
+    # + committed detail file; short summary as the very last line so
+    # the driver's bounded stdout-tail capture always parses it.
+    full = json.dumps(result)
+    print(full)
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(full + "\n")
+    print(json.dumps(summary_obj(result)))
 
 
 if __name__ == "__main__":

@@ -230,11 +230,18 @@ class MapReduceJob:
         from pyspark.rdd import portable_hash
 
         zero, seq = self.zero, self.reduce_fn
+        from pyspark import StorageLevel
+
         # zipWithIndex launches a per-partition COUNT job before the
         # real pass — without the persist that first job re-executes
         # the whole source scan + map_fn, doubling the map phase
-        # (code-review r4)
-        pairs = pairs.persist()
+        # (code-review r4). MEMORY_AND_DISK, not the MEMORY_ONLY
+        # default: an evicted partition would re-run the source scan +
+        # map_fn between the count job and the fold pass — the exact
+        # double-execution (and, for nondeterministic map_fns,
+        # index-misalignment) hazard this persist exists to close
+        # (ADVICE r4).
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
         indexed = pairs.zipWithIndex().map(lambda t: ((t[0][0], t[1]), t[0][1]))
         parted = indexed.repartitionAndSortWithinPartitions(
             numPartitions=n,

@@ -903,10 +903,14 @@ def q41_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     METADATA-sized — ~80 single-row iterative steps on the driver-side
     loop, nothing corpus-shaped recurses — and the fact-side join +
     agg stay ordinary distributed operators; depth is bounded by the
-    date span (≪ spark.sql.cteRecursionLevelLimit's 100 default at
-    the fixture's ~7-year span). DuckDB runs the identical recursive
-    SQL — the one query in the registry where BOTH engines execute the
-    same text verbatim."""
+    date span. The fixture's ~84-month span sits uncomfortably close
+    to spark.sql.cteRecursionLevelLimit's default of 100 — a corpus
+    spanning >8.3 years would fail at runtime — so the limit is raised
+    explicitly (5000 months ≈ 400 years; still metadata-sized,
+    ADVICE r4). DuckDB runs the identical recursive SQL — the one
+    query in the registry where BOTH engines execute the same text
+    verbatim."""
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5000")
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """

@@ -31,16 +31,33 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 only. A flat ``split(",")``
+    mangles nested payloads — struct<a:struct<w:int,h:int>> would emit
+    a phantom top-level 'h' column, and In(col, [a,b]) would split
+    into two half-filters (ADVICE r4)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<([":
+            depth += 1
+        elif ch in ">)]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every parquet scan in the plan.
     Matches to END OF LINE, not the first ']' — In(col, [a,b]) filters
     contain nested brackets that a non-greedy class would truncate
-    (code-review r4)."""
+    (code-review r4); the depth-0 split keeps each such filter whole."""
     plan = formatted_plan(df)
     out: list[str] = []
     for m in re.finditer(r"PushedFilters: \[(.*)\]", plan):
-        if m.group(1).strip():
-            out.extend(s.strip() for s in m.group(1).split(","))
+        out.extend(_split_depth0(m.group(1)))
     return out
 
 
@@ -50,10 +67,11 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
     out = []
     # greedy to the LAST '>' on the line: nested types
     # (struct<a:array<int>,b:string>) would otherwise truncate at the
-    # inner '>' and drop later columns from the audit (code-review r4)
+    # inner '>' and drop later columns from the audit (code-review r4);
+    # depth-0 comma split so nested struct fields don't surface as
+    # phantom top-level columns (ADVICE r4)
     for m in re.finditer(r"ReadSchema: struct<(.*)>", plan):
-        cols = {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
-        out.append(cols)
+        out.append({c.split(":")[0].strip() for c in _split_depth0(m.group(1))})
     return out
 
 

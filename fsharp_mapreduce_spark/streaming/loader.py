@@ -81,24 +81,29 @@ def stage_as_chunked_files(
     # fixture-sized data, but the staging wall-clock is paid by every
     # first streaming-query invocation)
     chunked = df.withColumn("__chunk", F.ntile(n_chunks).over(w)).persist()
-    seen: set[str] = set()
-    for i in range(1, n_chunks + 1):
-        (
-            chunked.where(F.col("__chunk") == i)
-            .drop("__chunk")
-            .coalesce(1)
-            .write.mode("append")
-            .parquet(out_dir)
-        )
-        # FileStreamSource orders new files by modification time; pin
-        # it explicitly (sub-second writes can collide).
-        now = 1_700_000_000 + i * 10
-        for f in os.listdir(out_dir):
-            p = os.path.join(out_dir, f)
-            if f.endswith(".parquet") and p not in seen:
-                os.utime(p, (now, now))
-                seen.add(p)
-    chunked.unpersist()
+    # try/finally: a failed chunk write must still release the cached
+    # sorted corpus — without it the persist leaks for the session
+    # lifetime (ADVICE r4)
+    try:
+        seen: set[str] = set()
+        for i in range(1, n_chunks + 1):
+            (
+                chunked.where(F.col("__chunk") == i)
+                .drop("__chunk")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+            # FileStreamSource orders new files by modification time;
+            # pin it explicitly (sub-second writes can collide).
+            now = 1_700_000_000 + i * 10
+            for f in os.listdir(out_dir):
+                p = os.path.join(out_dir, f)
+                if f.endswith(".parquet") and p not in seen:
+                    os.utime(p, (now, now))
+                    seen.add(p)
+    finally:
+        chunked.unpersist()
     if key is not None:  # all chunks staged + mtimes pinned → memoizable
         _staged_memo[key] = out_dir
     return out_dir

@@ -549,3 +549,101 @@ def st12_stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
     )
     return run_to_completion(agg, "st12_out", output_mode="complete")
+
+
+@register(
+    "st13_stream_left_outer_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE p.ts IS NULL) AS BIGINT) AS n_unmatched,
+           ROUND(COALESCE(SUM(p.value), 0), 4) AS attributed_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "stream_stream_join", "outer"),
+)
+def st13_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven LEFT OUTER stream-stream join (VERDICT r4 #7)
+    — the semantics production attribution hits first: every click
+    appears in the output, matched clicks as (click, purchase) pairs,
+    unmatched clicks as NULL rows EMITTED ONLY WHEN THE WATERMARK
+    CLOSES THEIR MATCH WINDOW (the engine cannot know a click is
+    unmatched until no on-time purchase can still arrive). State for
+    both sides is watermark-bounded exactly as in st05's inner join.
+
+    Bounded-fixture determinism: outer-null emission needs the
+    watermark to pass beyond the last click's window, but a stream's
+    watermark only advances with observed events — on a finite replay
+    the final clicks would stay unflushed forever. The replay
+    therefore appends two far-future FLUSH SENTINEL events (max_ts +
+    10 days) that PASS the event-type filters — one 'click' and one
+    'purchase', with impossible user_ids (−1/−2) so they can never
+    join anything. They must pass the filters because Catalyst pushes
+    a deterministic event-type predicate BELOW the EventTimeWatermark
+    operator into the parquet scan (measured: a '__flush__' sentinel
+    was filtered at the scan and the watermark never advanced) — a
+    surviving row per side is the only reliable way to move both
+    watermarks. The trailing no-data micro-batch then evicts and
+    emits every pending null row; sentinel rows are dropped from the
+    result (user_id ≥ 0). Oracle = the identical batch LEFT JOIN; the
+    null-emission timing itself is pinned by
+    tests/test_streaming.py::test_st13_late_null_emission."""
+    ev_batch = table(spark, sf_dir, "events")
+    max_ts = ev_batch.agg(F.max("ts")).first()[0]
+    uid_type = dict(ev_batch.dtypes)["user_id"]
+
+    def sentinel(event_type: str, uid: int) -> DataFrame:
+        overrides = {
+            "ts": (F.lit(max_ts) + F.expr("INTERVAL 240 HOURS")).cast("timestamp"),
+            "event_type": F.lit(event_type),
+            "user_id": F.lit(uid).cast(uid_type),
+        }
+        return ev_batch.limit(1).select(
+            [overrides.get(c, F.col(c)).alias(c) for c in ev_batch.columns]
+        )
+
+    staged = stage_as_chunked_files(
+        ev_batch.unionByName(sentinel("click", -1)).unionByName(
+            sentinel("purchase", -2)
+        ),
+        n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events-flush-sentinel"),
+    )
+    clicks = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_completion(joined, "st13_out", output_mode="append")
+    # sentinel rows (negative user_ids) exist only to advance the
+    # watermarks; they never join and are excluded from the answer
+    out = out.where(F.col("c_user") >= 0)
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("p_ts").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("p_ts").isNull().cast("long")).cast("bigint").alias("n_unmatched"),
+        F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("attributed_value"),
+    )

@@ -124,3 +124,118 @@ def test_resize_matches_local_stub(spark):
         assert (row.out_w, row.out_h) == (out, out)
         assert row.out_bytes == len(buf) == out * out
         assert bytes(row.resized) == buf
+
+
+# --- real BMP codec path (m06, VERDICT r4 #6) -----------------------
+
+
+def _handbuilt_bmp(pixels_topdown, height_sign=1, palette_fn=None):
+    """Build an 8-bit BMP byte-by-byte in the TEST, independently of
+    encode_bmp_gray, so a decoder bug can't be masked by a mirrored
+    encoder bug. pixels_topdown: list of rows, top row first."""
+    import struct
+
+    h, w = len(pixels_topdown), len(pixels_topdown[0])
+    stride = (w + 3) // 4 * 4
+    palette_fn = palette_fn or (lambda i: (i, i, i))
+    palette = b"".join(bytes((*palette_fn(i)[::-1], 0)) for i in range(256))  # BGRX
+    offset = 14 + 40 + len(palette)
+    rows_order = pixels_topdown[::-1] if height_sign > 0 else pixels_topdown
+    body = b"".join(
+        bytes(r) + b"\x00" * (stride - w) for r in rows_order
+    )
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h * height_sign, 1, 8, 0, len(body), 0, 0, 256, 0
+    )
+    return header + info + palette + body
+
+
+def test_decode_bmp_golden_bottom_up_with_padding():
+    """3×2 image (stride 4 → one real padding byte/row), bottom-up
+    storage: the decoder must flip rows and drop padding."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import decode_bmp
+
+    pixels = [[10, 20, 30], [40, 50, 60]]
+    img = decode_bmp(_handbuilt_bmp(pixels))
+    assert img.shape == (2, 3)
+    assert img.tolist() == pixels
+    assert img.dtype == np.uint8
+
+
+def test_decode_bmp_top_down_negative_height():
+    from fsharp_mapreduce_spark.functions.multimodal import decode_bmp
+
+    pixels = [[1, 2, 3], [4, 5, 6]]
+    img = decode_bmp(_handbuilt_bmp(pixels, height_sign=-1))
+    assert img.tolist() == pixels
+
+
+def test_decode_bmp_maps_through_palette():
+    """A non-identity palette (i → 255−i in the red channel) must be
+    honored: index bytes are NOT gray values in a palettized BMP."""
+    from fsharp_mapreduce_spark.functions.multimodal import decode_bmp
+
+    pixels = [[0, 1, 2], [3, 4, 5]]
+    img = decode_bmp(
+        _handbuilt_bmp(pixels, palette_fn=lambda i: (255 - i, i, i))
+    )
+    assert img.tolist() == [[255 - v for v in row] for row in pixels]
+
+
+def test_decode_bmp_rejects_malformed_and_unsupported():
+    from fsharp_mapreduce_spark.functions.multimodal import decode_bmp
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    # 24-bit uncompressed → the documented codec gate, not a wrong answer
+    import struct
+
+    hdr = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 24, 0, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_bmp(hdr + info + b"\x00" * 4)
+
+
+def test_encode_decode_roundtrip():
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    for side in (1, 3, 7, 18):  # sides hitting every stride remainder
+        px = rng.integers(0, 256, size=(side, side), dtype=np.uint8)
+        assert (decode_bmp(encode_bmp_gray(px)) == px).all()
+
+
+def test_m06_decoded_stats_match_local_decode(spark):
+    """The distributed encode→decode pipeline must agree with a
+    driver-local replay on the same payloads — and the pixel_sum must
+    equal the analytic digest tiling (what the oracle checks)."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        BMP_SIDE,
+        bmp_roundtrip_stats,
+    )
+
+    media = documents_as_media(spark, SF_SMOKE).limit(20)
+    n = BMP_SIDE * BMP_SIDE
+    local = {}
+    for r in media.collect():
+        digest = hashlib.sha256(bytes(r.payload)).digest()
+        flat = np.frombuffer((digest * (n // 32 + 1))[:n], dtype=np.uint8)
+        local[r.media_id] = int(flat.astype(np.int64).sum())
+    dist = {r.media_id: r for r in bmp_roundtrip_stats(media).collect()}
+    assert set(dist) == set(local)
+    for mid, expected_sum in local.items():
+        row = dist[mid]
+        assert (row.width, row.height) == (BMP_SIDE, BMP_SIDE)
+        assert row.pixel_sum == expected_sum

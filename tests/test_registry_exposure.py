@@ -83,6 +83,31 @@ def test_flagship_exposed():
     assert "q27_dice_frequency" in exposed_queries()
 
 
+def test_bench_summary_line_fits_tail():
+    """VERDICT r4 #1: the driver captures only a ~2000-char stdout
+    TAIL; round 4's 6 KB final JSON line was truncated mid-object and
+    the round's bench artifact recorded `parsed: null`. The final line
+    is now a short summary object — pin that it stays far below the
+    tail size even with every optional field populated."""
+    import json
+
+    import bench
+
+    result = {
+        "metric": "sum of per-query median wall-clock, headline queries",
+        "value": 12345.6789,
+        "unit": "sec",
+        "queries": {n: 99.9999 for n in bench.HEADLINE},
+        "spread": {n: [99.0, 100.0] for n in bench.HEADLINE},
+        "sf": 0.1,
+        "dice_mr_compat_5m": 12.3456,
+        "duckdb_value": 12345.6789,
+    }
+    line = json.dumps(bench.summary_obj(result))
+    assert len(line) <= 400, f"summary line {len(line)} bytes > 400"
+    assert "queries" not in bench.summary_obj(result)
+
+
 def test_bench_covers_every_exposed_family():
     """VERDICT r3 #7: every gate-exposed query's operator family has a
     bench row — directly in HEADLINE or via a declared FAMILY_COVERAGE

@@ -391,3 +391,15 @@ def test_knn_join_exact_ties_break_by_neighbor_id(spark, tmp_path_factory):
         for v in range(6):
             want = sorted(set(range(6)) - {v})[:3]
             assert got[v] == set(want), (fn.__name__, v, got[v], want)
+
+
+def test_s11_registered_equals_inline_s04(spark):
+    """The registered materialized-index query (s11) must return
+    exactly the inline s04 answer — same queries, same centroids, same
+    ranking — so it can legitimately share s04's oracle factory."""
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    a = {tuple(r) for r in QUERIES["s04_knn_ivf"].fn(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in QUERIES["s11_knn_ivf_index_probe"].fn(spark, SF_SMOKE).collect()}
+    assert a == b

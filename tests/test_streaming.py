@@ -379,3 +379,114 @@ def test_pull_stream_checkpoint_restart_resumes_cursor(spark):
     # resumed: second run covers the remainder, plus at most the one
     # in-flight pull from the race with stop()
     assert consumed_second <= rows - consumed_first + chunk
+
+
+def test_st13_late_null_emission(spark):
+    """Pins the LEFT OUTER stream-stream join's null-emission timing:
+    an unmatched click must NOT appear while its match window is still
+    open (the engine can't yet know it's unmatched), and MUST appear —
+    with nulls — once the watermark passes click_ts + 30min. The
+    watermark is advanced by the same flush-sentinel mechanism the
+    registered st13 query uses."""
+    import datetime as dt
+
+    from fsharp_mapreduce_spark.streaming.loader import (
+        read_pull_stream,
+        run_to_completion,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "click", 0.0),
+        (1, base + dt.timedelta(minutes=10), "purchase", 5.0),
+        (2, base + dt.timedelta(minutes=20), "click", 0.0),
+    ]
+    schema = "user_id int, ts timestamp, event_type string, value double"
+
+    def run(with_sentinel: bool, name: str):
+        rws = list(rows)
+        if with_sentinel:
+            far = base + dt.timedelta(days=10)
+            rws += [(-1, far, "click", 0.0), (-2, far, "purchase", 0.0)]
+        staged = stage_as_chunked_files(
+            spark.createDataFrame(rws, schema), n_chunks=2, order_by=["ts"]
+        )
+        clicks = (
+            read_pull_stream(spark, staged)
+            .withWatermark("ts", "1 hour")
+            .where(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        )
+        purchases = (
+            read_pull_stream(spark, staged)
+            .withWatermark("ts", "1 hour")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        out = run_to_completion(joined, name, output_mode="append")
+        return {
+            (r["c_user"], r["p_ts"] is not None)
+            for r in out.where(F.col("c_user") >= 0).collect()
+        }
+
+    open_window = run(False, "st13_null_open")
+    assert (1, True) in open_window, "matched pair must emit immediately"
+    assert (2, False) not in open_window, (
+        "null row emitted while the match window was still open"
+    )
+    closed = run(True, "st13_null_closed")
+    assert (1, True) in closed
+    assert (2, False) in closed, (
+        "watermark closed user 2's window but no null row was emitted"
+    )
+    assert (1, False) not in closed, "matched click must not also emit a null row"
+
+
+def test_st13_stream_equals_batch_left_join(spark):
+    """Registered st13 vs its batch LEFT JOIN twin on the smoke
+    fixture (the driver's parity check at the gate SF)."""
+    load_all_query_modules()
+    got = {
+        (r.user_id, r.n_pairs, r.n_unmatched, r.attributed_value)
+        for r in QUERIES["st13_stream_left_outer_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left_outer",
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("p_ts").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("p_ts").isNull().cast("long")).cast("bigint").alias("n_unmatched"),
+            F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("attributed_value"),
+        )
+    )
+    want = {
+        (r.user_id, r.n_pairs, r.n_unmatched, r.attributed_value)
+        for r in batch.collect()
+    }
+    assert got == want
