@@ -73,6 +73,15 @@ def main() -> int:
             )
             if oracle:
                 osql[n] = oracle
+        elif spec.oracle_factory is not None:
+            # data-derived oracles (s04/s11 centroid literals) embed
+            # constants fit on ONE fixture; e.oracle_sql() resolves
+            # them at the driver's GATE SF, so a cross-SF sweep
+            # (SPARK_GRAFT_PROBE_SF_DIR) must regenerate for the
+            # probed fixture — at the gate SF this is a no-op.
+            regenerated = spec.oracle_factory(sf)
+            if regenerated:
+                osql[n] = regenerated
     names = sorted(e.queries()) if "--all" in sys.argv[1:] else sys.argv[1:]
     fails = []
     for name in names:
