@@ -322,6 +322,31 @@ def knn_lsh_probe(
     return _exact_topk(_bucket_candidates(tagged, _probe_set(tagged, n_queries)), k)
 
 
+@register(
+    "s12_knn_lsh_index_probe",
+    oracle=_S02_ORACLE,
+    tags=("similarity", "lsh", "ann", "index"),
+)
+def s12_knn_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-LSH-index ANN path as a registered query (the
+    s11 pattern on the second index family): `build_lsh_index` writes
+    the tagged corpus as a managed table BUCKETED BY the join keys
+    (tbl, bucket), so `knn_lsh_probe` answers s02's queries with NO
+    index-side exchange and NO re-assignment GEMM — the bucket
+    assignment is paid once at build time (plan-pinned by
+    tests/test_similarity.py::test_lsh_index_probe_plan_exchange_free).
+    Results are identical to s02's inline pipeline (equivalence-
+    tested), so it shares s02's static hyperplane-literal oracle —
+    valid at every SF (the planes are deterministic constants, not
+    data-derived)."""
+    import hashlib
+
+    emb = table(spark, sf_dir, "embeddings")
+    index_table = "fsmr_lsh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    build_lsh_index(emb, index_table)
+    return knn_lsh_probe(spark, index_table)
+
+
 N_CELLS = 16  # IVF coarse cells
 N_PROBE = 6  # cells searched per query
 KMEANS_SAMPLE = 4096  # driver-side fit sample cap

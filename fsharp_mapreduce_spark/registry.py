@@ -202,6 +202,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # representative join) takes the slot; s03 (driver-green r1–r4)
     # folds
     "s03_embedding_stats": "s10_label_cohesion",
+    # LSH-index family: s02 (inline LSH ANN) holds the slot; s12 is
+    # the materialized bucketed-table probe of the same pipeline
+    # (round-5 addition, pytest-only this round per the cadence)
+    "s12_knn_lsh_index_probe": "s02_knn_lsh",
     # IVF family (r5 rotation, VERDICT r4 #5): s11 — the SAME pipeline
     # as s04 but probing the materialized cell-partitioned index
     # (equivalence-tested result identity, shared oracle factory) —

@@ -486,3 +486,12 @@ def test_t28_funnel_digest_exchange_no_text_shuffle(spark):
     assert "hashpartitioning(text" not in plan, plan
     # the two scalar audit aggregates are the only SinglePartition use
     assert plan.count("Exchange SinglePartition") <= 4, plan
+
+
+def test_m06_bmp_decode_is_map_only(spark):
+    """m06: the encode→decode round-trip is one mapInPandas projection
+    — the only exchange is the fan_out repartition of the single-split
+    fixture scan. At 100 TB a multi-split corpus drops the repartition
+    and the decode stage is exchange-free."""
+    df = q("m06_bmp_decode_stats", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)

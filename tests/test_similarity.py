@@ -403,3 +403,14 @@ def test_s11_registered_equals_inline_s04(spark):
     a = {tuple(r) for r in QUERIES["s04_knn_ivf"].fn(spark, SF_SMOKE).collect()}
     b = {tuple(r) for r in QUERIES["s11_knn_ivf_index_probe"].fn(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_s12_registered_equals_inline_s02(spark):
+    """The registered materialized-LSH-index query (s12) must return
+    exactly the inline s02 answer, so it can share s02's oracle."""
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    a = {tuple(r) for r in QUERIES["s02_knn_lsh"].fn(spark, SF_SMOKE).collect()}
+    b = {tuple(r) for r in QUERIES["s12_knn_lsh_index_probe"].fn(spark, SF_SMOKE).collect()}
+    assert a == b
