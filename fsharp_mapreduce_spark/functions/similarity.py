@@ -302,6 +302,24 @@ def build_lsh_index(
     self-joins exchange-free on (tbl, bucket)."""
     from fsharp_mapreduce_spark.sources.io import write_bucketed
 
+    spark = emb.sparkSession
+    # Idempotent overwrite across PROCESSES, not just sessions:
+    # saveAsTable(overwrite) refuses a managed LOCATION left behind by
+    # a previous process whose table this session's catalog never saw
+    # (LOCATION_ALREADY_EXISTS — hit by any fresh session rebuilding a
+    # deterministic index name). Drop the catalog entry if present,
+    # then clear a stale local-filesystem location; non-file
+    # warehouses (real clusters) skip the rmtree and surface the
+    # normal error, where the operator should pick a fresh name.
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(os.path.join(wh.path, table_name.lower()), ignore_errors=True)
+
     bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
     tagged = emb.select(
         "vec_id", "embedding", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")

@@ -118,6 +118,31 @@ def test_lsh_index_bucketed_agg_skips_exchange(spark, lsh_index):
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_lsh_index_rebuild_over_stale_location(spark):
+    """Regression: a previous PROCESS can leave the managed table's
+    warehouse directory behind without a catalog entry this session can
+    see (in-memory catalog + shared warehouse dir). saveAsTable's
+    overwrite refuses such a location (LOCATION_ALREADY_EXISTS), so
+    build_lsh_index must clear both catalog entry and stale local dir
+    before writing — rebuilding a deterministic index name from a fresh
+    session must succeed."""
+    name = "test_lsh_index_stale_loc"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(warehouse, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(stale, ignore_errors=True)
+    # simulate the leftover: a non-empty location with NO catalog entry
+    os.makedirs(stale)
+    with open(os.path.join(stale, "leftover.parquet"), "wb") as f:
+        f.write(b"stale")
+    try:
+        build_lsh_index(table(spark, SF_SMOKE, "embeddings"), name)
+        assert knn_lsh_probe(spark, name).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def test_cosine_fold_identities(spark):
     df = spark.createDataFrame(
         [
