@@ -1530,3 +1530,227 @@ def t23_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("v").alias("doc_id"), F.col("label").cast("bigint").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t30: incremental (batch-vs-corpus) dedup — the ingestion-time shape.
+# t01/t03 dedup WITHIN one corpus; a production pipeline's daily runs
+# instead ask "which of today's N new documents already exist in the
+# 100 TB corpus?" — a cross-corpus membership problem whose two sides
+# are wildly asymmetric (batch ≪ corpus). The fixture has one
+# documents table, so the batch is carved out deterministically:
+# doc_id % 10 = 7 (≈10%) is "today's batch", the rest is "the corpus".
+BATCH_MOD = 10
+BATCH_REMAINDER = 7
+
+
+def _is_batch(col: Column) -> Column:
+    return col % BATCH_MOD == BATCH_REMAINDER
+
+
+def incremental_dedup(docs: DataFrame) -> DataFrame:
+    """Per new-batch document: exact-duplicate flag (content digest
+    seen in the corpus) + near-duplicate audit (count of corpus docs
+    with shingle-Jaccard ≥ {JACCARD_THRESHOLD} via the t03 MinHash
+    bands, and the max such Jaccard).
+
+    Plan at 100 TB (the asymmetry IS the plan):
+    - ONE scan of the full table computes digests + minhash band
+      signatures for every document (the corpus side would already
+      have these materialized, s12-style; here they're computed and
+      scoped-persisted so batch and corpus splits read the same
+      cached pass);
+    - every join broadcasts a BATCH-derived table (band signatures,
+      digest list, candidate pairs, batch shingle sets — all
+      ingest-sized): the corpus side is only ever scanned, never
+      shuffled and never collected. Plan-pinned: no SortMergeJoin,
+      no Exchange on the corpus-sized stream
+      (tests/test_dedup.py::test_t30_corpus_side_never_shuffles);
+    - candidate verification is exact Jaccard on the cached hashed
+      shingle sets, so emitted scores are exact (the t03 contract);
+      candidates are bounded by band collisions — the batch probes
+      the same banding a within-corpus dedup would use.
+    """
+    spark = docs.sparkSession
+    tagged = docs.withColumn("is_batch", _is_batch(F.col("doc_id")))
+    digests = tagged.select("doc_id", "is_batch", F.md5("text").alias("text_hash"))
+
+    # one signature pass over the full table, split read twice from
+    # the scoped cache (slim rows: doc_id, hs, bands, is_batch)
+    sigs = scoped_persist(
+        minhash_band_signatures(ce_hashed_shingle_sets(fan_out(docs))).withColumn(
+            "is_batch", _is_batch(F.col("doc_id"))
+        )
+    )
+    bands = sigs.select(
+        "doc_id", "is_batch", F.posexplode("bands").alias("band", "band_sig")
+    )
+    corpus_bands = bands.where(~F.col("is_batch"))
+    batch_bands = bands.where(F.col("is_batch")).select(
+        F.col("doc_id").alias("batch_doc"), "band", "band_sig"
+    )
+
+    # exact membership: corpus digests stream past the broadcast batch
+    # digest list; output is batch-sized
+    exact = (
+        digests.where(~F.col("is_batch"))
+        .join(
+            F.broadcast(
+                digests.where(F.col("is_batch")).select(
+                    F.col("doc_id").alias("batch_doc"), "text_hash"
+                )
+            ),
+            "text_hash",
+        )
+        .select("batch_doc")
+        .distinct()
+        .withColumn("is_exact_dup", F.lit(True))
+    )
+
+    # near-dup candidates: corpus bands stream past the broadcast
+    # batch bands; (batch_doc, corpus_doc) distinct is candidate-sized
+    candidates = (
+        corpus_bands.join(F.broadcast(batch_bands), ["band", "band_sig"])
+        .select("batch_doc", F.col("doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification on cached sets: corpus sets stream
+    # past broadcast candidates, then broadcast batch sets attach
+    sets = sigs.select("doc_id", "hs")
+    verified = (
+        sets.join(
+            F.broadcast(candidates), sets.doc_id == candidates.corpus_doc
+        )
+        .select("batch_doc", F.col("hs").alias("sh_c"))
+        .join(
+            F.broadcast(
+                sigs.where(F.col("is_batch")).select(
+                    F.col("doc_id").alias("batch_doc"), F.col("hs").alias("sh_b")
+                )
+            ),
+            "batch_doc",
+        )
+        .withColumn("shared", F.size(F.array_intersect("sh_b", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.size("sh_b") + F.size("sh_c") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    near = verified.groupBy("batch_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dups"),
+        F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+    )
+
+    batch_docs = docs.where(_is_batch(F.col("doc_id"))).select(
+        F.col("doc_id").alias("batch_doc")
+    )
+    return (
+        batch_docs.join(F.broadcast(exact), "batch_doc", "left")
+        .join(F.broadcast(near), "batch_doc", "left")
+        .select(
+            F.col("batch_doc").alias("doc_id"),
+            F.coalesce("is_exact_dup", F.lit(False)).alias("is_exact_dup"),
+            F.coalesce("n_near_dups", F.lit(0).cast("bigint")).alias("n_near_dups"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        )
+    )
+
+
+def _t30_oracle() -> str:
+    """DuckDB replica: the t03 cross-engine MinHash pipeline restricted
+    to batch×corpus candidate pairs, plus digest membership — the
+    driver checks t30 value-for-value."""
+    ca, cb = _minhash_consts()
+    a_sql = "[" + ", ".join(str(x) for x in ca) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in cb) + "]"
+    band_window = "[" + ", ".join(
+        f"sig[b*{BAND_ROWS}+{j + 1}]" for j in range(BAND_ROWS)
+    ) + "]"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, doc_id % {BATCH_MOD} = {BATCH_REMAINDER} AS is_batch,
+             string_split(lower(text), ' ') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, is_batch,
+             CASE WHEN len(ws) >= {NGRAM} THEN
+               list_distinct(list_transform(
+                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                for i in generate_series(1, len(ws) - {NGRAM - 1})]),
+                 s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % {M31}))
+             ELSE CAST([] AS BIGINT[]) END AS hs
+      FROM w
+    ),
+    sg AS (
+      SELECT doc_id, is_batch, hs,
+             [ list_min(list_transform(hs,
+                 h -> (list_extract({a_sql}, p) * h
+                       + list_extract({b_sql}, p)) % {M31}))
+               for p in generate_series(1, {NUM_PERM}) ] AS sig
+      FROM sh WHERE len(hs) > 0
+    ),
+    bd AS (
+      SELECT doc_id, is_batch, b AS band,
+             list_reduce(list_prepend(CAST(b AS BIGINT), {band_window}),
+                         (acc, v) -> (acc * {SHINGLE_BASE} + v) % {POLY_P})
+               AS band_sig
+      FROM sg, generate_series(0, {NUM_PERM // BAND_ROWS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+      FROM bd x JOIN bd y
+        ON x.band = y.band AND x.band_sig = y.band_sig
+      WHERE x.is_batch AND NOT y.is_batch
+    ),
+    v AS (
+      SELECT batch_doc,
+             len(list_intersect(sb.hs, sc.hs)) * 1.0
+               / (len(sb.hs) + len(sc.hs)
+                  - len(list_intersect(sb.hs, sc.hs))) AS jaccard
+      FROM cand
+      JOIN sh sb ON batch_doc = sb.doc_id
+      JOIN sh sc ON corpus_doc = sc.doc_id
+    ),
+    near AS (
+      SELECT batch_doc, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+             ROUND(MAX(jaccard), 6) AS max_jaccard
+      FROM v WHERE jaccard >= {JACCARD_THRESHOLD}
+      GROUP BY batch_doc
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id AS batch_doc
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text)
+      WHERE b.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+        AND c.doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}
+    )
+    SELECT d.doc_id,
+           e.batch_doc IS NOT NULL AS is_exact_dup,
+           COALESCE(n.n_near_dups, 0) AS n_near_dups,
+           COALESCE(n.max_jaccard, 0.0) AS max_jaccard
+    FROM documents d
+    LEFT JOIN exact e ON d.doc_id = e.batch_doc
+    LEFT JOIN near n ON d.doc_id = n.batch_doc
+    WHERE d.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+"""
+
+
+@register(
+    "t30_incremental_dedup",
+    oracle=_t30_oracle(),
+    tags=("dedup", "incremental", "minhash"),
+)
+def t30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: which of the new batch's documents
+    (doc_id % {BATCH_MOD} = {BATCH_REMAINDER}, ≈10% of the fixture)
+    already exist in the corpus (the other 90%) — exactly (content
+    digest) or nearly (MinHash-band candidates verified with exact
+    shingle Jaccard ≥ {JACCARD_THRESHOLD}). The cross-corpus sibling
+    of t01 (within-corpus exact) and t03 (within-corpus near): one
+    full-table signature scan, then every join broadcasts a
+    batch-derived table — the corpus is never shuffled. See
+    `incremental_dedup` for the 100 TB plan notes."""
+    return incremental_dedup(table(spark, sf_dir, "documents"))

@@ -169,6 +169,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
     "t08_fingerprint": "t22_winnow_containment_pairs",
+    # MinHash-band family: t03 (within-corpus LSH pairs) holds the
+    # slot; t30 is the batch-vs-corpus incremental-ingestion variant
+    # of the same banding + exact-verify pipeline (round-5 addition,
+    # pytest-only per the rotation cadence)
+    "t30_incremental_dedup": "t03_minhash_lsh_pairs",
     # clustering family: t23 (star contraction) holds the slot; t12 is
     # the min-label sibling on the same edge set (driver-green r2–r3)
     "t12_dedup_clusters": "t23_dedup_clusters_star",

@@ -722,3 +722,34 @@ def test_preprocess_funnel_monotone(spark):
     counts = [r.n_docs for r in rows]
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert counts[-1] > 0
+
+
+def test_incremental_dedup_planted_batch(spark):
+    """t30 semantics on a planted batch: a batch doc (id % 10 == 7)
+    that is an exact copy of a corpus doc flags is_exact_dup AND
+    near-dup (jaccard 1.0); a one-word-edit batch doc flags near-only;
+    an unrelated batch doc flags neither. Corpus-side duplicates of
+    each other must NOT leak into the output (batch rows only)."""
+    from fsharp_mapreduce_spark.functions.dedup import incremental_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the afternoon sun"
+    )
+    rows = [
+        (1, base),  # corpus
+        (2, base),  # corpus dup of 1 — must not appear in output
+        (3, "parquet columnar storage with predicate pushdown and pruning"),
+        (7, base),  # batch: exact copy of corpus doc 1
+        (17, base.replace("lazy", "sleepy")),  # batch: near copy
+        (27, "completely unrelated text about catalyst optimizer rules"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in incremental_dedup(docs).collect()}
+    assert set(out) == {7, 17, 27}
+    assert out[7].is_exact_dup and out[7].max_jaccard == 1.0
+    assert out[7].n_near_dups == 2  # docs 1 AND 2 both match
+    assert not out[17].is_exact_dup and out[17].n_near_dups == 2
+    assert 0.5 <= out[17].max_jaccard < 1.0
+    assert not out[27].is_exact_dup and out[27].n_near_dups == 0
+    assert out[27].max_jaccard == 0.0

@@ -495,3 +495,20 @@ def test_m06_bmp_decode_is_map_only(spark):
     and the decode stage is exchange-free."""
     df = q("m06_bmp_decode_stats", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_t30_corpus_side_never_shuffles(spark):
+    """t30 (incremental dedup): the batch-vs-corpus asymmetry IS the
+    plan — every join broadcasts a batch-derived table (no
+    SortMergeJoin anywhere), and every keyed exchange is on batch_doc
+    (batch/candidate-sized streams: the exact/candidate distincts and
+    the per-batch-doc roll-up). The corpus only ever streams past
+    broadcasts."""
+    import re
+
+    df = q("t30_incremental_dedup", spark)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert has_broadcast_join(df), plan
+    keys = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith("batch_doc") for k in keys), keys
