@@ -86,6 +86,7 @@ HEADLINE = [
     "t27_mixture_rebalance",
     "t28_preprocess_funnel",
     "t29_sequence_pack",
+    "t30_incremental_dedup",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -257,6 +258,8 @@ DUCKDB_TIMING_SKIP = {
     "s11_knn_ivf_index_probe",
     # shares t12's recursive-CTE oracle (quadratic at sf0.1)
     "t23_dedup_clusters_star",
+    # replays the t03 minhash-perm list lambdas over the full table
+    "t30_incremental_dedup",
 }
 
 
