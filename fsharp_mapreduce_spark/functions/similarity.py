@@ -366,6 +366,10 @@ def s12_knn_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CELLS = 16  # IVF coarse cells
+# s13 split: vec_id % 10 == 7 is the "newly ingested" batch appended to
+# an index built on the other 90% (mirrors t30's BATCH_MOD carve-out)
+APPEND_MOD = 10
+APPEND_REMAINDER = 7
 N_PROBE = 6  # cells searched per query
 KMEANS_SAMPLE = 4096  # driver-side fit sample cap
 KMEANS_ITERS = 15
@@ -435,6 +439,31 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
     return _fit_spherical_kmeans(x, k)
 
 
+def _replay_centroid_fit(sf_dir: str, base_only: bool = False) -> np.ndarray:
+    """Replay `_kmeans_centroids`' deterministic fit from the parquet
+    file (md5-ordered vec_id sample, seeded numpy k-means) — the
+    oracle side of the centroid-literal pattern. ``base_only``
+    restricts the sample to the s13 base split (vec_id % 10 != 7)
+    BEFORE taking the top-KMEANS_SAMPLE, exactly as passing the
+    filtered DataFrame to `_kmeans_centroids` does."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    pairs = zip(ids, embs)
+    if base_only:
+        pairs = ((i, e) for i, e in pairs if i % APPEND_MOD != APPEND_REMAINDER)
+    keyed = sorted(
+        pairs,
+        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+    )[:KMEANS_SAMPLE]
+    x = np.array([e for _, e in keyed], dtype=np.float64)
+    return _fit_spherical_kmeans(x, N_CELLS)
+
+
 def _s04_oracle_for(sf_dir: str) -> str | None:
     """DuckDB oracle for the FULL IVF pipeline at one fixture SF:
     replays the deterministic sample (md5-ordered vec_ids) from the
@@ -446,20 +475,15 @@ def _s04_oracle_for(sf_dir: str) -> str | None:
     cosine, so values hash-match bit-for-bit. Data-derived: only valid
     for the sf_dir it was generated from (registered via
     oracle_factory; the differential suite regenerates per SF)."""
-    import hashlib
+    return _ivf_probe_sql(_replay_centroid_fit(sf_dir))
 
-    import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = tbl.column("vec_id").to_pylist()
-    embs = tbl.column("embedding").to_pylist()
-    keyed = sorted(
-        zip(ids, embs),
-        key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
-    )[:KMEANS_SAMPLE]
-    x = np.array([e for _, e in keyed], dtype=np.float64)
-    cents = _fit_spherical_kmeans(x, N_CELLS)
-
+def _ivf_probe_sql(cents: np.ndarray) -> str:
+    """The IVF assignment+probe+top-k SQL for a given centroid matrix
+    (inlined as literals). Shared by s04 (full-corpus fit) and s13
+    (base-only fit): given the same centroids, assigning base and
+    batch separately then probing the union ≡ assigning everything —
+    so the two oracles differ ONLY in the fit sample."""
     cent_rows = ", ".join(
         "({}, [{}], {})".format(
             i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))
@@ -741,6 +765,69 @@ def s11_knn_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     index_path = _ivf_index_dir(sf_dir)
     cent_mat = build_ivf_index(emb, index_path)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return knn_ivf_probe(spark, index_path, cent_mat, queries)
+
+
+def append_ivf_index(
+    new_emb: DataFrame, index_path: str, cent_mat: np.ndarray
+) -> None:
+    """Incremental index maintenance — the operation a daily ingest
+    actually runs: assign ONLY the new batch to the index's EXISTING
+    centroids (the same map-only Arrow-GEMM projection the build
+    uses; no shuffle, no refit, the corpus already in the index is
+    never touched) and append the rows into the cell_id partition
+    directories. At 100 TB this is the difference between an
+    O(batch) nightly job and an O(corpus) rebuild; the quantizer
+    drifts only as the data distribution does, which is when a refit
+    (full `build_ivf_index`) is scheduled. Readers see the new
+    vectors on their next file listing — the probe path is unchanged
+    (`knn_ivf_probe`'s literal cell filter prunes the union index
+    exactly as it pruned the base)."""
+    assigned = new_emb.select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
+    )
+    assigned.write.mode("append").partitionBy("cell_id").parquet(index_path)
+
+
+def _s13_oracle_for(sf_dir: str) -> str | None:
+    """s13's oracle: the SAME assignment+probe SQL as s04's, but with
+    centroids fit on the base split only (vec_id % 10 != 7) — because
+    append assigns the batch with the base-fit centroids, the union
+    index is pointwise identical to assigning the full table with
+    them."""
+    return _ivf_probe_sql(_replay_centroid_fit(sf_dir, base_only=True))
+
+
+@register(
+    "s13_ivf_index_append",
+    oracle_factory=_s13_oracle_for,
+    tags=("similarity", "ivf", "ann", "index", "incremental"),
+)
+def s13_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index LIFECYCLE query: build the IVF index on the base
+    corpus (vec_id % {APPEND_MOD} != {APPEND_REMAINDER}, ≈90%), then
+    `append_ivf_index` the remaining ≈10% "new ingest" batch — batch
+    rows are assigned to the EXISTING centroids map-only and appended
+    into the cell_id partition dirs, with no rebuild and no touch of
+    the base rows — and probe the union with the standard
+    partition-pruned `knn_ivf_probe`. Completes the s11 story:
+    build → probe → APPEND → probe. Deterministic: the build's
+    overwrite clears any previous invocation's appends, and the
+    base-only centroid fit is replayed by the oracle factory
+    (`_s13_oracle_for`), so the driver value-hash-checks the full
+    lifecycle."""
+    emb = table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
+    index_path = _ivf_index_dir(sf_dir) + "_lifecycle"
+    cent_mat = build_ivf_index(emb.where(~is_batch), index_path)
+    append_ivf_index(emb.where(is_batch), index_path, cent_mat)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     return knn_ivf_probe(spark, index_path, cent_mat, queries)
 

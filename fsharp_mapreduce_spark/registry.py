@@ -216,6 +216,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # (equivalence-tested result identity, shared oracle factory) —
     # takes the slot; s04 (driver-green r3–r4) folds
     "s04_knn_ivf": "s11_knn_ivf_index_probe",
+    # IVF lifecycle: s13 appends a new batch to the s11-built index
+    # with the existing centroids — same probe machinery, s11 holds
+    # the slot (round-5 addition, pytest-only per the cadence)
+    "s13_ivf_index_append": "s11_knn_ivf_index_probe",
     # pull-stream family: st11 (custom Python streaming source) holds
     # the slot; st01 is the file-staged chunk-pull sibling
     # (driver-green r1–r3)

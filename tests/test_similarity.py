@@ -439,3 +439,97 @@ def test_s12_registered_equals_inline_s02(spark):
     a = {tuple(r) for r in QUERIES["s02_knn_lsh"].fn(spark, SF_SMOKE).collect()}
     b = {tuple(r) for r in QUERIES["s12_knn_lsh_index_probe"].fn(spark, SF_SMOKE).collect()}
     assert a == b
+
+
+def test_s13_append_lifecycle(spark, tmp_path_factory):
+    """s13's append semantics, pinned directly: build on the base
+    split, append the batch with the SAME centroids — the union index
+    must hold every corpus row exactly once, batch rows must land in
+    the cell an inline full-table assignment (same centroids) gives
+    them, and the probe over the union must equal the probe over an
+    index built in ONE shot from the full table with those centroids
+    (append is pure maintenance, not a different algorithm)."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        APPEND_MOD,
+        APPEND_REMAINDER,
+        N_QUERIES,
+        _cell_sims_udf,
+        append_ivf_index,
+        build_ivf_index,
+        knn_ivf_probe,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
+    path = str(tmp_path_factory.mktemp("ivf_append") / "index")
+    cents = build_ivf_index(emb.where(~is_batch), path)
+    n_base = spark.read.parquet(path).count()
+    append_ivf_index(emb.where(is_batch), path, cents)
+
+    union = spark.read.parquet(path)
+    assert n_base == emb.where(~is_batch).count()
+    assert union.count() == emb.count()
+    assert union.select("vec_id").distinct().count() == emb.count()
+
+    # batch rows sit in the same cell a full-table assignment (same
+    # centroids) would put them in
+    inline = emb.select(
+        "vec_id", _cell_sims_udf(cents)(F.col("embedding")).alias("cs")
+    ).select(
+        "vec_id",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
+    )
+    mismatch = (
+        union.select("vec_id", "cell_id")
+        .join(inline.withColumnRenamed("cell_id", "want"), "vec_id")
+        .where(F.col("cell_id") != F.col("want"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # probe(union) == probe(one-shot index over the full table with
+    # the same centroids)
+    one_shot = str(tmp_path_factory.mktemp("ivf_oneshot") / "index")
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cents)(F.col("embedding")).alias("cs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(one_shot)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    a = {tuple(r) for r in knn_ivf_probe(spark, path, cents, queries).collect()}
+    b = {tuple(r) for r in knn_ivf_probe(spark, one_shot, cents, queries).collect()}
+    assert a == b
+
+
+def test_s13_append_assignment_is_map_only(spark):
+    """The nightly-ingest cost claim: the append's assignment
+    projection is exchange-free — one Arrow-batched GEMM projection
+    over the batch scan, no shuffle, no join, no touch of the base
+    index rows."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        APPEND_MOD,
+        APPEND_REMAINDER,
+        N_CELLS,
+        _cell_sims_udf,
+        _kmeans_centroids,
+    )
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
+    cents = _kmeans_centroids(emb.where(~is_batch), N_CELLS)
+    assigned = emb.where(is_batch).select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cents)(F.col("embedding")).alias("cs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.expr("array_position(cs, array_max(cs))").cast("int").alias("cell_id"),
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
