@@ -134,3 +134,81 @@ def write_compacted(
     writer = df.repartition(n_files).write.mode(mode).options(**options)
     writer.format(fmt).save(path)
     return n_files
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int,
+    bits: int = 16,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Z-order (Morton-curve) file layout — the data-skipping tool for
+    MULTI-column predicates. A plain sort by column A packs A's
+    min/max ranges tightly per file but leaves every other column's
+    range corpus-wide in every file, so filters on B skip nothing.
+    Interleaving the bits of the (range-normalized) columns orders
+    rows along a space-filling curve: every z-ordered column gets
+    NARROW per-file min/max ranges simultaneously, and parquet
+    footer/row-group statistics let readers skip most files for a
+    selective predicate on ANY of them. At 100 TB this is the
+    difference between a full scan and reading a few percent for the
+    dimensional slices analysts actually run (the layout play behind
+    Delta/Iceberg's OPTIMIZE ZORDER, implemented here with plain
+    DataFrame ops — no table format required).
+
+    Mechanics: one aggregate computes each column's (min, max)
+    (bounded driver scalars); each column is scaled to a {bits}-bit
+    integer rank; ranks are bit-interleaved into a Morton key with
+    expression-only shifts/ORs (JVM codegen, no UDF); rows are
+    range-partitioned AND sorted within partitions by the key, so
+    files tile the curve in contiguous runs. The key never reaches
+    the output schema.
+
+    Numeric/timestamp-castable columns only — categorical columns
+    need a dictionary rank first (join a small rank table, then pass
+    the rank column)."""
+    ncols = len(zorder_cols)
+    if ncols < 2:
+        raise ValueError("z-ordering needs >= 2 columns (use a plain sort for 1)")
+    if bits * ncols > 62:
+        raise ValueError(f"bits*ncols = {bits * ncols} > 62 overflows the BIGINT key")
+
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(zorder_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(zorder_cols)],
+    ).collect()[0]
+
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(zorder_cols):
+        mn, mx = bounds[f"mn_{j}"], bounds[f"mx_{j}"]
+        if mn is None or mx is None or mx <= mn:
+            rank = F.lit(0).cast("long")  # constant/empty column: no bits
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn) * top
+            rank = F.least(
+                F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)), F.lit(top)
+            )
+        for b in range(bits):
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * ncols + j))
+
+    keyed = df.withColumn("__zkey", z)
+    out_cols = df.columns
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    (
+        keyed.repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .select(*out_cols)
+        .write.mode(mode)
+        .options(**options)
+        .format(fmt)
+        .save(path)
+    )
