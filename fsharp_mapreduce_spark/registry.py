@@ -236,6 +236,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # slot; st13 is the watermark-closed LEFT OUTER variant (round-5
     # addition, pytest-only this round per the rotation cadence)
     "st13_stream_left_outer_join": "st05_stream_stream_join",
+    # stream-static join family: st07 (broadcast dim enrichment) holds
+    # the slot; st14 is the ANN-serving variant — micro-batched query
+    # vectors probing the materialized LSH index per batch (round-5
+    # addition, pytest-only per the cadence)
+    "st14_stream_ann_probe": "st07_stream_static_join",
     # Arrow-decode family: m03 (mapInPandas frame sampler) holds the
     # slot; m06 runs the REAL pure-stdlib BMP decode through the same
     # batch shape (round-5 addition, pytest-only this round)

@@ -647,3 +647,80 @@ def st13_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("p_ts").isNull().cast("long")).cast("bigint").alias("n_unmatched"),
         F.round(F.coalesce(F.sum("p_value"), F.lit(0.0)), 4).alias("attributed_value"),
     )
+
+
+from fsharp_mapreduce_spark.functions.similarity import _S02_ORACLE  # noqa: E402
+
+
+@register(
+    "st14_stream_ann_probe",
+    # the streamed probe answers the SAME queries as s02/s12, against
+    # the same index, with the same exact re-scoring — so the static
+    # SF-agnostic hyperplane-literal s02 oracle checks it
+    # value-for-value
+    oracle=_S02_ORACLE,
+    tags=("streaming", "ann", "lsh", "index", "stream_static_join"),
+)
+def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving — the online half of the s12 index story:
+    query vectors arrive as micro-batches (4 chunk pulls here) and each
+    batch probes the MATERIALIZED LSH index via ``foreachBatch``. The
+    per-batch probe is the identical batch pipeline s02/s12 run —
+    hyperplane bucket assignment on the (tiny) query side, broadcast
+    bucket equi-join against the bucketed index table (index side
+    exchange-free, the s12 plan pin), exact cosine re-scoring, exact
+    per-query top-{5} — legal inside foreachBatch where window
+    functions are batch-planned. Each query vector lives in exactly one
+    micro-batch and top-k is per-query, so the union of batch outputs
+    IS the full answer: results are identical to s02's inline pipeline
+    and the driver checks them against the same static oracle.
+
+    At 100 TB: the index is the big side and never moves — each
+    micro-batch re-broadcasts only its own query buckets (KB-sized);
+    state stores are uninvolved (no watermark, no stream-stream
+    buffering), so serving latency is one broadcast join per trigger
+    regardless of corpus size."""
+    import hashlib
+    import tempfile
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        N_QUERIES,
+        _bucket_candidates,
+        _exact_topk,
+        _lsh_bucket_udf,
+        build_lsh_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    index_table = "fsmr_lsh_index_st14_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    build_lsh_index(emb, index_table)
+    tagged = spark.table(index_table)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    staged = stage_as_chunked_files(
+        queries, n_chunks=4, memo_key=(sf_dir, "st14_queries")
+    )
+    qstream = read_pull_stream(spark, staged)
+    sink_dir = tempfile.mkdtemp(prefix="fsmr_st14_")
+    bucket_ids = _lsh_bucket_udf()
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.posexplode(bucket_ids(F.col("embedding"))).alias("qtbl", "qbucket"),
+        )
+        _exact_topk(_bucket_candidates(tagged, q)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    sq = (
+        qstream.writeStream.foreachBatch(probe_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+    finally:
+        sq.stop()
+    return spark.read.parquet(sink_dir)

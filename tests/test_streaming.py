@@ -490,3 +490,21 @@ def test_st13_stream_equals_batch_left_join(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_st14_stream_equals_batch_ann(spark):
+    """Streamed ANN serving must answer exactly what the batch index
+    probe answers: the union of per-micro-batch top-k results equals
+    s02's inline pipeline (every query vector lives in exactly one
+    micro-batch; top-k is per-query), including ranks and rounded
+    sims."""
+    load_all_query_modules()
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in QUERIES["st14_stream_ann_probe"].fn(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.sim)
+        for r in QUERIES["s02_knn_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == want
