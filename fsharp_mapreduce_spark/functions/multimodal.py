@@ -607,3 +607,189 @@ def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= M05_TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# --- m07: REAL WAV (RIFF/PCM) decode — the audio twin of m06's BMP ---
+WAV_SAMPLES = 500  # 1000 data bytes = 31 full sha256 cycles + 4 samples
+WAV_RATE = 8000
+
+
+def encode_wav_pcm16(samples: "np.ndarray", sample_rate: int = WAV_RATE) -> bytes:
+    """Encode mono int16 samples as a REAL RIFF/WAVE file via the
+    stdlib ``wave`` writer — an INDEPENDENT implementation (not the
+    inverse of the parser below), so an encoder quirk cannot mirror a
+    parser bug; golden byte-literal tests cover the parser
+    separately. Any audio player opens the output."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL pure-stdlib WAV parser: validates the RIFF/WAVE magic,
+    walks the chunk list (honoring the RIFF odd-size pad byte), reads
+    the fmt chunk (PCM format tag, channel count, sample rate, bit
+    depth) and the data chunk, and returns (int16 sample array,
+    sample_rate). Raises ValueError on malformed input and
+    NotImplementedError for compressed/non-16-bit/multi-channel
+    variants (the documented environment gate, as with BMP)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, csz = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + csz]
+        if len(body) < csz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += csz + (csz & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or n_channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only mono 16-bit PCM decodes natively (format={audio_format}, "
+            f"channels={n_channels}, bits={bits}); wire a codec library "
+            "for compressed audio on a real cluster"
+        )
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
+WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("wav_bytes", T.LongType(), False),
+    ]
+)
+
+
+def wav_roundtrip_stats(media: DataFrame, n_samples: int = WAV_SAMPLES) -> DataFrame:
+    """encode→decode over REAL WAV bytes (mapInPandas, Arrow-batched,
+    zero shuffle): each payload's sha256 digest is tiled into
+    {WAV_SAMPLES} little-endian int16 samples, written as a genuine
+    RIFF/PCM file by the stdlib ``wave`` writer, then parsed back by
+    the chunk-walking parser (`decode_wav`). Every emitted stat is
+    measured on the PARSED output — a parser defect (chunk walk, fmt
+    fields, byte order) mismatches the analytic oracle."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    nbytes = n_samples * 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rates, durs, sums, peaks, sizes = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(payload or b"").digest()
+                raw = (digest * (nbytes // len(digest) + 1))[:nbytes]
+                samples = np.frombuffer(raw, dtype="<i2")
+                wav = encode_wav_pcm16(samples)
+                parsed, rate = decode_wav(wav)
+                ids.append(mid)
+                ns.append(len(parsed))
+                rates.append(rate)
+                durs.append(len(parsed) * 1000 // rate)
+                sums.append(int(parsed.astype(np.int64).sum()))
+                peaks.append(int(np.abs(parsed.astype(np.int64)).max()))
+                sizes.append(len(wav))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "duration_ms": pd.array(durs, dtype="int64"),
+                    "sample_sum": pd.array(sums, dtype="int64"),
+                    "peak": pd.array(peaks, dtype="int32"),
+                    "wav_bytes": pd.array(sizes, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, WAV_SCHEMA)
+
+
+def _m07_oracle(n_samples: int = WAV_SAMPLES, rate: int = WAV_RATE) -> str:
+    """Analytic replica: the parsed samples are the sha256 digest
+    bytes tiled to {2·WAV_SAMPLES} bytes and read as little-endian
+    int16 — DuckDB reconstructs each digest's 16 samples from the hex
+    digest (the m06 byte-parse pattern), then
+    sample_sum = full_cycles·Σsamples + Σ(remainder-prefix samples)
+    and peak = max|sample| over the digest's 16 (every full cycle
+    repeats the same 16 and ≥1 full cycle is present). The stdlib
+    wave writer emits the minimal 44-byte header, so
+    wav_bytes = 44 + 2·n_samples."""
+    nbytes = n_samples * 2
+    cycles, rem_bytes = nbytes // 32, nbytes % 32
+    rem_samples = rem_bytes // 2
+    wav_bytes = 44 + nbytes
+    dur = n_samples * 1000 // rate
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    byte = f"({hv.format(p='2*bi + 1')} * 16 + {hv.format(p='2*bi + 2')})"
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b(bi) AS (SELECT unnest(generate_series(0, 31))),
+    bytes AS (
+      SELECT doc_id, bi, {byte} AS byte FROM h CROSS JOIN b
+    ),
+    samples AS (
+      SELECT lo.doc_id, lo.bi // 2 AS si,
+             CASE WHEN lo.byte + hi.byte * 256 >= 32768
+                  THEN lo.byte + hi.byte * 256 - 65536
+                  ELSE lo.byte + hi.byte * 256 END AS v
+      FROM bytes lo JOIN bytes hi
+        ON lo.doc_id = hi.doc_id AND hi.bi = lo.bi + 1
+      WHERE lo.bi % 2 = 0
+    ),
+    sums AS (
+      SELECT doc_id,
+             SUM(v) AS ssum,
+             SUM(CASE WHEN si < {rem_samples} THEN v ELSE 0 END) AS rsum,
+             MAX(ABS(v)) AS pk
+      FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST({n_samples} AS INTEGER) AS n_samples,
+           CAST({rate} AS INTEGER) AS sample_rate,
+           CAST({dur} AS BIGINT) AS duration_ms,
+           CAST({cycles} * ssum + rsum AS BIGINT) AS sample_sum,
+           CAST(pk AS INTEGER) AS peak,
+           CAST({wav_bytes} AS BIGINT) AS wav_bytes
+    FROM sums
+"""
+
+
+@register("m07_wav_decode_stats", oracle=_m07_oracle(), tags=("multimodal", "wav", "decode"))
+def m07_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m-family's SECOND real codec (audio): each document payload
+    becomes a genuine mono 16-bit PCM RIFF/WAVE file (stdlib ``wave``
+    writer — any player opens it) and the registered stats are
+    measured on the output of the pure-stdlib chunk-walking PARSER
+    (`decode_wav`): RIFF magic, chunk list with odd-size padding, fmt
+    field validation, little-endian int16 frames. The oracle
+    reconstructs sample sum and peak analytically from the sha256
+    digest, so the decode path is value-verified end-to-end.
+    Compressed audio (MP3/AAC) remains the documented environment
+    gate. Map-only: one Arrow projection, zero exchanges beyond the
+    fixture fan_out."""
+    media = documents_as_media(spark, sf_dir)
+    return wav_roundtrip_stats(media)

@@ -245,6 +245,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # slot; m06 runs the REAL pure-stdlib BMP decode through the same
     # batch shape (round-5 addition, pytest-only this round)
     "m06_bmp_decode_stats": "m03_frame_sample",
+    # second real codec (audio): m07 runs the stdlib WAV round-trip
+    # through the same Arrow decode shape (round-5 addition,
+    # pytest-only per the cadence)
+    "m07_wav_decode_stats": "m03_frame_sample",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

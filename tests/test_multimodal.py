@@ -239,3 +239,85 @@ def test_m06_decoded_stats_match_local_decode(spark):
         row = dist[mid]
         assert (row.width, row.height) == (BMP_SIDE, BMP_SIDE)
         assert row.pixel_sum == expected_sum
+
+
+def _wav_bytes(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Hand-pack a RIFF/WAVE file from (chunk_id, body) pairs — BYTE
+    LITERALS independent of both the encoder and the parser."""
+    import struct
+
+    body = b""
+    for cid, cbody in chunks:
+        body += struct.pack("<4sI", cid, len(cbody)) + cbody
+        if len(cbody) % 2:
+            body += b"\x00"  # RIFF pad byte
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def _fmt_chunk(audio_format=1, channels=1, rate=8000, bits=16) -> bytes:
+    import struct
+
+    block = channels * bits // 8
+    return struct.pack("<HHIIHH", audio_format, channels, rate, rate * block, block, bits)
+
+
+def test_decode_wav_golden_literal():
+    """Hand-built WAV with an extra LIST chunk BEFORE data and an
+    odd-sized chunk (pad byte) between fmt and data: the parser must
+    walk chunks — not assume the 44-byte layout — and read the exact
+    little-endian int16 samples."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768], dtype="<i2")
+    wav = _wav_bytes(
+        [
+            (b"fmt ", _fmt_chunk()),
+            (b"LIST", b"INFOabc"),  # 7 bytes: odd → exercises the pad
+            (b"data", samples.tobytes()),
+        ]
+    )
+    got, rate = decode_wav(wav)
+    assert rate == 8000
+    assert got.tolist() == samples.tolist()
+
+
+def test_decode_wav_rejects_malformed_and_gates_unsupported():
+    import numpy as np
+    import pytest
+
+    from fsharp_mapreduce_spark.functions.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF/WAVE magic"):
+        decode_wav(b"RIFX....WAVE" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="missing fmt/data"):
+        decode_wav(_wav_bytes([(b"fmt ", _fmt_chunk())]))
+    # truncated data chunk: declared size exceeds payload
+    import struct
+
+    trunc = _wav_bytes([(b"fmt ", _fmt_chunk())]) + struct.pack("<4sI", b"data", 100)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(trunc + b"\x00" * 10)
+    for bad_fmt in (_fmt_chunk(channels=2), _fmt_chunk(bits=8), _fmt_chunk(audio_format=3)):
+        wav = _wav_bytes([(b"fmt ", bad_fmt), (b"data", b"\x00\x00")])
+        with pytest.raises(NotImplementedError, match="mono 16-bit PCM"):
+            decode_wav(wav)
+
+
+def test_wav_roundtrip_and_minimal_header():
+    """The stdlib writer emits the minimal 44-byte header (the
+    constant the oracle's wav_bytes column relies on) and the parser
+    inverts it exactly."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        decode_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.arange(-250, 250, dtype="<i2")
+    wav = encode_wav_pcm16(samples, 8000)
+    assert len(wav) == 44 + 2 * len(samples)
+    got, rate = decode_wav(wav)
+    assert rate == 8000 and got.tolist() == samples.tolist()

@@ -512,3 +512,11 @@ def test_t30_corpus_side_never_shuffles(spark):
     assert has_broadcast_join(df), plan
     keys = re.findall(r"hashpartitioning\((\w+)", plan)
     assert keys and all(k.startswith("batch_doc") for k in keys), keys
+
+
+def test_m07_wav_decode_is_map_only(spark):
+    """m07: the WAV encode→decode round-trip is one mapInPandas
+    projection — the only exchange is the fan_out repartition of the
+    single-split fixture scan (same contract as m06)."""
+    df = q("m07_wav_decode_stats", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
