@@ -929,3 +929,81 @@ def q41_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_on: "Column",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-safe shuffle join: replicate the small side across
+    ``n_salt`` sub-keys and salt the big side deterministically
+    (``pmod(xxhash64(salt_on), n_salt)``), so a hot join key's rows
+    spread over n_salt reducers instead of funneling through one.
+
+    When to reach for it — in order of preference at 100 TB:
+    1. broadcast the small side (q03): kills the shuffle entirely;
+       only impossible when the small side exceeds broadcast limits;
+    2. AQE skew-join (on by default here): splits oversized SHUFFLE
+       partitions at runtime — but it can only split what one join key
+       doesn't atomically own; a single key holding 30% of the fact
+       table still lands on one reducer;
+    3. THIS: the only rewrite that subdivides a single hot KEY, at the
+       cost of n_salt× replication of the small side (bounded:
+       |small|·n_salt rows ride the shuffle).
+    The salt is a pure function of ``salt_on`` (pick a high-
+    cardinality column), so the rewrite is deterministic and
+    retry/partitioning-invariant. Result ≡ the unsalted join: every
+    big row meets exactly the one small replica carrying its salt."""
+    salted_big = big.withColumn("_salt", F.pmod(F.xxhash64(salt_on), F.lit(n_salt)))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    # shuffle_hash hint: the pattern targets the can't-broadcast case,
+    # so the demo must pin the SHUFFLE join shape (otherwise Spark
+    # rightly broadcasts the fixture-sized small side and the salt
+    # demonstrates nothing)
+    return salted_big.join(
+        salted_small.hint("shuffle_hash"), [key, "_salt"]
+    ).drop("_salt")
+
+
+@register(
+    "q42_salted_skew_join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(e.value * d.weight), 4) AS weighted_value
+    FROM events e
+    JOIN (SELECT event_type, CAST(LENGTH(event_type) AS BIGINT) AS weight
+          FROM events GROUP BY event_type) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q42_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salting pattern on a JOIN (q30 is its aggregation twin):
+    events join a low-cardinality event_type dimension — the shape
+    where every row of a hot key lands on one reducer in a plain
+    shuffle join. `salted_join` spreads each key over 16 sub-keys
+    (deterministic xxhash64 salt on user_id) and replicates the dim
+    16×; the exchange is keyed (event_type, _salt), plan-pinned by
+    tests/test_plans.py::test_q42_salted_join_spreads_key. Answer is
+    oracle-identical to the unsalted join."""
+    ev = table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.length(F.first("event_type")).cast("bigint").alias("weight")
+    )
+    joined = salted_join(
+        ev.select("event_type", "value", "user_id"),
+        dim,
+        "event_type",
+        salt_on=F.col("user_id"),
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
+    )

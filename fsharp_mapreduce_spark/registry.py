@@ -285,6 +285,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         "q36_array_functions",
         "q37_approx_quantiles",
         "q38_funnel",
+        # salted JOIN (round-5 addition, q-family fold like its agg
+        # twin q30; q03 keeps the join-family slot)
+        "q42_salted_skew_join",
     }
 )
 

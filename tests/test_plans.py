@@ -520,3 +520,15 @@ def test_m07_wav_decode_is_map_only(spark):
     single-split fixture scan (same contract as m06)."""
     df = q("m07_wav_decode_stats", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_q42_salted_join_spreads_key(spark):
+    """q42 (salted join): the main join is a SHUFFLE hash join (the
+    can't-broadcast case the pattern exists for) whose exchanges are
+    keyed (event_type, _salt) — the salt genuinely widens the key
+    space — and the small side carries the n_salt replication
+    Generate."""
+    df = q("q42_salted_skew_join", spark)
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "hashpartitioning(event_type" in plan and "_salt" in plan, plan
