@@ -1493,3 +1493,252 @@ def s10_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("sim"), 4).alias("avg_cohesion"),
         F.round(F.min("sim"), 6).alias("min_cohesion"),
     )
+
+
+# --- s14: product quantization (PQ) ANN — the memory-scale path ------
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (fixture dim 64 = 4 × 16)
+PQ_K = 16  # centroids per subspace → 4-bit codes, 2 bytes/vector
+PQ_CAND = 100  # candidates per probe from the ADC stage — the recall
+# knob: the fixture's random embeddings are PQ's worst case (no
+# cluster structure → ADC margins are thin), measured recall@5 vs
+# exact is 0.48/0.64/0.84 at C = 20/50/100. 100 candidates is 20% of
+# the toy corpus but 0.2% at sf0.1 and vanishing at 100 TB — the
+# re-rank stays Q×C regardless of corpus size.
+
+
+def _fit_pq_codebooks(x: np.ndarray) -> np.ndarray:
+    """Seeded plain-L2 k-means per subspace (k-means++ init, Lloyd
+    steps) on a row matrix — pure numpy, shared by the Spark query
+    and the oracle generator, so identical input rows in identical
+    order yield bit-identical codebooks. Returns (M, K, SUB)
+    float64. No normalization: PQ quantizes raw subvectors; cosine
+    exactness is restored by the float re-rank stage."""
+    out = np.empty((PQ_M, PQ_K, PQ_SUB), dtype=np.float64)
+    for m in range(PQ_M):
+        sub = x[:, m * PQ_SUB : (m + 1) * PQ_SUB].astype(np.float64)
+        rng = np.random.RandomState(KMEANS_SEED + 101 + m)
+        cents = sub[rng.randint(len(sub))][None, :]
+        for _ in range(1, PQ_K):
+            d2 = np.min(
+                np.sum((sub[:, None, :] - cents[None, :, :]) ** 2, axis=2), axis=1
+            )
+            p = d2 / d2.sum() if d2.sum() > 0 else None
+            cents = np.vstack([cents, sub[rng.choice(len(sub), p=p)]])
+        for _ in range(KMEANS_ITERS):
+            d = np.sum((sub[:, None, :] - cents[None, :, :]) ** 2, axis=2)
+            asg = d.argmin(axis=1)
+            for c in range(PQ_K):
+                mask = asg == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        out[m] = cents
+    return out
+
+
+def _md5_sample_matrix(rows) -> np.ndarray:
+    """The deterministic fit sample both engines share: rows already
+    selected/ordered by (md5(vec_id), vec_id) — just stack."""
+    return np.array([r[1] if isinstance(r, tuple) else r.embedding for r in rows],
+                    dtype=np.float64)
+
+
+def _pq_codebooks(emb: DataFrame) -> np.ndarray:
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(KMEANS_SAMPLE)
+        .collect()
+    )
+    return _fit_pq_codebooks(_md5_sample_matrix(rows))
+
+
+def _replay_pq_fit(sf_dir: str) -> np.ndarray:
+    """Oracle-side replay of `_pq_codebooks` from the parquet file."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    keyed = sorted(
+        zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()),
+        key=lambda t: (_h.md5(str(t[0]).encode()).hexdigest(), t[0]),
+    )[:KMEANS_SAMPLE]
+    return _fit_pq_codebooks(_md5_sample_matrix(keyed))
+
+
+def _pq_encode_udf(codebooks: np.ndarray):
+    """Arrow-batched PQ encoder: per subspace, assign each subvector
+    to its nearest codebook entry and emit (codes, recon) where recon
+    is the concatenated chosen centroids. The distance accumulation
+    is an explicit per-dimension SEQUENTIAL loop (vectorized over
+    rows×centroids) — the SAME float64 operation order as the
+    oracle's list_reduce fold, so distances (and therefore argmin
+    decisions AND tie handling: first-occurrence == lowest k) are
+    BIT-IDENTICAL across engines. No s04-style near-tie hazard."""
+    cb = codebooks
+
+    @F.pandas_udf("struct<codes: array<int>, recon: array<double>>")
+    def enc(embs: pd.Series) -> pd.DataFrame:
+        if len(embs) == 0:
+            return pd.DataFrame({"codes": [], "recon": []})
+        mat = np.stack(embs.to_numpy()).astype(np.float64)
+        n = mat.shape[0]
+        codes = np.empty((n, PQ_M), dtype=np.int64)
+        recon = np.empty((n, PQ_M * PQ_SUB), dtype=np.float64)
+        for m in range(PQ_M):
+            sub = mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            acc = np.zeros((n, PQ_K), dtype=np.float64)
+            for i in range(PQ_SUB):  # sequential fold order, see above
+                d = sub[:, i, None] - cb[m, None, :, i]
+                acc = acc + d * d
+            c = acc.argmin(axis=1)
+            codes[:, m] = c
+            recon[:, m * PQ_SUB : (m + 1) * PQ_SUB] = cb[m][c]
+        return pd.DataFrame(
+            {"codes": list(codes), "recon": list(recon)}
+        )
+
+    return enc
+
+
+def _s14_oracle_for(sf_dir: str) -> str | None:
+    """DuckDB replica of the full PQ pipeline: replays the seeded
+    per-subspace k-means fit, inlines the codebooks as literals,
+    re-derives every vector's assignment with the same sequential-
+    fold distances (bit-identical → identical codes), reconstructs,
+    ADC-ranks with the shared fold dot, and re-ranks the candidate
+    set with the exact fold cosine. Data-derived (oracle_factory;
+    regenerated per SF)."""
+    cb = _replay_pq_fit(sf_dir)
+    cb_rows = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            m, k, ", ".join(repr(float(v)) for v in cb[m, k])
+        )
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "[ (s.sv[i]::DOUBLE - cb.ce[i]) * (s.sv[i]::DOUBLE - cb.ce[i]) "
+        f"for i in generate_series(1, {PQ_SUB})]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH cb(m, k, ce) AS (VALUES {cb_rows}),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    sub AS (
+      SELECT vec_id, ms.m AS m,
+             list_slice(embedding, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB}) AS sv
+      FROM embeddings, ms
+    ),
+    dist AS (
+      SELECT s.vec_id, s.m, cb.k, cb.ce, {sq} AS d
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    assigned AS (
+      SELECT vec_id, m, ce FROM (
+        SELECT vec_id, m, ce,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS r
+        FROM dist) WHERE r = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(ce ORDER BY m)) AS rv
+      FROM assigned GROUP BY vec_id
+    ),
+    probes AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    approx AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             {_DOT_SQL.format(a='p.qe', b='r.rv')} AS ascore
+      FROM probes p JOIN recon r ON r.vec_id <> p.query_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS cr
+        FROM approx) WHERE cr <= {PQ_CAND}
+    ),
+    rescored AS (
+      SELECT cands.query_id, cands.neighbor_id,
+             {_cosine_sql('p.qe', 'e.embedding')} AS sim
+      FROM cands
+      JOIN probes p ON p.query_id = cands.query_id
+      JOIN embeddings e ON e.vec_id = cands.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "s14_knn_pq",
+    oracle_factory=_s14_oracle_for,
+    tags=("similarity", "knn", "pq", "quantized"),
+)
+def s14_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN with PRODUCT quantization — the extreme-memory
+    scale path beyond s08's int8 (4× compression): {PQ_M} subspaces ×
+    {PQ_K} centroids give 4-bit codes, 2 bytes per vector vs 256
+    bytes of float32 — 128× less candidate-stage footprint at 100 TB,
+    where the codes table fits in memory tiers the raw corpus never
+    will. Stage 1 ranks by asymmetric distance (ADC): fold-dot of the
+    full-precision query against each vector's RECONSTRUCTION (the
+    concatenation of its chosen centroids — at scale, rebuilt on the
+    fly from the 2-byte codes + the broadcast codebook; materialized
+    alongside the codes here so the scoring expression is the shared
+    sequential fold). Stage 2 re-ranks only the top-{PQ_CAND} with
+    the exact float cosine.
+
+    Cross-engine exactness (stronger than s04's accepted near-tie
+    hazard): the encoder accumulates subspace distances in the SAME
+    sequential per-dimension order as the oracle's list_reduce fold,
+    so assignments, reconstructions, ADC scores and the final ranks
+    are all bit-identical — the oracle replays the ENTIRE pipeline
+    value-for-value. Plan: driver-fit codebooks ship in the UDF
+    closure (the s04 pattern); encode is one map-only Arrow
+    projection; probes broadcast; candidate window keeps ≤{PQ_CAND}
+    rows per probe; the float re-rank touches Q×{PQ_CAND} rows.
+    Recall vs s01 pinned in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = _pq_codebooks(emb)
+    enc = _pq_encode_udf(cb)
+    coded = emb.select(
+        "vec_id", enc(F.col("embedding")).alias("pq")
+    ).select("vec_id", F.col("pq.recon").alias("recon"))
+    probes = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    approx = coded.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qe"), F.col("recon")).alias("ascore"),
+    )
+    cw = W.partitionBy("query_id").orderBy(F.col("ascore").desc(), "neighbor_id")
+    cands = (
+        approx.withColumn("cr", F.row_number().over(cw))
+        .where(F.col("cr") <= PQ_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cands.join(F.broadcast(probes), "query_id")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .withColumn("sim_raw", cosine(F.col("qe"), F.col("embedding")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )

@@ -199,6 +199,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)
     "s01_knn_bruteforce": "s08_knn_quantized",
+    # quantized-ANN family: s08 (int8 two-stage) holds the slot; s14
+    # is the product-quantization variant of the same candidate →
+    # exact-re-rank shape (round-5 addition, pytest-only per cadence)
+    "s14_knn_pq": "s08_knn_quantized",
     # kNN-join family: s07 (sub-quadratic LSH join) holds the slot;
     # s06 is its declared exact verifier twin (driver-green r2–r3)
     "s06_knn_join": "s07_knn_join_lsh",

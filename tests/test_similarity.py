@@ -533,3 +533,37 @@ def test_s13_append_assignment_is_map_only(spark):
     )
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_s14_pq_recall_vs_exact(spark):
+    """PQ recall floor on the fixture (random vectors — PQ's worst
+    case, no cluster structure): measured 0.84 at C=100; 0.6 guards
+    regressions without flaking (the fit and encode are seeded and
+    bit-deterministic, so this value is stable)."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        s01_knn_bruteforce,
+        s14_knn_pq,
+    )
+
+    exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
+    approx = _pairs(s14_knn_pq(spark, SF_SMOKE))
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_s14_returned_sims_are_exact(spark):
+    """The two-stage contract: any (query, neighbor) s14 returns
+    carries the exact cosine — quantization may hide neighbors, never
+    mis-score one."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        s01_knn_bruteforce,
+        s14_knn_pq,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in s01_knn_bruteforce(spark, SF_SMOKE).collect()
+    }
+    for r in s14_knn_pq(spark, SF_SMOKE).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert math.isclose(r.sim, exact[key], abs_tol=1e-9)
