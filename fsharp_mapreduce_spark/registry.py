@@ -245,6 +245,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # vectors probing the materialized LSH index per batch (round-5
     # addition, pytest-only per the cadence)
     "st14_stream_ann_probe": "st07_stream_static_join",
+    # ...and st15 is the LEFT ANTI member of the same stream-static
+    # family (round-5 addition, pytest-only per the cadence)
+    "st15_stream_anti_join_dedup": "st07_stream_static_join",
     # Arrow-decode family: m03 (mapInPandas frame sampler) holds the
     # slot; m06 runs the REAL pure-stdlib BMP decode through the same
     # batch shape (round-5 addition, pytest-only this round)

@@ -724,3 +724,48 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         sq.stop()
     return spark.read.parquet(sink_dir)
+
+
+@register(
+    "st15_stream_anti_join_dedup",
+    oracle="""
+    SELECT md5(b.text) AS text_hash,
+           CAST(MIN(b.doc_id) AS BIGINT) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents b
+    WHERE b.doc_id % 10 = 7
+      AND md5(b.text) NOT IN
+          (SELECT md5(text) FROM documents c WHERE c.doc_id % 10 <> 7)
+    GROUP BY 1
+    """,
+    tags=("streaming", "anti_join", "dedup", "stream_static_join"),
+)
+def st15_stream_anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming front door of the t01/t30 ingestion pipeline —
+    and the stream-static LEFT ANTI join, the one join semantics the
+    st-suite didn't yet cover (st05 inner, st13 left outer, st07
+    stream-static inner): new documents arrive as micro-batches and
+    every batch drops the rows whose content digest already exists in
+    the static corpus (the other 90% of the fixture, the t30 split).
+    The anti join re-plans the static side per micro-batch as a
+    broadcast — no state store (the corpus membership is static
+    reference data, not stream state); the complete-mode roll-up then
+    audits the survivors per digest (min doc_id keeper + copy count,
+    t01's output shape). At 100 TB the static side is the s12-style
+    digest index, broadcast or bucket-joined per trigger; the stream
+    side only ever carries the current batch."""
+    docs = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    corpus_digests = docs.where(~is_batch).select(F.md5("text").alias("text_hash"))
+    staged = stage_as_chunked_files(
+        docs.where(is_batch), n_chunks=4, memo_key=(sf_dir, "st15_batch")
+    )
+    stream = read_pull_stream(spark, staged).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    fresh = stream.join(F.broadcast(corpus_digests), "text_hash", "left_anti")
+    agg = fresh.groupBy("text_hash").agg(
+        F.min("doc_id").cast("bigint").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return run_to_completion(agg, "st15_out", output_mode="complete")
