@@ -1354,3 +1354,120 @@ def t29_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+# --- t31: count-min sketch heavy-hitter audit (cross-engine exact) ---
+CMS_DEPTH = 4  # hash rows (d)
+CMS_WIDTH = 256  # counters per row (w) → ε = e/w ≈ 1%, δ = e^-d ≈ 2%
+CMS_TOP = 20  # heavy hitters audited
+
+
+def cms_cells(token: Column, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> Column:
+    """array of (row, cell) for a token across the d hash rows — the
+    house md5-slice family salted with the row index, so DuckDB
+    replays the identical cells: cell_i = md5_int('i:' || token) % w."""
+    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (md5_int_hash(F.concat(F.lit(f"{i}:"), token)) % width).alias("c"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+@register(
+    "t31_count_min_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    cells AS (
+      SELECT r, ('0x' || substr(md5(r || ':' || token), 1, 12))::BIGINT
+               % 2147483647 % {CMS_WIDTH} AS c,
+             COUNT(*) AS n
+      FROM toks, generate_series(0, {CMS_DEPTH - 1}) t(r)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_n FROM toks GROUP BY token
+    ),
+    heavy AS (
+      SELECT token, exact_n FROM (
+        SELECT token, exact_n,
+               ROW_NUMBER() OVER (ORDER BY exact_n DESC, token) AS rk
+        FROM exact) WHERE rk <= {CMS_TOP}
+    ),
+    est AS (
+      SELECT h.token, h.exact_n, MIN(cl.n) AS est_n
+      FROM heavy h, generate_series(0, {CMS_DEPTH - 1}) t(r)
+      JOIN cells cl
+        ON cl.r = t.r
+       AND cl.c = ('0x' || substr(md5(t.r || ':' || h.token), 1, 12))::BIGINT
+                  % 2147483647 % {CMS_WIDTH}
+      GROUP BY h.token, h.exact_n
+    )
+    SELECT token, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(est_n AS BIGINT) AS est_n
+    FROM est
+    """,
+    tags=("text", "sketch", "count_min", "heavy_hitters"),
+)
+def t31_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit — the third sketch family
+    (q32 HLL cardinality, q37 approx quantiles) and the only one with
+    a FULL cross-engine value-hash oracle: the sketch's hash rows use
+    the house md5-slice family (salted per row), so DuckDB rebuilds
+    the identical {CMS_DEPTH}×{CMS_WIDTH} counter table and the
+    identical point estimates — no engine-native sketch black box.
+
+    The 100 TB story is the sketch's whole point: the counter table
+    is d×w = {CMS_DEPTH * CMS_WIDTH} cells REGARDLESS of token
+    cardinality — one keyed exchange of (row, cell) partial counts
+    with map-side combine replaces a billions-of-keys exact count
+    when only the heavy tail matters; the estimate is
+    min_i(cell[i, h_i(token)]), an overestimate by at most εN with
+    ε ≈ e/w (pinned by tests/test_dedup.py::test_t31_cms_bounds
+    together with est_n ≥ exact_n). The audit emits est vs exact for
+    the top-{CMS_TOP} tokens; at 100 TB the exact side exists only
+    for the audited keys (a broadcast-sized lookup), never globally.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    # the sketch: one exchange keyed (r, c), ≤ d×w rows out
+    cells = (
+        toks.select(F.explode(cms_cells(F.col("token"))).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # audited keys: top-N exact tokens (deterministic tie-break)
+    from pyspark.sql import Window as W
+
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    w = W.orderBy(F.col("exact_n").desc(), "token")
+    heavy = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= CMS_TOP)
+        .select("token", "exact_n")
+    )
+    # point estimates: explode each heavy token's d cells, join the
+    # sketch (broadcast — the sketch is ≤ d×w rows by construction),
+    # min over rows
+    probes = heavy.select(
+        "token", "exact_n", F.explode(cms_cells(F.col("token"))).alias("rc")
+    ).select("token", "exact_n", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("token", "exact_n")
+        .agg(F.min("n").alias("est_n"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("est_n").cast("bigint").alias("est_n"),
+    )

@@ -195,6 +195,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the bigram-PMI sibling (driver-green r1–r3), same
     # explode→hash-agg→broadcast-join shape
     "t17_bigram_pmi": "t19_tfidf_top_terms",
+    # ...and t31 (count-min heavy hitters) is the sketch member of the
+    # same token-statistics family (round-5 addition, pytest-only)
+    "t31_count_min_heavy_hitters": "t19_tfidf_top_terms",
     # similarity family: s08 (int8 two-stage) holds the slot; s01 is
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)

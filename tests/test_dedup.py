@@ -753,3 +753,29 @@ def test_incremental_dedup_planted_batch(spark):
     assert 0.5 <= out[17].max_jaccard < 1.0
     assert not out[27].is_exact_dup and out[27].n_near_dups == 0
     assert out[27].max_jaccard == 0.0
+
+
+def test_t31_cms_bounds(spark):
+    """The count-min guarantee on the live fixture: every estimate is
+    an overestimate (hash collisions only ADD), and the error is
+    within the sketch's εN bound (ε = e/w) with room to spare."""
+    import math as _math
+
+    from fsharp_mapreduce_spark.functions.text import (
+        CMS_WIDTH,
+        t31_count_min_heavy_hitters,
+    )
+    from fsharp_mapreduce_spark.registry import table as _table
+
+    rows = t31_count_min_heavy_hitters(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    n_tokens = (
+        _table(spark, SF_SMOKE, "documents")
+        .selectExpr("SUM(size(split(lower(text), ' '))) AS n")
+        .collect()[0]
+        .n
+    )
+    eps_n = _math.e / CMS_WIDTH * n_tokens
+    for r in rows:
+        assert r.est_n >= r.exact_n, (r.token, r.est_n, r.exact_n)
+        assert r.est_n - r.exact_n <= eps_n, (r.token, r.est_n, r.exact_n, eps_n)
