@@ -1571,9 +1571,14 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
       candidates are bounded by band collisions — the batch probes
       the same banding a within-corpus dedup would use.
     """
-    spark = docs.sparkSession
     tagged = docs.withColumn("is_batch", _is_batch(F.col("doc_id")))
-    digests = tagged.select("doc_id", "is_batch", F.md5("text").alias("text_hash"))
+    # scoped-persisted like sigs: the slim (doc_id, is_batch, 32-byte
+    # digest) projection feeds the corpus membership stream, the
+    # broadcast batch digest list AND the final batch-doc spine — one
+    # digest scan, three consumers (code-review r5)
+    digests = scoped_persist(
+        tagged.select("doc_id", "is_batch", F.md5("text").alias("text_hash"))
+    )
 
     # one signature pass over the full table, split read twice from
     # the scoped cache (slim rows: doc_id, hs, bands, is_batch)
@@ -1643,7 +1648,7 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         F.round(F.max("jaccard"), 6).alias("max_jaccard"),
     )
 
-    batch_docs = docs.where(_is_batch(F.col("doc_id"))).select(
+    batch_docs = digests.where(F.col("is_batch")).select(
         F.col("doc_id").alias("batch_doc")
     )
     return (

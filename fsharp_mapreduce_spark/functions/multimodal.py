@@ -659,6 +659,8 @@ def decode_wav(payload: bytes) -> tuple["np.ndarray", int]:
         pos += csz + (csz & 1)  # chunks pad to even offsets
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes, need 16)")
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )

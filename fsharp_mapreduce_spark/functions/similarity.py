@@ -439,13 +439,15 @@ def _kmeans_centroids(emb: DataFrame, k: int) -> np.ndarray:
     return _fit_spherical_kmeans(x, k)
 
 
-def _replay_centroid_fit(sf_dir: str, base_only: bool = False) -> np.ndarray:
-    """Replay `_kmeans_centroids`' deterministic fit from the parquet
-    file (md5-ordered vec_id sample, seeded numpy k-means) — the
-    oracle side of the centroid-literal pattern. ``base_only``
-    restricts the sample to the s13 base split (vec_id % 10 != 7)
-    BEFORE taking the top-KMEANS_SAMPLE, exactly as passing the
-    filtered DataFrame to `_kmeans_centroids` does."""
+def _replay_sample_embeddings(sf_dir: str, base_only: bool = False) -> np.ndarray:
+    """Oracle-side replay of the deterministic fit sample from the
+    parquet file: the KMEANS_SAMPLE embeddings with the smallest
+    (md5(vec_id), vec_id) key — identical rows in identical order to
+    what `_kmeans_centroids`/`_pq_codebooks` collect from Spark. One
+    source of truth for every data-derived oracle factory (s04/s13
+    spherical fit, s14 PQ fit). ``base_only`` restricts to the s13
+    base split (vec_id % 10 != 7) BEFORE the truncation, exactly as
+    passing the filtered DataFrame does."""
     import hashlib
 
     import pyarrow.parquet as pq
@@ -460,8 +462,15 @@ def _replay_centroid_fit(sf_dir: str, base_only: bool = False) -> np.ndarray:
         pairs,
         key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
     )[:KMEANS_SAMPLE]
-    x = np.array([e for _, e in keyed], dtype=np.float64)
-    return _fit_spherical_kmeans(x, N_CELLS)
+    return np.array([e for _, e in keyed], dtype=np.float64)
+
+
+def _replay_centroid_fit(sf_dir: str, base_only: bool = False) -> np.ndarray:
+    """Replay `_kmeans_centroids`' fit on the shared deterministic
+    sample — the oracle side of the centroid-literal pattern."""
+    return _fit_spherical_kmeans(
+        _replay_sample_embeddings(sf_dir, base_only), N_CELLS
+    )
 
 
 def _s04_oracle_for(sf_dir: str) -> str | None:
@@ -579,6 +588,22 @@ def _probe_cells(qbase: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame, cent_mat: np.ndarray) -> DataFrame:
+    """(vec_id, embedding, cell_id): the map-only Arrow-GEMM cell
+    assignment — ONE definition shared by build, append and the s13
+    tests, so the tie-break (array_position's first max == csim DESC,
+    cell_id ASC) cannot drift between them."""
+    return emb.select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
+    )
+
+
 def build_ivf_index(
     emb: DataFrame, index_path: str, n_cells: int = N_CELLS
 ) -> np.ndarray:
@@ -594,16 +619,9 @@ def build_ivf_index(
     splits scale with nprobe, not corpus size. Returns the centroid
     matrix (the probe's query-side quantizer needs it)."""
     cent_mat = _kmeans_centroids(emb, n_cells)
-    assigned = emb.select(
-        "vec_id",
-        "embedding",
-        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
-    ).select(
-        "vec_id",
-        "embedding",
-        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
-    )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(index_path)
+    _assign_cells(emb, cent_mat).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(index_path)
     return cent_mat
 
 
@@ -784,16 +802,9 @@ def append_ivf_index(
     vectors on their next file listing — the probe path is unchanged
     (`knn_ivf_probe`'s literal cell filter prunes the union index
     exactly as it pruned the base)."""
-    assigned = new_emb.select(
-        "vec_id",
-        "embedding",
-        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
-    ).select(
-        "vec_id",
-        "embedding",
-        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
-    )
-    assigned.write.mode("append").partitionBy("cell_id").parquet(index_path)
+    _assign_cells(new_emb, cent_mat).write.mode("append").partitionBy(
+        "cell_id"
+    ).parquet(index_path)
 
 
 def _s13_oracle_for(sf_dir: str) -> str | None:
@@ -1536,13 +1547,6 @@ def _fit_pq_codebooks(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def _md5_sample_matrix(rows) -> np.ndarray:
-    """The deterministic fit sample both engines share: rows already
-    selected/ordered by (md5(vec_id), vec_id) — just stack."""
-    return np.array([r[1] if isinstance(r, tuple) else r.embedding for r in rows],
-                    dtype=np.float64)
-
-
 def _pq_codebooks(emb: DataFrame) -> np.ndarray:
     rows = (
         emb.select("vec_id", "embedding")
@@ -1550,41 +1554,42 @@ def _pq_codebooks(emb: DataFrame) -> np.ndarray:
         .limit(KMEANS_SAMPLE)
         .collect()
     )
-    return _fit_pq_codebooks(_md5_sample_matrix(rows))
+    # access by NAME: pyspark Row subclasses tuple, so a positional
+    # convention would silently ride on select-column order
+    return _fit_pq_codebooks(
+        np.array([r.embedding for r in rows], dtype=np.float64)
+    )
 
 
 def _replay_pq_fit(sf_dir: str) -> np.ndarray:
-    """Oracle-side replay of `_pq_codebooks` from the parquet file."""
-    import hashlib as _h
-
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    keyed = sorted(
-        zip(tbl.column("vec_id").to_pylist(), tbl.column("embedding").to_pylist()),
-        key=lambda t: (_h.md5(str(t[0]).encode()).hexdigest(), t[0]),
-    )[:KMEANS_SAMPLE]
-    return _fit_pq_codebooks(_md5_sample_matrix(keyed))
+    """Oracle-side replay of `_pq_codebooks` from the parquet file —
+    the same deterministic sample `_replay_sample_embeddings` serves
+    s04/s13's spherical fit."""
+    return _fit_pq_codebooks(_replay_sample_embeddings(sf_dir))
 
 
 def _pq_encode_udf(codebooks: np.ndarray):
     """Arrow-batched PQ encoder: per subspace, assign each subvector
-    to its nearest codebook entry and emit (codes, recon) where recon
-    is the concatenated chosen centroids. The distance accumulation
-    is an explicit per-dimension SEQUENTIAL loop (vectorized over
-    rows×centroids) — the SAME float64 operation order as the
-    oracle's list_reduce fold, so distances (and therefore argmin
-    decisions AND tie handling: first-occurrence == lowest k) are
-    BIT-IDENTICAL across engines. No s04-style near-tie hazard."""
+    to its nearest codebook entry and emit the RECONSTRUCTION (the
+    concatenated chosen centroids — at scale the persisted artifact
+    is the 4-bit code vector this argmin produces, with recon rebuilt
+    per probe from the broadcast codebook; emitting recon directly
+    here keeps the scoring expression on the shared fold and skips
+    serializing a codes column nothing downstream reads). The
+    distance accumulation is an explicit per-dimension SEQUENTIAL
+    loop (vectorized over rows×centroids) — the SAME float64
+    operation order as the oracle's list_reduce fold, so distances
+    (and therefore argmin decisions AND tie handling:
+    first-occurrence == lowest k) are BIT-IDENTICAL across engines.
+    No s04-style near-tie hazard."""
     cb = codebooks
 
-    @F.pandas_udf("struct<codes: array<int>, recon: array<double>>")
-    def enc(embs: pd.Series) -> pd.DataFrame:
+    @F.pandas_udf("array<double>")
+    def enc(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
-            return pd.DataFrame({"codes": [], "recon": []})
+            return pd.Series([], dtype=object)
         mat = np.stack(embs.to_numpy()).astype(np.float64)
         n = mat.shape[0]
-        codes = np.empty((n, PQ_M), dtype=np.int64)
         recon = np.empty((n, PQ_M * PQ_SUB), dtype=np.float64)
         for m in range(PQ_M):
             sub = mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
@@ -1593,11 +1598,8 @@ def _pq_encode_udf(codebooks: np.ndarray):
                 d = sub[:, i, None] - cb[m, None, :, i]
                 acc = acc + d * d
             c = acc.argmin(axis=1)
-            codes[:, m] = c
             recon[:, m * PQ_SUB : (m + 1) * PQ_SUB] = cb[m][c]
-        return pd.DataFrame(
-            {"codes": list(codes), "recon": list(recon)}
-        )
+        return pd.Series(list(recon))
 
     return enc
 
@@ -1709,9 +1711,7 @@ def s14_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks(emb)
     enc = _pq_encode_udf(cb)
-    coded = emb.select(
-        "vec_id", enc(F.col("embedding")).alias("pq")
-    ).select("vec_id", F.col("pq.recon").alias("recon"))
+    coded = emb.select("vec_id", enc(F.col("embedding")).alias("recon"))
     probes = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

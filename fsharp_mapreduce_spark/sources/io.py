@@ -188,6 +188,15 @@ def write_zordered(
     z = F.lit(0).cast("long")
     for j, c in enumerate(zorder_cols):
         mn, mx = bounds[f"mn_{j}"], bounds[f"mx_{j}"]
+        if (mn is None or mx is None) and not df.isEmpty():
+            # a non-empty column whose double-cast is all NULL is a
+            # misuse (string IDs etc.) — raise instead of silently
+            # emitting a half-ordered layout with zero skip on it
+            raise ValueError(
+                f"write_zordered: column {c!r} casts to NULL for every "
+                "row — z-order columns must be numeric/timestamp; rank "
+                "categoricals through a dictionary first"
+            )
         if mn is None or mx is None or mx <= mn:
             rank = F.lit(0).cast("long")  # constant/empty column: no bits
         else:

@@ -726,16 +726,29 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink_dir)
 
 
+from fsharp_mapreduce_spark.functions.dedup import (  # noqa: E402
+    BATCH_MOD,
+    BATCH_REMAINDER,
+)
+
+
 @register(
     "st15_stream_anti_join_dedup",
-    oracle="""
+    # NOT EXISTS, not NOT IN: a single NULL in a NOT IN subquery
+    # collapses the whole result to zero rows (three-valued logic)
+    # while Spark's left_anti keeps its rows — NOT EXISTS matches the
+    # join's null semantics. The split constants are t30's, imported,
+    # so the two ingestion queries cannot drift apart.
+    oracle=f"""
     SELECT md5(b.text) AS text_hash,
            CAST(MIN(b.doc_id) AS BIGINT) AS keeper_id,
            COUNT(*) AS n_copies
     FROM documents b
-    WHERE b.doc_id % 10 = 7
-      AND md5(b.text) NOT IN
-          (SELECT md5(text) FROM documents c WHERE c.doc_id % 10 <> 7)
+    WHERE b.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+      AND NOT EXISTS (
+          SELECT 1 FROM documents c
+          WHERE c.doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}
+            AND md5(c.text) = md5(b.text))
     GROUP BY 1
     """,
     tags=("streaming", "anti_join", "dedup", "stream_static_join"),
@@ -755,7 +768,7 @@ def st15_stream_anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest index, broadcast or bucket-joined per trigger; the stream
     side only ever carries the current batch."""
     docs = table(spark, sf_dir, "documents")
-    is_batch = F.col("doc_id") % 10 == 7
+    is_batch = F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
     corpus_digests = docs.where(~is_batch).select(F.md5("text").alias("text_hash"))
     staged = stage_as_chunked_files(
         docs.where(is_batch), n_chunks=4, memo_key=(sf_dir, "st15_batch")

@@ -299,6 +299,10 @@ def test_decode_wav_rejects_malformed_and_gates_unsupported():
     trunc = _wav_bytes([(b"fmt ", _fmt_chunk())]) + struct.pack("<4sI", b"data", 100)
     with pytest.raises(ValueError, match="truncated"):
         decode_wav(trunc + b"\x00" * 10)
+    # short fmt chunk must be the documented ValueError, not a raw
+    # struct.error (code-review r5)
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(_wav_bytes([(b"fmt ", b"\x01\x00"), (b"data", b"\x00\x00")]))
     for bad_fmt in (_fmt_chunk(channels=2), _fmt_chunk(bits=8), _fmt_chunk(audio_format=3)):
         wav = _wav_bytes([(b"fmt ", bad_fmt), (b"data", b"\x00\x00")])
         with pytest.raises(NotImplementedError, match="mono 16-bit PCM"):

@@ -453,7 +453,7 @@ def test_s13_append_lifecycle(spark, tmp_path_factory):
         APPEND_MOD,
         APPEND_REMAINDER,
         N_QUERIES,
-        _cell_sims_udf,
+        _assign_cells,
         append_ivf_index,
         build_ivf_index,
         knn_ivf_probe,
@@ -473,12 +473,7 @@ def test_s13_append_lifecycle(spark, tmp_path_factory):
 
     # batch rows sit in the same cell a full-table assignment (same
     # centroids) would put them in
-    inline = emb.select(
-        "vec_id", _cell_sims_udf(cents)(F.col("embedding")).alias("cs")
-    ).select(
-        "vec_id",
-        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
-    )
+    inline = _assign_cells(emb, cents).select("vec_id", "cell_id")
     mismatch = (
         union.select("vec_id", "cell_id")
         .join(inline.withColumnRenamed("cell_id", "want"), "vec_id")
@@ -490,16 +485,9 @@ def test_s13_append_lifecycle(spark, tmp_path_factory):
     # probe(union) == probe(one-shot index over the full table with
     # the same centroids)
     one_shot = str(tmp_path_factory.mktemp("ivf_oneshot") / "index")
-    assigned = emb.select(
-        "vec_id",
-        "embedding",
-        _cell_sims_udf(cents)(F.col("embedding")).alias("cs"),
-    ).select(
-        "vec_id",
-        "embedding",
-        (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
-    )
-    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(one_shot)
+    _assign_cells(emb, cents).write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(one_shot)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     a = {tuple(r) for r in knn_ivf_probe(spark, path, cents, queries).collect()}
     b = {tuple(r) for r in knn_ivf_probe(spark, one_shot, cents, queries).collect()}
@@ -515,22 +503,14 @@ def test_s13_append_assignment_is_map_only(spark):
         APPEND_MOD,
         APPEND_REMAINDER,
         N_CELLS,
-        _cell_sims_udf,
+        _assign_cells,
         _kmeans_centroids,
     )
 
     emb = table(spark, SF_SMOKE, "embeddings")
     is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
     cents = _kmeans_centroids(emb.where(~is_batch), N_CELLS)
-    assigned = emb.where(is_batch).select(
-        "vec_id",
-        "embedding",
-        _cell_sims_udf(cents)(F.col("embedding")).alias("cs"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.expr("array_position(cs, array_max(cs))").cast("int").alias("cell_id"),
-    )
+    assigned = _assign_cells(emb.where(is_batch), cents)
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
 
