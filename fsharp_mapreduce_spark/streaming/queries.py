@@ -3,6 +3,18 @@ Streaming micro-batch pipeline to completion over the bounded events
 fixture and returns the final table, so the driver's oracle can check
 the streamed answer equals the batch answer (stream-batch parity — the
 property the reference's chunked Loader implicitly relies on).
+
+API-coverage note: arbitrary stateful processing is exercised through
+``applyInPandasWithState`` (st04) and the RocksDB provider (st09).
+Spark 4's successor API ``transformWithStateInPandas`` (StatefulProcessor
+with Value/List/Map state and timers) is present in this pyspark build
+but its state-server protocol requires ``google.protobuf``, which this
+container does not ship — verified 2026-08-14: the preInit worker dies
+in ``StateMessage_pb2`` on import. Like the JDBC driver jar, that is an
+environment gate, not a design choice; on a cluster with protobuf the
+st04 processor ports to a StatefulProcessor directly (same keyed
+pandas contract, state moves from the GroupState object to
+handle.getValueState).
 """
 
 from __future__ import annotations
