@@ -1007,3 +1007,37 @@ def q42_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("weighted_value"),
     )
+
+
+_Q43_SQL = """
+SELECT n.n_name AS nation, t.c_name AS customer, t.bal
+FROM nation n,
+LATERAL (
+  SELECT c_name, ROUND(c_acctbal, 2) AS bal
+  FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+"""
+
+
+@register(
+    "q43_lateral_topk_join",
+    oracle=_Q43_SQL,
+    tags=("join", "lateral", "decorrelation", "topk"),
+)
+def q43_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery join — top-2 customers per nation
+    written the way an analyst writes it (a per-row dependent
+    subquery), executed the way a distributed engine must: Catalyst's
+    decorrelation rewrites the LATERAL into a windowed per-key top-k
+    plus a broadcast equi-join (verified in the plan — no
+    per-outer-row re-execution of the inner query anywhere), so the
+    apparent O(|nation| × |customer|) correlation costs one pass over
+    customer. The second query sharing q41's 'both engines run the
+    IDENTICAL SQL text verbatim' property — DuckDB executes the same
+    string as its own LATERAL."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_Q43_SQL)

@@ -298,6 +298,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # salted JOIN (round-5 addition, q-family fold like its agg
         # twin q30; q03 keeps the join-family slot)
         "q42_salted_skew_join",
+        # LATERAL decorrelation (round-5 addition, q-family fold;
+        # q34 keeps the subquery-family exposure via q27's group)
+        "q43_lateral_topk_join",
     }
 )
 

@@ -532,3 +532,16 @@ def test_q42_salted_join_spreads_key(spark):
     plan = formatted_plan(df)
     assert "ShuffledHashJoin" in plan, plan
     assert "hashpartitioning(event_type" in plan and "_salt" in plan, plan
+
+
+def test_q43_lateral_is_decorrelated(spark):
+    """q43 (LATERAL top-k): Catalyst must decorrelate the per-row
+    dependent subquery into a windowed per-key top-k + equi-join — a
+    nested-loop or cartesian shape would re-execute the inner query
+    per outer row (the O(|outer| × |inner|) trap LATERAL invites)."""
+    df = q("q43_lateral_topk_join", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "row_number" in plan, plan
