@@ -545,3 +545,46 @@ def test_q43_lateral_is_decorrelated(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "row_number" in plan, plan
+
+
+def test_property_salted_join_equals_plain_join(spark):
+    """Hypothesis: salted_join is answer-identical to the plain inner
+    join for arbitrary key distributions — including keys that exist
+    on only one side, duplicate rows, and heavy skew (every row one
+    key)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fsharp_mapreduce_spark.operators.relational import salted_join
+    from pyspark.sql import functions as F
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        big=st.lists(
+            st.tuples(st.sampled_from("abcd"), st.integers(-50, 50)),
+            min_size=1,
+            max_size=80,
+        ),
+        small=st.lists(
+            st.tuples(st.sampled_from("abcz"), st.integers(0, 9)),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def check(big, small):
+        b = spark.createDataFrame(
+            [(k, v, i) for i, (k, v) in enumerate(big)], "k string, v long, rid long"
+        )
+        s = spark.createDataFrame(small, "k string, w long")
+        got = salted_join(b, s, "k", salt_on=F.col("rid"), n_salt=4)
+        want = b.join(s, "k")
+        cols = ["k", "v", "rid", "w"]
+        assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+            map(tuple, want.select(cols).collect())
+        )
+
+    check()

@@ -304,3 +304,44 @@ def test_write_zordered_guards(spark, tmp_path):
     const = spark.range(100).selectExpr("id", "CAST(5 AS DOUBLE) AS a", "CAST(id AS DOUBLE) AS b")
     write_zordered(const, str(tmp_path / "z3"), ["a", "b"], 2)
     assert spark.read.parquet(str(tmp_path / "z3")).count() == 100
+
+
+def test_property_zorder_roundtrip_random(spark, tmp_path):
+    """Hypothesis: z-ordering is a pure REORDERING for arbitrary
+    numeric frames — every row survives exactly once regardless of
+    duplicates, negatives, constant columns, or tiny inputs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fsharp_mapreduce_spark.sources.io import write_zordered
+
+    counter = {"i": 0}
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=-100, max_value=100),
+                st.integers(min_value=-5, max_value=5),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(rows):
+        counter["i"] += 1
+        df = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(rows)],
+            "id long, a double, b double",
+        )
+        out = str(tmp_path / f"zprop_{counter['i']}")
+        write_zordered(df, out, ["a", "b"], 2, bits=8)
+        back = spark.read.parquet(out)
+        assert back.count() == len(rows)
+        assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+
+    check()
