@@ -795,3 +795,238 @@ def m07_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture fan_out."""
     media = documents_as_media(spark, sf_dir)
     return wav_roundtrip_stats(media)
+
+
+# --- m08: REAL AVI (RIFF video container) decode — the video leg ----
+AVI_FRAMES = 4
+AVI_W = 10  # stride (w+3)//4*4 = 12 → 2 real pad bytes per row
+AVI_H = 8
+AVI_FPS = 25
+
+
+def encode_avi_gray(frames: "np.ndarray", fps: int = AVI_FPS) -> bytes:
+    """Encode (n, h, w) uint8 frames as a REAL uncompressed 8-bit
+    palettized AVI file: RIFF('AVI ') → LIST('hdrl') with the avih
+    main header and a LIST('strl') video stream (strh 'vids' +
+    BITMAPINFOHEADER strf with a 256-gray palette) → LIST('movi')
+    with one '00db' (uncompressed DIB) chunk per frame, rows
+    bottom-up and padded to the 4-byte stride — the same raster rules
+    as the BMP codec. Standard players open the output."""
+    import struct
+
+    n, h, w = frames.shape
+    stride = (w + 3) // 4 * 4
+    frame_bytes = stride * h
+    pad = b"\x00" * (stride - w)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10, n, 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_bytes, 0, -1,
+        0, 0, w, h,
+    )
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 0) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = b""
+    for f in range(n):
+        rows = b"".join(frames[f][r].tobytes() + pad for r in range(h - 1, -1, -1))
+        movi_frames += chunk(b"00db", rows)
+    movi = lst(b"movi", movi_frames)
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL pure-stdlib AVI parser: validates RIFF/'AVI ' magic, walks
+    the chunk list (honoring odd-size pad bytes), descends the hdrl
+    LIST for the avih main header (frame count, width, height,
+    microseconds per frame) and collects the movi LIST's '00db'
+    frames, undoing the stride padding and bottom-up row order.
+    Returns ((n, h, w) uint8 frames, fps). Raises ValueError on
+    malformed input and NotImplementedError for compressed streams
+    ('00dc' chunks — the documented environment gate, as with
+    JPEG/MP3)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/'AVI ' magic)")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid, csz = struct.unpack_from("<4sI", buf, pos)
+            pos += 8
+            if pos + csz > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            yield cid, pos, csz
+            pos += csz + (csz & 1)
+
+    avih = None
+    frames_raw: list[bytes] = []
+    for cid, p, sz in walk(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        kind = payload[p : p + 4]
+        if kind == b"hdrl":
+            for cid2, p2, sz2 in walk(payload, p + 4, p + sz):
+                if cid2 == b"avih":
+                    if sz2 < 40:
+                        raise ValueError(f"avih too short ({sz2} bytes)")
+                    avih = struct.unpack_from("<IIIIIIIIII", payload, p2)
+        elif kind == b"movi":
+            for cid2, p2, sz2 in walk(payload, p + 4, p + sz):
+                if cid2 == b"00dc":
+                    raise NotImplementedError(
+                        "compressed AVI streams ('00dc') need a codec "
+                        "library; only uncompressed '00db' DIB frames "
+                        "decode natively"
+                    )
+                if cid2 == b"00db":
+                    frames_raw.append(payload[p2 : p2 + sz2])
+    if avih is None:
+        raise ValueError("missing avih header")
+    us_per_frame, _, _, _, n_frames, _, _, _, w, h = avih
+    if us_per_frame == 0:
+        raise ValueError("avih us_per_frame is zero")
+    if len(frames_raw) != n_frames:
+        raise ValueError(f"avih declares {n_frames} frames, movi has {len(frames_raw)}")
+    stride = (w + 3) // 4 * 4
+    out = np.empty((n_frames, h, w), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) < stride * h:
+            raise ValueError("truncated frame data")
+        rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h).reshape(h, stride)[:, :w]
+        out[i] = rows[::-1]  # bottom-up storage → top-down array
+    return out, round(1_000_000 / us_per_frame)
+
+
+AVI_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("fps", T.IntegerType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("avi_bytes", T.LongType(), False),
+    ]
+)
+
+
+def avi_roundtrip_stats(media: DataFrame) -> DataFrame:
+    """encode→decode over REAL AVI bytes (mapInPandas, Arrow-batched,
+    zero shuffle): each payload's sha256 digest is tiled across
+    {AVI_FRAMES} frames of {AVI_H}×{AVI_W} gray pixels, written as a
+    genuine AVI container, then parsed back by `decode_avi` (RIFF
+    walk, hdrl/avih descent, movi frame collection, stride + row-order
+    undo). Stats are measured on the PARSED frames."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    n_px = AVI_FRAMES * AVI_H * AVI_W
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, ws, hs, fr, dur, ps, nb = [], [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(payload or b"").digest()
+                flat = np.frombuffer(
+                    (digest * (n_px // len(digest) + 1))[:n_px], dtype=np.uint8
+                )
+                avi = encode_avi_gray(flat.reshape(AVI_FRAMES, AVI_H, AVI_W))
+                frames, fps = decode_avi(avi)
+                ids.append(mid)
+                nf.append(frames.shape[0])
+                hs.append(frames.shape[1])
+                ws.append(frames.shape[2])
+                fr.append(fps)
+                dur.append(frames.shape[0] * 1000 // fps)
+                ps.append(int(frames.astype(np.int64).sum()))
+                nb.append(len(avi))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "fps": pd.array(fr, dtype="int32"),
+                    "duration_ms": pd.array(dur, dtype="int64"),
+                    "pixel_sum": pd.array(ps, dtype="int64"),
+                    "avi_bytes": pd.array(nb, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, AVI_SCHEMA)
+
+
+def _m08_oracle() -> str:
+    """Analytic replica: decoded pixels are the sha256 digest tiled to
+    n_frames·h·w bytes (the m06 pattern at video scale); the container
+    size is a pure function of the geometry, computed by running the
+    ENCODER's arithmetic on an empty frame set plus per-frame chunk
+    cost."""
+    n_px = AVI_FRAMES * AVI_H * AVI_W
+    cycles, rem = n_px // 32, n_px % 32
+    # container size: measured from the encoder ONCE at import on a
+    # zero frame-count shell is fragile; derive it arithmetically —
+    # RIFF(12) + LIST hdrl(12 + avih(8+56) + LIST strl(12 + strh(8+56)
+    # + strf(8+40+1024))) + LIST movi(12 + n·(8 + stride·h))
+    stride = (AVI_W + 3) // 4 * 4
+    avi_bytes = (
+        12
+        + (12 + (8 + 56) + (12 + (8 + 56) + (8 + 40 + 1024)))
+        + (12 + AVI_FRAMES * (8 + stride * AVI_H))
+    )
+    dur = AVI_FRAMES * 1000 // AVI_FPS
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    byte = f"({hv.format(p='2*bi + 1')} * 16 + {hv.format(p='2*bi + 2')})"
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b(bi) AS (SELECT unnest(generate_series(0, 31))),
+    bytes AS (
+      SELECT doc_id, bi, {byte} AS byte FROM h CROSS JOIN b
+    ),
+    sums AS (
+      SELECT doc_id,
+             SUM(byte) AS dsum,
+             SUM(CASE WHEN bi < {rem} THEN byte ELSE 0 END) AS rsum
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST({AVI_FRAMES} AS INTEGER) AS n_frames,
+           CAST({AVI_W} AS INTEGER) AS width,
+           CAST({AVI_H} AS INTEGER) AS height,
+           CAST({AVI_FPS} AS INTEGER) AS fps,
+           CAST({dur} AS BIGINT) AS duration_ms,
+           CAST({cycles} * dsum + rsum AS BIGINT) AS pixel_sum,
+           CAST({avi_bytes} AS BIGINT) AS avi_bytes
+    FROM sums
+"""
+
+
+@register("m08_avi_decode_stats", oracle=_m08_oracle(), tags=("multimodal", "avi", "video", "decode"))
+def m08_avi_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m-family's THIRD real codec — video, completing the RIFF
+    trilogy (m06 BMP image, m07 WAV audio): each document payload
+    becomes a genuine multi-frame uncompressed AVI container and the
+    registered stats are measured on the output of the pure-stdlib
+    parser (`decode_avi`): RIFF walk with odd-size padding, hdrl/avih
+    header descent, per-frame '00db' collection, stride + bottom-up
+    undo (w={AVI_W} leaves 2 REAL pad bytes per row). The oracle
+    reconstructs the pixel sum analytically from the sha256 digest and
+    the container size from the format arithmetic. Compressed streams
+    ('00dc') are the documented environment gate. Map-only: one Arrow
+    projection, zero exchanges beyond the fixture fan_out."""
+    media = documents_as_media(spark, sf_dir)
+    return avi_roundtrip_stats(media)

@@ -259,6 +259,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # through the same Arrow decode shape (round-5 addition,
     # pytest-only per the cadence)
     "m07_wav_decode_stats": "m03_frame_sample",
+    # third real codec (video container): m08 completes the RIFF
+    # trilogy through the same Arrow decode shape (round-5 addition,
+    # pytest-only per the cadence)
+    "m08_avi_decode_stats": "m03_frame_sample",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -325,3 +325,97 @@ def test_wav_roundtrip_and_minimal_header():
     assert len(wav) == 44 + 2 * len(samples)
     got, rate = decode_wav(wav)
     assert rate == 8000 and got.tolist() == samples.tolist()
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def _list(kind: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", kind + body)
+
+
+def _avih(n_frames, w, h, us_per_frame=40000) -> bytes:
+    import struct
+
+    return struct.pack(
+        "<IIIIIIIIII", us_per_frame, 0, 0, 0x10, n_frames, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+
+
+def _avi(chunks: bytes) -> bytes:
+    import struct
+
+    body = b"AVI " + chunks
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def test_decode_avi_golden_literal():
+    """Hand-built AVI with an extra JUNK chunk and an odd-sized LIST
+    between hdrl and movi: the parser must walk chunks (honoring pad
+    bytes), read geometry from avih, and undo the 4-byte stride and
+    bottom-up row order of each '00db' frame."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import decode_avi
+
+    # 2 frames of 2x3 (w=3 → stride 4, one real pad byte per row)
+    f0 = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    f1 = np.array([[9, 8, 7], [6, 5, 4]], dtype=np.uint8)
+
+    def raster(f):
+        return bytes(
+            b for r in range(f.shape[0] - 1, -1, -1) for b in (*f[r].tolist(), 0)
+        )
+
+    avi = _avi(
+        _list(b"hdrl", _chunk(b"avih", _avih(2, 3, 2)))
+        + _chunk(b"JUNK", b"padding")  # 7 bytes: odd → pad exercised
+        + _list(b"movi", _chunk(b"00db", raster(f0)) + _chunk(b"00db", raster(f1)))
+    )
+    frames, fps = decode_avi(avi)
+    assert fps == 25
+    assert frames.shape == (2, 2, 3)
+    assert frames[0].tolist() == f0.tolist()
+    assert frames[1].tolist() == f1.tolist()
+
+
+def test_decode_avi_rejects_and_gates():
+    import pytest
+
+    from fsharp_mapreduce_spark.functions.multimodal import decode_avi
+
+    with pytest.raises(ValueError, match="RIFF/'AVI ' magic"):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="missing avih"):
+        decode_avi(_avi(_list(b"movi", b"")))
+    # frame-count mismatch between avih and movi
+    bad = _avi(
+        _list(b"hdrl", _chunk(b"avih", _avih(3, 3, 2)))
+        + _list(b"movi", _chunk(b"00db", b"\x00" * 8))
+    )
+    with pytest.raises(ValueError, match="declares 3 frames"):
+        decode_avi(bad)
+    # compressed stream is the documented gate
+    comp = _avi(
+        _list(b"hdrl", _chunk(b"avih", _avih(1, 3, 2)))
+        + _list(b"movi", _chunk(b"00dc", b"\xff\xd8"))
+    )
+    with pytest.raises(NotImplementedError, match="00dc"):
+        decode_avi(comp)
+
+
+def test_avi_roundtrip():
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        decode_avi,
+        encode_avi_gray,
+    )
+
+    frames = np.arange(4 * 8 * 10, dtype=np.uint8).reshape(4, 8, 10)
+    avi = encode_avi_gray(frames, fps=25)
+    got, fps = decode_avi(avi)
+    assert fps == 25 and got.tolist() == frames.tolist()

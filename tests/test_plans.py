@@ -588,3 +588,11 @@ def test_property_salted_join_equals_plain_join(spark):
         )
 
     check()
+
+
+def test_m08_avi_decode_is_map_only(spark):
+    """m08: the AVI encode→decode round-trip is one mapInPandas
+    projection — the only exchange is the fan_out repartition (same
+    contract as m06/m07)."""
+    df = q("m08_avi_decode_stats", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
