@@ -2,11 +2,14 @@
 with typed metadata, plus the mapInPandas plumbing for decode /
 feature-extract / resize / frame-sample stages.
 
-The container has no image/audio codecs, so the actual decode step is
-STUBBED (clearly marked ``NotImplementedError`` or a deterministic
-fake) — but everything Spark-side is real and tested: the schema, the
-Arrow batch shapes, the UDF signatures, and the partition-parallel
-execution (tests/test_multimodal.py).
+The container has no heavy codec libraries (JPEG/MP3/H.264 remain
+documented ``NotImplementedError`` environment gates), but the family
+is no longer stub-only: three REAL pure-stdlib codecs run end-to-end
+through the Arrow decode shape and are value-verified by analytic
+oracles — m06 8-bit BMP (image), m07 RIFF/PCM WAV (audio), m08
+uncompressed AVI (video). Everything Spark-side is real and tested:
+the schema, the Arrow batch shapes, the UDF signatures, and the
+partition-parallel execution (tests/test_multimodal.py).
 
 At 100 TB the pattern is: payloads stay in parquet binary columns,
 transformations run as mapInPandas over Arrow batches (one Python
