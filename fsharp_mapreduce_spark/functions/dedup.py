@@ -1759,3 +1759,130 @@ def t30_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-derived table — the corpus is never shuffled. See
     `incremental_dedup` for the 100 TB plan notes."""
     return incremental_dedup(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# t33: leakage-safe train/val/test split — split by near-dup CLUSTER,
+# not by document, so a near-duplicate of a training document can never
+# land in the eval split (the contamination that makes eval numbers
+# lie). 80/10/10 by the house md5-slice hash of the cluster id.
+SPLIT_MOD = 10
+SPLIT_TRAIN_BELOW = 8  # hash 0-7 → train, 8 → val, 9 → test
+
+
+def _split_of(cluster_id: Column) -> Column:
+    h = md5_int_hash(cluster_id.cast("string")) % SPLIT_MOD
+    return (
+        F.when(h < SPLIT_TRAIN_BELOW, F.lit("train"))
+        .when(h == SPLIT_TRAIN_BELOW, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _t33_oracle() -> str:
+    """DuckDB replica: t12's cluster closure (t03 edges + recursive
+    CTE) → cluster-hash split → per-split audit, INCLUDING the
+    leakage count (near-dup pairs with endpoints in different splits
+    — zero by construction, and the oracle proves the Spark side
+    didn't get that zero by accident)."""
+    return f"""
+    WITH RECURSIVE
+    p AS (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
+    e(u, v) AS (
+      SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p
+    ),
+    reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e) s
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ),
+    comp AS (SELECT u, MIN(r) AS c FROM reach GROUP BY u),
+    assign AS (
+      SELECT d.doc_id,
+             COALESCE(comp.c, d.doc_id) AS cluster_id,
+             CASE WHEN ('0x' || substr(md5(CAST(COALESCE(comp.c, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT
+                       % 2147483647 % {SPLIT_MOD} < {SPLIT_TRAIN_BELOW} THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(COALESCE(comp.c, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT
+                       % 2147483647 % {SPLIT_MOD} = {SPLIT_TRAIN_BELOW} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN comp ON d.doc_id = comp.u
+    ),
+    cross_ends AS (
+      SELECT sa.split FROM p
+      JOIN assign sa ON p.doc_a = sa.doc_id
+      JOIN assign sb ON p.doc_b = sb.doc_id
+      WHERE sa.split <> sb.split
+      UNION ALL
+      SELECT sb.split FROM p
+      JOIN assign sa ON p.doc_a = sa.doc_id
+      JOIN assign sb ON p.doc_b = sb.doc_id
+      WHERE sa.split <> sb.split
+    ),
+    leak AS (SELECT split, COUNT(*) AS n FROM cross_ends GROUP BY split)
+    SELECT a.split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(COALESCE(MAX(leak.n), 0) AS BIGINT) AS n_cross_split_pairs
+    FROM assign a LEFT JOIN leak ON a.split = leak.split
+    GROUP BY a.split
+"""
+
+
+@register(
+    "t33_leakage_safe_split",
+    oracle=_t33_oracle(),
+    tags=("dedup", "split", "leakage", "clusters"),
+)
+def t33_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assign each document to a
+    split by the hash of its NEAR-DUP CLUSTER (t12's connected
+    components over the t03 edge set), not of the document — so a
+    near-duplicate of a training document can NEVER land in val/test.
+    A doc-hash split silently leaks: every near-dup pair has a
+    2·p·(1-p) chance of straddling train/eval, and eval numbers lie
+    exactly on the examples that matter. The emitted audit makes the
+    guarantee measurable: n_cross_split_pairs counts near-dup pairs
+    whose endpoints fall in different splits — ZERO by construction
+    here, and the oracle recomputes it independently so the zero is
+    verified, not assumed.
+
+    Plan: the pair pipeline and cluster propagation are t03/t12's
+    audited shapes (computed ONCE — the pair DataFrame feeds both the
+    clustering and the leakage audit); the split assignment is one
+    map-only expression on the cluster labels; the audit joins the
+    (candidate-sized) pair list against the assignment on doc_id.
+    Deterministic end-to-end: hash splits, no RNG."""
+    docs = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("v"))
+    pairs = scoped_persist(
+        t03_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    comp = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")), docs
+    )
+    assign = comp.select(
+        F.col("v").alias("doc_id"),
+        F.col("label").cast("bigint").alias("cluster_id"),
+        _split_of(F.col("label")).alias("split"),
+    )
+    per_split = assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    sa = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    x = pairs.join(sa, "doc_a").join(sb, "doc_b").where(
+        F.col("split_a") != F.col("split_b")
+    )
+    ends = x.select(F.col("split_a").alias("split")).union(
+        x.select(F.col("split_b").alias("split"))
+    )
+    leak = ends.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_split.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_cross_split_pairs"),
+        )
+    )

@@ -169,6 +169,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
     "t08_fingerprint": "t22_winnow_containment_pairs",
+    # cluster-split family: t23 (star contraction) / t12 hold the
+    # clustering slots; t33 consumes the same cluster labels for the
+    # leakage-safe split audit (round-5 addition, pytest-only)
+    "t33_leakage_safe_split": "t23_dedup_clusters_star",
     # MinHash-band family: t03 (within-corpus LSH pairs) holds the
     # slot; t30 is the batch-vs-corpus incremental-ingestion variant
     # of the same banding + exact-verify pipeline (round-5 addition,

@@ -779,3 +779,42 @@ def test_t31_cms_bounds(spark):
     for r in rows:
         assert r.est_n >= r.exact_n, (r.token, r.est_n, r.exact_n)
         assert r.est_n - r.exact_n <= eps_n, (r.token, r.est_n, r.exact_n, eps_n)
+
+
+def test_t33_cluster_split_prevents_leakage(spark, tmp_path):
+    """The t33 guarantee on an adversarial corpus: many near-dup pairs
+    whose doc_ids hash to DIFFERENT splits under a naive doc-hash
+    split. The cluster split must report zero cross-split pairs while
+    the doc-hash counterfactual (computed here directly) leaks."""
+    from fsharp_mapreduce_spark.functions.dedup import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_BELOW,
+        md5_int_hash,
+        ngram_jaccard_pairs,
+        t33_leakage_safe_split,
+    )
+
+    # 20 near-dup pairs with DISJOINT vocabularies (cross-pair
+    # Jaccard = 0, within-pair ≈ 0.9) and adjacent doc_ids
+    rows = []
+    for i in range(20):
+        words = [f"w{i}x{j}" for j in range(20)]
+        rows.append((2 * i, " ".join(words)))
+        rows.append((2 * i + 1, " ".join(words[:-1] + ["changed"])))
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+
+    out = {r.split: r for r in t33_leakage_safe_split(spark, d).collect()}
+    assert sum(r.n_docs for r in out.values()) == 40
+    assert sum(r.n_clusters for r in out.values()) == 20
+    assert all(r.n_cross_split_pairs == 0 for r in out.values()), out
+
+    # counterfactual: the naive doc-hash split leaks on this corpus
+    pairs = ngram_jaccard_pairs(spark.read.parquet(f"{d}/documents.parquet"))
+    h = lambda c: md5_int_hash(F.col(c).cast("string")) % SPLIT_MOD
+    leaked = pairs.where(
+        (h("doc_a") < SPLIT_TRAIN_BELOW) != (h("doc_b") < SPLIT_TRAIN_BELOW)
+    ).count()
+    assert leaked > 0, "adversarial corpus failed to produce doc-hash leakage"
