@@ -379,3 +379,67 @@ def q39_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window"),
         F.round(F.avg("value").over(w), 4).alias("avg_value_10m"),
     )
+
+
+# q44 dropout simulation: a reading is "missing" when the house
+# md5-slice hash of its event_id lands in 1-of-4 — deterministic in
+# both engines, ~25% nulls to fill.
+FFILL_DROP_MOD = 4
+
+
+@register(
+    "q44_forward_fill",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 2147483647 % {FFILL_DROP_MOD} = 0
+                  THEN NULL ELSE value END AS reading
+      FROM events WHERE user_id < 200
+    )
+    SELECT event_id, user_id, ts, ROUND(reading, 4) AS reading,
+           ROUND(LAST_VALUE(reading IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS filled
+    FROM r
+    """,
+    tags=("window", "forward_fill", "timeseries", "ignore_nulls"),
+)
+def q44_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward), the
+    gap-filling operator every sensor/metrics pipeline needs: per
+    user, each missing reading takes the most recent non-null value
+    in (ts, event_id) order via the IGNORE NULLS window frame — the
+    one window semantics the q13–q16 family didn't cover. Missing
+    readings are simulated deterministically (house md5-slice hash of
+    event_id, ~25% dropout) so both engines fill the identical holes;
+    leading nulls (no prior observation) stay null in both. The
+    window partitions by user_id — keys scale with data, no global
+    window (the q31 rule)."""
+    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
+
+    ev = table(spark, sf_dir, "events").where(F.col("user_id") < 200)
+    dropped = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            md5_int_hash(F.col("event_id").cast("string")) % FFILL_DROP_MOD == 0,
+            F.lit(None),
+        )
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return dropped.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("reading", 4).alias("reading"),
+        F.round(F.last("reading", ignorenulls=True).over(w), 4).alias("filled"),
+    )

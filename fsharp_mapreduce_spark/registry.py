@@ -309,6 +309,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # LATERAL decorrelation (round-5 addition, q-family fold;
         # q34 keeps the subquery-family exposure via q27's group)
         "q43_lateral_topk_join",
+        # IGNORE NULLS forward-fill (round-5 addition, q-family fold;
+        # q31/q39 keep the window-family slots)
+        "q44_forward_fill",
     }
 )
 
