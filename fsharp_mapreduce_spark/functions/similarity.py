@@ -1742,3 +1742,72 @@ def s14_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- s15: filtered vector search (metadata predicate + ANN) ----------
+FILTER_LABEL = 3
+
+
+@register(
+    "s15_knn_filtered",
+    oracle=f"""
+    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
+    q AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM tagged
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+      FROM q JOIN tagged t
+        ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
+      JOIN embeddings lf
+        ON t.vec_id = lf.vec_id AND lf.label = {FILTER_LABEL}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {{cos}} AS sim
+      FROM cand c
+      JOIN embeddings qe ON c.query_id = qe.vec_id
+      JOIN embeddings ne ON c.neighbor_id = ne.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+""".format(cos=_cosine_sql("qe.embedding", "ne.embedding")),
+    tags=("similarity", "ann", "lsh", "filtered"),
+)
+def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — ANN under a metadata predicate (only
+    label={FILTER_LABEL} vectors are valid results), the query shape
+    every production vector store serves ("nearest docs WHERE
+    lang='en' AND license='ok'"). Done the correct way: PRE-filtered —
+    the predicate restricts the candidate corpus BEFORE bucket
+    candidate generation, so each query still gets its full top-k
+    among eligible vectors. The tempting post-filter (run plain ANN,
+    then drop ineligible neighbors) silently returns FEWER than k —
+    on this fixture's ~10-way label split, plain s02 top-5 keeps ~0.5
+    eligible rows per query (pinned by
+    tests/test_similarity.py::test_s15_prefilter_beats_postfilter).
+
+    Plan at 100 TB: the label predicate is a plain pushed parquet
+    filter on the corpus scan (plan-pinned) — with the s12
+    materialized index, filter columns ride the index table and prune
+    before the bucket join; selectivity makes filtered ANN CHEAPER
+    than unfiltered, never costlier."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucket_ids = _lsh_bucket_udf()
+    corpus = emb.where(F.col("label") == FILTER_LABEL).select(
+        "vec_id", "embedding", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
+    )
+    probes = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.posexplode(bucket_ids(F.col("embedding"))).alias("qtbl", "qbucket"),
+    )
+    return _exact_topk(_bucket_candidates(corpus, probes))

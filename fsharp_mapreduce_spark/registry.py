@@ -206,6 +206,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)
     "s01_knn_bruteforce": "s08_knn_quantized",
+    # filtered-ANN: s15 is s02's pipeline under a metadata predicate
+    # (pre-filtered candidate corpus; round-5 addition, pytest-only)
+    "s15_knn_filtered": "s02_knn_lsh",
     # quantized-ANN family: s08 (int8 two-stage) holds the slot; s14
     # is the product-quantization variant of the same candidate →
     # exact-re-rank shape (round-5 addition, pytest-only per cadence)

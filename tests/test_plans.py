@@ -596,3 +596,12 @@ def test_m08_avi_decode_is_map_only(spark):
     contract as m06/m07)."""
     df = q("m08_avi_decode_stats", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_s15_label_filter_reaches_scan(spark):
+    """s15 (filtered ANN): the metadata predicate must be a pushed
+    parquet filter on the corpus scan — selectivity then makes
+    filtered search cheaper than unfiltered, never costlier."""
+    df = q("s15_knn_filtered", spark)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan and "EqualTo(label,3" in plan.replace(" ", ""), plan

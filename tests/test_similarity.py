@@ -547,3 +547,30 @@ def test_s14_returned_sims_are_exact(spark):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert math.isclose(r.sim, exact[key], abs_tol=1e-9)
+
+
+def test_s15_prefilter_beats_postfilter(spark):
+    """The reason filtered ANN must PRE-filter: every s15 neighbor
+    carries the required label, and the post-filter formulation (plain
+    s02 top-k, then drop ineligible rows) returns strictly fewer
+    eligible neighbors on the ~10-way-labeled fixture."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        FILTER_LABEL,
+        s02_knn_lsh,
+        s15_knn_filtered,
+    )
+
+    labels = {
+        r.vec_id: r.label
+        for r in table(spark, SF_SMOKE, "embeddings").select("vec_id", "label").collect()
+    }
+    pre = s15_knn_filtered(spark, SF_SMOKE).collect()
+    assert pre, "filtered search returned nothing"
+    assert all(labels[r.neighbor_id] == FILTER_LABEL for r in pre)
+
+    post = [
+        r
+        for r in s02_knn_lsh(spark, SF_SMOKE).collect()
+        if labels[r.neighbor_id] == FILTER_LABEL
+    ]
+    assert len(post) < len(pre), (len(post), len(pre))
