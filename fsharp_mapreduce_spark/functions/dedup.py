@@ -1797,26 +1797,29 @@ def _t33_oracle() -> str:
       SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
     ),
     comp AS (SELECT u, MIN(r) AS c FROM reach GROUP BY u),
-    assign AS (
-      SELECT d.doc_id,
-             COALESCE(comp.c, d.doc_id) AS cluster_id,
-             CASE WHEN ('0x' || substr(md5(CAST(COALESCE(comp.c, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT
-                       % 2147483647 % {SPLIT_MOD} < {SPLIT_TRAIN_BELOW} THEN 'train'
-                  WHEN ('0x' || substr(md5(CAST(COALESCE(comp.c, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT
-                       % 2147483647 % {SPLIT_MOD} = {SPLIT_TRAIN_BELOW} THEN 'val'
-                  ELSE 'test' END AS split
+    hashed AS (
+      SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id,
+             ('0x' || substr(md5(CAST(COALESCE(comp.c, d.doc_id) AS VARCHAR)), 1, 12))::BIGINT
+               % 2147483647 % {SPLIT_MOD} AS h
       FROM documents d LEFT JOIN comp ON d.doc_id = comp.u
     ),
+    assign AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN h < {SPLIT_TRAIN_BELOW} THEN 'train'
+                  WHEN h = {SPLIT_TRAIN_BELOW} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM hashed
+    ),
+    xp AS (
+      SELECT sa.split AS split_a, sb.split AS split_b FROM p
+      JOIN assign sa ON p.doc_a = sa.doc_id
+      JOIN assign sb ON p.doc_b = sb.doc_id
+      WHERE sa.split <> sb.split
+    ),
     cross_ends AS (
-      SELECT sa.split FROM p
-      JOIN assign sa ON p.doc_a = sa.doc_id
-      JOIN assign sb ON p.doc_b = sb.doc_id
-      WHERE sa.split <> sb.split
+      SELECT split_a AS split FROM xp
       UNION ALL
-      SELECT sb.split FROM p
-      JOIN assign sa ON p.doc_a = sa.doc_id
-      JOIN assign sb ON p.doc_b = sb.doc_id
-      WHERE sa.split <> sb.split
+      SELECT split_b AS split FROM xp
     ),
     leak AS (SELECT split, COUNT(*) AS n FROM cross_ends GROUP BY split)
     SELECT a.split,

@@ -899,8 +899,10 @@ def decode_avi(payload: bytes) -> tuple["np.ndarray", int]:
     if avih is None:
         raise ValueError("missing avih header")
     us_per_frame, _, _, _, n_frames, _, _, _, w, h = avih
-    if us_per_frame == 0:
-        raise ValueError("avih us_per_frame is zero")
+    if us_per_frame == 0 or us_per_frame > 1_000_000:
+        # 0 divides nowhere; > 1s/frame rounds to fps=0, which callers
+        # divide by — both outside the parser's contract (review r5b)
+        raise ValueError(f"unsupported avih us_per_frame {us_per_frame} (fps < 1)")
     if len(frames_raw) != n_frames:
         raise ValueError(f"avih declares {n_frames} frames, movi has {len(frames_raw)}")
     stride = (w + 3) // 4 * 4

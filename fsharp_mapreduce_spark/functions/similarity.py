@@ -179,7 +179,13 @@ def lsh_tagged_sql(n_tables: int, planes_per_table: int) -> str:
     )"""
 
 
-_S02_ORACLE = f"""
+def _lsh_probe_oracle(extra_cand_join: str = "") -> str:
+    """The shared LSH probe replica (bucket candidates → exact cosine →
+    per-query top-k). ``extra_cand_join`` lets variants restrict the
+    candidate corpus (s15's metadata pre-filter) without duplicating
+    the q/cand/scored/ranked CTEs — one source of truth for the
+    ranking SQL (review r5b)."""
+    return f"""
     WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
     q AS (
       SELECT vec_id AS query_id, tbl, bucket FROM tagged
@@ -189,6 +195,7 @@ _S02_ORACLE = f"""
       SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
       FROM q JOIN tagged t
         ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
+      {extra_cand_join}
     ),
     scored AS (
       SELECT c.query_id, c.neighbor_id,
@@ -207,6 +214,9 @@ _S02_ORACLE = f"""
     SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+_S02_ORACLE = _lsh_probe_oracle()
 
 
 @register("s02_knn_lsh", oracle=_S02_ORACLE, tags=("similarity", "lsh", "ann"))
@@ -266,6 +276,31 @@ def _bucket_candidates(tagged: DataFrame, q: DataFrame) -> DataFrame:
         & (F.col("bucket") == F.col("qbucket"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
+
+
+def tag_corpus_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, tbl, bucket): one row per (vector, LSH
+    table) — the corpus-side shape `_bucket_candidates` consumes.
+    Shared by s15 and any caller tagging a filtered/ad-hoc corpus
+    (review r5b: one definition of the explode shape)."""
+    bucket_ids = _lsh_bucket_udf()
+    return emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket"),
+    )
+
+
+def tag_probe_buckets(queries: DataFrame) -> DataFrame:
+    """(query_id, qe, qtbl, qbucket): the probe-side shape
+    `_bucket_candidates` consumes, from raw (vec_id, embedding) rows.
+    Shared by s15 and st14's per-micro-batch probe."""
+    bucket_ids = _lsh_bucket_udf()
+    return queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.posexplode(bucket_ids(F.col("embedding"))).alias("qtbl", "qbucket"),
+    )
 
 
 def _exact_topk(candidates: DataFrame, k: int = TOP_K) -> DataFrame:
@@ -1750,36 +1785,9 @@ FILTER_LABEL = 3
 
 @register(
     "s15_knn_filtered",
-    oracle=f"""
-    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
-    q AS (
-      SELECT vec_id AS query_id, tbl, bucket FROM tagged
-      WHERE vec_id < {N_QUERIES}
+    oracle=_lsh_probe_oracle(
+        f"JOIN embeddings lf ON t.vec_id = lf.vec_id AND lf.label = {FILTER_LABEL}"
     ),
-    cand AS (
-      SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
-      FROM q JOIN tagged t
-        ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
-      JOIN embeddings lf
-        ON t.vec_id = lf.vec_id AND lf.label = {FILTER_LABEL}
-    ),
-    scored AS (
-      SELECT c.query_id, c.neighbor_id,
-             {{cos}} AS sim
-      FROM cand c
-      JOIN embeddings qe ON c.query_id = qe.vec_id
-      JOIN embeddings ne ON c.neighbor_id = ne.vec_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
-             ) AS BIGINT) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
-    FROM ranked WHERE rank <= {TOP_K}
-""".format(cos=_cosine_sql("qe.embedding", "ne.embedding")),
     tags=("similarity", "ann", "lsh", "filtered"),
 )
 def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1801,13 +1809,6 @@ def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the bucket join; selectivity makes filtered ANN CHEAPER
     than unfiltered, never costlier."""
     emb = table(spark, sf_dir, "embeddings")
-    bucket_ids = _lsh_bucket_udf()
-    corpus = emb.where(F.col("label") == FILTER_LABEL).select(
-        "vec_id", "embedding", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
-    )
-    probes = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.posexplode(bucket_ids(F.col("embedding"))).alias("qtbl", "qbucket"),
-    )
+    corpus = tag_corpus_buckets(emb.where(F.col("label") == FILTER_LABEL))
+    probes = tag_probe_buckets(emb.where(F.col("vec_id") < N_QUERIES))
     return _exact_topk(_bucket_candidates(corpus, probes))

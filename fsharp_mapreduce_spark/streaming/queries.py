@@ -699,8 +699,8 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_QUERIES,
         _bucket_candidates,
         _exact_topk,
-        _lsh_bucket_udf,
         build_lsh_index,
+        tag_probe_buckets,
     )
 
     emb = table(spark, sf_dir, "embeddings")
@@ -714,14 +714,9 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qstream = read_pull_stream(spark, staged)
     sink_dir = tempfile.mkdtemp(prefix="fsmr_st14_")
-    bucket_ids = _lsh_bucket_udf()
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        q = batch_df.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.posexplode(bucket_ids(F.col("embedding"))).alias("qtbl", "qbucket"),
-        )
+        q = tag_probe_buckets(batch_df)
         _exact_topk(_bucket_candidates(tagged, q)).write.mode("append").parquet(
             sink_dir
         )

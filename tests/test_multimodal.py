@@ -398,6 +398,14 @@ def test_decode_avi_rejects_and_gates():
     )
     with pytest.raises(ValueError, match="declares 3 frames"):
         decode_avi(bad)
+    # sub-1-fps us_per_frame is rejected (fps=0 would divide-by-zero
+    # downstream; review r5b)
+    slow = _avi(
+        _list(b"hdrl", _chunk(b"avih", _avih(1, 3, 2, us_per_frame=2_500_000)))
+        + _list(b"movi", _chunk(b"00db", b"\x00" * 8))
+    )
+    with pytest.raises(ValueError, match="fps < 1"):
+        decode_avi(slow)
     # compressed stream is the documented gate
     comp = _avi(
         _list(b"hdrl", _chunk(b"avih", _avih(1, 3, 2)))
