@@ -156,6 +156,10 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
+    # fuzzy-match: t34 is the positional-q-gram-blocked edit-distance
+    # join — the t02/t25 capped-postings candidate shape with
+    # levenshtein verification (round-5 addition, pytest-only)
+    "t34_fuzzy_match": "t25_decontaminate",
     # n-gram overlap family: t25 (decontamination probe) holds the
     # slot this round; t02 is the exact Jaccard pair sibling (driver-
     # green r1–r3), same capped-postings candidate shape

@@ -818,3 +818,60 @@ def test_t33_cluster_split_prevents_leakage(spark, tmp_path):
         (h("doc_a") < SPLIT_TRAIN_BELOW) != (h("doc_b") < SPLIT_TRAIN_BELOW)
     ).count()
     assert leaked > 0, "adversarial corpus failed to produce doc-hash leakage"
+
+
+def test_t34_fuzzy_blocking_is_exact(spark, tmp_path):
+    """The positional-q-gram count-filter guarantee, checked against
+    brute force on a planted corpus including CROSS-LENGTH pairs
+    (insertions shift positions — the case the |Δpos| ≤ K guard
+    exists for) and duplicate rows (collapsed to the dictionary
+    grain): the blocked join must find exactly the name pairs
+    levenshtein ≤ K finds."""
+    from fsharp_mapreduce_spark.functions.text import FUZZY_K, t34_fuzzy_match
+
+    rows = [
+        (1, "cold widget"),
+        (2, "bold widget"),      # sub, d=1
+        (3, "cold widgets"),     # insert, d=1 (length differs)
+        (4, "old widget"),       # delete, d=1
+        (5, "warm gasket"),
+        (6, "warm gasket"),      # duplicate row → n_copies=2, not a pair
+        (7, "completely different name"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "p_partkey long, p_name string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/part.parquet")
+
+    got = {r.name: r for r in t34_fuzzy_match(spark, d).collect()}
+
+    import itertools
+    from collections import Counter
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    copies = Counter(n for _, n in rows)
+    want = {nm: [0, None] for nm in copies}
+    for na, nb in itertools.combinations(sorted(copies), 2):
+        dist = lev(na, nb)
+        if dist <= FUZZY_K:
+            for k, o in ((na, nb), (nb, na)):
+                want[k][0] += 1
+                cand = (dist, o)
+                if want[k][1] is None or cand < want[k][1]:
+                    want[k][1] = cand
+    assert set(got) == set(want)
+    for nm, (n, best) in want.items():
+        r = got[nm]
+        assert r.n_copies == copies[nm], (nm, r)
+        assert r.n_fuzzy == n, (nm, r, n)
+        if best is None:
+            assert r.best_match is None and r.best_dist is None, (nm, r)
+        else:
+            assert (r.best_dist, r.best_match) == best, (nm, r, best)
