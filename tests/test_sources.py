@@ -345,3 +345,62 @@ def test_property_zorder_roundtrip_random(spark, tmp_path):
         assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
 
     check()
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """CDC upsert semantics AND economics: keys in the update batch
+    replace target rows, new keys insert, everything else survives —
+    and partitions the batch does not touch keep their files
+    BYTE-IDENTICAL (same names, sizes, mtimes: dynamic partition
+    overwrite replaced only the affected directories)."""
+    from fsharp_mapreduce_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", k % 5) for k in range(100)], "k long, v string, p int"
+    )
+    base.write.partitionBy("p").parquet(target)
+
+    def snapshot(part):
+        d = os.path.join(target, f"p={part}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before = {p: snapshot(p) for p in range(5)}
+    updates = spark.createDataFrame(
+        [(7, "UPDATED", 2), (12, "UPDATED", 2), (1000, "NEW", 3)],
+        "k long, v string, p int",
+    )
+    n = merge_upsert(spark, target, updates, ["k"], "p")
+    assert n == 2  # partitions 2 and 3
+
+    got = {r.k: (r.v, r.p) for r in spark.read.parquet(target).collect()}
+    assert len(got) == 101
+    assert got[7] == ("UPDATED", 2) and got[12] == ("UPDATED", 2)
+    assert got[1000] == ("NEW", 3)
+    assert got[8] == ("v8", 3)  # untouched row in a touched partition
+    assert got[5] == ("v5", 0)
+    # untouched partitions: files byte-identical
+    for p in (0, 1, 4):
+        assert snapshot(p) == before[p], p
+    # touched partitions were rewritten
+    assert snapshot(2) != before[2]
+
+
+def test_merge_upsert_refuses_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    from fsharp_mapreduce_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a", 0)], "k long, v string, p int").write.partitionBy(
+        "p"
+    ).parquet(target)
+    dup = spark.createDataFrame(
+        [(1, "x", 0), (1, "y", 0)], "k long, v string, p int"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(spark, target, dup, ["k"], "p")
