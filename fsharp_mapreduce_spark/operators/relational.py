@@ -1041,3 +1041,52 @@ def q43_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_Q43_SQL)
+
+
+def skew_report(df: DataFrame, key) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key — the
+    audit you run BEFORE a 100 TB groupBy/join to decide between a
+    plain shuffle, AQE, salting (q30/q42) or a broadcast: total rows,
+    distinct keys, the hottest key's row count and share, p50/p99
+    per-key sizes and the p99/p50 ratio. Two keyed aggregations (the
+    per-key count is itself map-side combined), output is one row —
+    the diagnostic costs one pass regardless of table size."""
+    per_key = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        _rnd(F.max("n") / F.sum("n"), 6).alias("max_share"),
+        _rnd(F.percentile("n", F.lit(0.5)), 4).alias("p50_key_rows"),
+        _rnd(F.percentile("n", F.lit(0.99)), 4).alias("p99_key_rows"),
+        _rnd(
+            F.percentile("n", F.lit(0.99)) / F.percentile("n", F.lit(0.5)), 6
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "q45_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           ROUND(MAX(n) * 1.0 / SUM(n), 6) AS max_share,
+           ROUND(quantile_cont(n, 0.5), 4) AS p50_key_rows,
+           ROUND(quantile_cont(n, 0.99), 4) AS p99_key_rows,
+           ROUND(quantile_cont(n, 0.99) / quantile_cont(n, 0.5), 6) AS skew_ratio
+    FROM per_key
+    """,
+    tags=("aggregation", "skew", "diagnostics"),
+)
+def q45_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`skew_report` on the event stream's user_id — the diagnosis
+    half of the skew story (q30 salted agg and q42 salted join are
+    the remediation half): one cheap pass answers "is this key safe
+    to shuffle on, and if not, how hot is the hot key?". Exact
+    percentiles for the oracle gate (the q29 rule); at 100 TB the
+    same plan swaps percentile for percentile_approx."""
+    return skew_report(table(spark, sf_dir, "events"), "user_id")

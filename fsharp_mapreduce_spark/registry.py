@@ -319,6 +319,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # IGNORE NULLS forward-fill (round-5 addition, q-family fold;
         # q31/q39 keep the window-family slots)
         "q44_forward_fill",
+        # skew diagnosis (round-5 addition, q-family fold; pairs with
+        # q30/q42's remediation)
+        "q45_skew_audit",
     }
 )
 
