@@ -1090,3 +1090,69 @@ def q45_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentiles for the oracle gate (the q29 rule); at 100 TB the
     same plan swaps percentile for percentile_approx."""
     return skew_report(table(spark, sf_dir, "events"), "user_id")
+
+
+def semi_reduce(fat: DataFrame, keys: DataFrame, fat_key: str, key_col: str) -> DataFrame:
+    """Semi-join reduction: shrink the fat side of a big-big join
+    BEFORE it shuffles, by broadcasting just the join KEYS of the
+    (filtered) other side and applying them as a map-side LEFT SEMI.
+
+    The 100 TB scenario this exists for: fact ⋈ filtered-dim where the
+    filtered dim is too wide/large to broadcast for the payload join,
+    but its distinct keys (8 bytes each) fit comfortably — 10M bigint
+    keys ≈ 80 MB. The semi runs inside the fact table's scan stage
+    (no exchange of fat rows that can't match), so the payload
+    shuffle join only moves survivors. This is the exact-key version
+    of what Spark's runtime bloom-filter join
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) and dynamic
+    partition pruning do automatically in narrower cases; when even
+    the distinct keys outgrow the broadcast budget, swap this exact
+    key list for a bloom filter — same plan shape, bounded false
+    positives re-checked by the payload join anyway."""
+    k = keys.select(F.col(key_col)).distinct()
+    return fat.join(
+        F.broadcast(k), fat[fat_key] == k[key_col], "left_semi"
+    )
+
+
+@register(
+    "q46_semijoin_reduction",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    tags=("join", "semi_join_reduction", "runtime_filter"),
+)
+def q46_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order revenue by month via `semi_reduce`: lineitem is
+    pre-filtered by a broadcast LEFT SEMI on the distinct filtered
+    order keys (map-side, inside the scan stage), then the payload
+    join runs as a SHUFFLE hash join over survivors only — the
+    can't-broadcast-the-payload case pinned with a shuffle_hash hint
+    exactly like q42 (at fixture scale Spark would rightly broadcast
+    the whole filtered orders side and the reduction would demonstrate
+    nothing). Answer ≡ the plain join+filter; the priority predicate
+    is pushed into the orders parquet scan on both uses
+    (tests/test_plans.py::test_q46_semi_reduce_shape)."""
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    reduced = semi_reduce(li, urgent, "l_orderkey", "o_orderkey")
+    joined = reduced.join(
+        urgent.hint("shuffle_hash"),
+        reduced["l_orderkey"] == urgent["o_orderkey"],
+    )
+    return joined.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        ),
+    )

@@ -322,6 +322,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # skew diagnosis (round-5 addition, q-family fold; pairs with
         # q30/q42's remediation)
         "q45_skew_audit",
+        # semi-join reduction (round-5 addition, q-family fold; q03
+        # keeps the join-family slot)
+        "q46_semijoin_reduction",
     }
 )
 

@@ -605,3 +605,16 @@ def test_s15_label_filter_reaches_scan(spark):
     df = q("s15_knn_filtered", spark)
     plan = formatted_plan(df)
     assert "PushedFilters" in plan and "EqualTo(label,3" in plan.replace(" ", ""), plan
+
+
+def test_q46_semi_reduce_shape(spark):
+    """q46 (semi-join reduction): the fat side is pre-filtered by a
+    BROADCAST LEFT SEMI on the distinct filtered order keys (map-side,
+    no fat-row exchange before the reduction), the payload join stays
+    a SHUFFLE hash join over survivors, and the priority predicate is
+    pushed into the orders parquet scan."""
+    df = q("q46_semijoin_reduction", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "1-URGENT" in " ".join(pushed_filters(df)), pushed_filters(df)
