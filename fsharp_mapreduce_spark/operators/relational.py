@@ -1156,3 +1156,45 @@ def q46_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@register(
+    "q47_grouped_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "statistics", "regression"),
+)
+def q47_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group statistical aggregates — correlation, sample
+    covariance, OLS slope/intercept/R², stddev/variance — the
+    exploratory-analysis family q01 omits. All eight are one-pass
+    co-moment aggregates (Welford-style partial states that merge
+    associatively), so the whole result costs ONE keyed exchange with
+    map-side partial combine: at 100 TB each partition reduces to a
+    handful of co-moment scalars per group before anything shuffles.
+    The same shape a reference user would need ~8 hand-written
+    reduce closures for. Plan-pinned single-exchange
+    (tests/test_plans.py::test_q47_stats_single_exchange)."""
+    li = table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _rnd(F.corr(y, x), 6).alias("price_qty_corr"),
+        _rnd(F.covar_samp(y, x)).alias("price_qty_covar"),
+        _rnd(F.regr_slope(y, x)).alias("slope"),
+        _rnd(F.regr_intercept(y, x)).alias("intercept"),
+        _rnd(F.regr_r2(y, x), 6).alias("r2"),
+        _rnd(F.stddev_samp(y)).alias("price_stddev"),
+        _rnd(F.var_samp(x)).alias("qty_var"),
+    )

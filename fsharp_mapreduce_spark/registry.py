@@ -325,6 +325,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # semi-join reduction (round-5 addition, q-family fold; q03
         # keeps the join-family slot)
         "q46_semijoin_reduction",
+        # statistical/regression aggregates (round-5 addition,
+        # q-family fold; q01 keeps the aggregation-family slot)
+        "q47_grouped_stats",
     }
 )
 

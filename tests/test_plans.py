@@ -618,3 +618,12 @@ def test_q46_semi_reduce_shape(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     assert "1-URGENT" in " ".join(pushed_filters(df)), pushed_filters(df)
+
+
+def test_q47_stats_single_exchange(spark):
+    """q47 (statistical aggregates): all eight co-moment aggregates
+    ride ONE keyed exchange with map-side partial combine — adding
+    correlation/regression outputs must not add shuffles."""
+    df = q("q47_grouped_stats", spark)
+    assert exchange_count(df) == 1, formatted_plan(df)
+    assert "HashAggregate" in formatted_plan(df)
