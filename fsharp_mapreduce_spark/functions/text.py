@@ -1613,3 +1613,133 @@ def t34_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_match",
         "best_dist",
     )
+
+
+def textrank_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) keyword scores: weighted
+    PageRank over the word co-occurrence graph (adjacent-token pairs,
+    undirected, edge weight = co-occurrence count);
+    PR'(v) = (1-d) + d·Σ_{u~v} w(u,v)/wdeg(u)·PR(u), PR₀ = 1.
+
+    The 100 TB shape, stage by stage: adjacency comes from a window
+    lead() keyed by doc_id — ONE keyed exchange, no token self-join;
+    the graph build is two hash aggregations over 8-byte-ish word
+    pairs (map-side combined, corpus text never shuffles again after
+    tokenization); edge weights are pre-normalized ONCE into `frac =
+    w/wdeg` and persisted, so each PageRank iteration is a single
+    join-based sparse matvec (edges ⋈ scores on src, aggregate by
+    dst) — cost O(|E|) per round with map-side partial sums, the
+    t12/t23 iteration discipline. Scores stay node-cardinality
+    (vocabulary-sized: AQE broadcasts them at fixture scale, shuffles
+    them keyed at web-vocabulary scale — both correct)."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        toks.withColumn("nxt", F.lead("tok").over(win))
+        .where(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("tok")))
+        .select(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    edges = (
+        adj.select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .unionAll(adj.select(F.col("w2").alias("src"), F.col("w1").alias("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    ew = scoped_persist(
+        edges.join(wdeg, "src").select(
+            "src", "dst", (F.col("w") / F.col("wdeg")).alias("frac")
+        )
+    )
+    scores = (
+        ew.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    )
+    for _ in range(iters):
+        scores = (
+            ew.join(scores, ew["src"] == scores["node"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.sum(F.col("frac") * F.col("score"))
+                ).alias("score")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    return scores
+
+
+_T35_PR_STEP = """
+  SELECT e.dst AS node, 0.15 + 0.85 * SUM(e.w / d.wdeg * p.score) AS score
+  FROM edges e JOIN wdeg d ON e.src = d.node JOIN {prev} p ON e.src = p.node
+  GROUP BY e.dst
+"""
+
+_T35_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+flt AS (SELECT * FROM toks WHERE tok <> ''),
+prs AS (
+  SELECT tok AS w1,
+         LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM flt
+),
+pairs AS (SELECT w1, w2 FROM prs WHERE w2 IS NOT NULL AND w1 <> w2),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w FROM (
+    SELECT w1 AS src, w2 AS dst FROM pairs
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst FROM pairs
+  ) GROUP BY 1, 2
+),
+wdeg AS (SELECT src AS node, SUM(w) AS wdeg FROM edges GROUP BY 1),
+pr0 AS (SELECT node, 1.0 AS score FROM wdeg),
+pr1 AS ({_T35_PR_STEP.format(prev="pr0")}),
+pr2 AS ({_T35_PR_STEP.format(prev="pr1")}),
+pr3 AS ({_T35_PR_STEP.format(prev="pr2")})
+SELECT node AS word, ROUND(score, 6) AS score
+FROM pr3 ORDER BY 2 DESC, 1 LIMIT 20
+"""
+
+
+@register(
+    "t35_textrank_keywords",
+    oracle=_T35_SQL,
+    tags=("text", "keywords", "graph", "pagerank"),
+)
+def t35_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank keywords: top-20 words by 3-iteration
+    weighted PageRank over the adjacent-token co-occurrence graph —
+    the graph-centrality complement to t19's frequency-based TF-IDF
+    keywords (a word ranks high here by KEEPING HIGH-RANK COMPANY,
+    not by raw count). The oracle unrolls the identical three matvec
+    iterations as chained CTEs, float-op-for-float-op (frac·score
+    with left-to-right division), so the value-hash match covers the
+    fixpoint arithmetic, not just the graph build. Top-20 by rounded
+    score with word tie-break (unique-key ordering rule); boundary
+    gaps on the fixture are ~1e-3, far above cross-engine float
+    noise."""
+    docs = table(spark, sf_dir, "documents")
+    scores = textrank_scores(docs)
+    return (
+        scores.select(
+            F.col("node").alias("word"), F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "word")
+        .limit(20)
+    )

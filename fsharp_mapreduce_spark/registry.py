@@ -206,6 +206,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # ...and t31 (count-min heavy hitters) is the sketch member of the
     # same token-statistics family (round-5 addition, pytest-only)
     "t31_count_min_heavy_hitters": "t19_tfidf_top_terms",
+    # keyword-extraction family: t19 (TF-IDF) holds the slot; t35 is
+    # the graph-centrality sibling — TextRank over the co-occurrence
+    # graph, join-based PageRank matvec (round-5 addition, pytest-only)
+    "t35_textrank_keywords": "t19_tfidf_top_terms",
     # similarity family: s08 (int8 two-stage) holds the slot; s01 is
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)

@@ -875,3 +875,47 @@ def test_t34_fuzzy_blocking_is_exact(spark, tmp_path):
             assert r.best_match is None and r.best_dist is None, (nm, r)
         else:
             assert (r.best_dist, r.best_match) == best, (nm, r, best)
+
+
+def test_textrank_matches_numpy_power_iteration(spark):
+    """Golden: textrank_scores on a tiny planted corpus must equal a
+    dense numpy power iteration of the same weighted-PageRank update
+    (PR' = (1-d)·1 + d·M_norm·PR) on the hand-derivable co-occurrence
+    graph."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.text import textrank_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta"),
+            (3, "delta alpha delta gamma"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["node"]: r["score"]
+        for r in textrank_scores(docs, damping=0.85, iters=3).collect()
+    }
+
+    # build the same graph in numpy: adjacent distinct pairs, undirected
+    words = ["alpha", "beta", "gamma", "delta"]
+    idx = {w: i for i, w in enumerate(words)}
+    W = np.zeros((4, 4))
+    for text in [
+        "alpha beta gamma alpha beta",
+        "beta gamma delta",
+        "delta alpha delta gamma",
+    ]:
+        t = text.split()
+        for a, b in zip(t, t[1:]):
+            if a != b:
+                W[idx[a], idx[b]] += 1
+                W[idx[b], idx[a]] += 1
+    M = W / W.sum(axis=1, keepdims=True)  # row-normalized out-weights
+    pr = np.ones(4)
+    for _ in range(3):
+        pr = 0.15 + 0.85 * (M.T @ pr)
+    for w in words:
+        assert abs(got[w] - pr[idx[w]]) < 1e-9, (w, got[w], pr[idx[w]])

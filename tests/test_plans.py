@@ -627,3 +627,15 @@ def test_q47_stats_single_exchange(spark):
     df = q("q47_grouped_stats", spark)
     assert exchange_count(df) == 1, formatted_plan(df)
     assert "HashAggregate" in formatted_plan(df)
+
+
+def test_t35_textrank_plan_shape(spark):
+    """t35 (TextRank): the normalized edge table is persisted (each
+    PageRank iteration reads the InMemoryRelation, not a re-derived
+    graph), no iteration degenerates to a cartesian product, and the
+    final top-20 is a TakeOrderedAndProject, not a global sort."""
+    df = q("t35_textrank_keywords", spark)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
