@@ -1812,3 +1812,107 @@ def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = tag_corpus_buckets(emb.where(F.col("label") == FILTER_LABEL))
     probes = tag_probe_buckets(emb.where(F.col("vec_id") < N_QUERIES))
     return _exact_topk(_bucket_candidates(corpus, probes))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+RRF_DENSE_QUERY = 0  # probe vector for the dense list
+RRF_TOP = 10  # fused list depth per retriever
+
+
+def _s16_oracle() -> str:
+    """s16's oracle chains t24's exact BM25 CTE fragment (imported, so
+    the fused sparse ranks are definitionally t24's) with the
+    s01-style sequential-fold dense ranking and the same RRF formula.
+    The import is one-way: text.py never imports similarity at module
+    level."""
+    from fsharp_mapreduce_spark.functions.text import _BM25_CTE_BODY
+
+    return f"""
+    WITH {_BM25_CTE_BODY},
+    sparse AS (
+      SELECT doc_id, rk AS sparse_rk FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY ROUND(score, 6) DESC, doc_id
+        ) AS BIGINT) AS rk FROM scored
+      ) WHERE rk <= {RRF_TOP}
+    ),
+    dense_scored AS (
+      SELECT e.vec_id AS doc_id,
+             {_cosine_sql('q.qe', 'e.embedding')} AS sim
+      FROM (SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = {RRF_DENSE_QUERY}) q
+      JOIN embeddings e ON e.vec_id <> {RRF_DENSE_QUERY}
+    ),
+    dense AS (
+      SELECT doc_id, drk AS dense_rk FROM (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (
+          ORDER BY ROUND(sim, 6) DESC, doc_id
+        ) AS BIGINT) AS drk FROM dense_scored
+      ) WHERE drk <= {RRF_TOP}
+    )
+    SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           s.sparse_rk, d.dense_rk,
+           ROUND(COALESCE(1.0 / ({RRF_K} + s.sparse_rk), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + d.dense_rk), 0.0), 6) AS rrf
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    """
+
+
+@register(
+    "s16_hybrid_rrf",
+    oracle=_s16_oracle(),
+    tags=("similarity", "retrieval", "hybrid", "rrf"),
+)
+def s16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal rank fusion: the sparse BM25
+    top-10 (t24's pipeline, called directly — same query terms, same
+    ranks) FULL OUTER joined with the dense cosine top-10 for probe
+    vector 0 on doc_id ≡ vec_id, fused as
+    rrf = Σ_lists 1/(60 + rank) — the score-free fusion that needs no
+    cross-retriever calibration, which is exactly why production RAG
+    stacks use it. Ranks on BOTH retrievers order by the ROUNDED
+    score with id tiebreak (the t24 rule), so cross-engine float
+    noise cannot flip membership.
+
+    Scale shape: each retriever keeps its own 100 TB plan (t24's
+    broadcast-joined hash aggs; the dense side broadcasts ONE query
+    against the partition-parallel corpus with top-10 via
+    TakeOrderedAndProject — no corpus-wide single-partition window);
+    the fusion itself joins two ≤10-row lists — driver-trivial at any
+    corpus size. The bounded row_number windows run on ≤10 rows
+    (q16's documented bounded-input exception)."""
+    from fsharp_mapreduce_spark.functions.text import t24_bm25_ranking
+
+    sparse = t24_bm25_ranking(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("sparse_rk")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == RRF_DENSE_QUERY).select(
+        F.col("embedding").alias("qe")
+    )
+    dense_scored = (
+        emb.where(F.col("vec_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qe"), F.col("embedding")).alias("sim"),
+        )
+    )
+    top = dense_scored.orderBy(F.round("sim", 6).desc(), "doc_id").limit(RRF_TOP)
+    dense = top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.round("sim", 6).desc(), "doc_id"))
+        .cast("bigint")
+        .alias("dense_rk"),
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("sparse_rk")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rk")), F.lit(0.0))
+    )
+    return fused.select(
+        "doc_id", "sparse_rk", "dense_rk", F.round(rrf, 6).alias("rrf")
+    ).orderBy(F.col("rrf").desc(), "doc_id")
+
+

@@ -923,10 +923,11 @@ BM25_N_QUERY_TERMS = 3
 BM25_TOP_DOCS = 10
 
 
-@register(
-    "t24_bm25_ranking",
-    oracle=f"""
-    WITH w AS (
+# BM25 scoring as a reusable WITH-body fragment: t24's oracle is
+# f"WITH {_BM25_CTE_BODY} <final select>", and s16 (hybrid RRF in
+# functions/similarity.py) chains the identical fragment so its fused
+# sparse ranks are definitionally t24's.
+_BM25_CTE_BODY = f"""w AS (
       SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
     tf AS (
@@ -958,7 +959,13 @@ BM25_TOP_DOCS = 10
       JOIN dl USING (doc_id)
       CROSS JOIN stats
       GROUP BY 1
-    )
+    )"""
+
+
+@register(
+    "t24_bm25_ranking",
+    oracle=f"""
+    WITH {_BM25_CTE_BODY}
     SELECT doc_id, ROUND(score, 6) AS bm25, rk FROM (
       SELECT doc_id, score, CAST(ROW_NUMBER() OVER (
         ORDER BY ROUND(score, 6) DESC, doc_id

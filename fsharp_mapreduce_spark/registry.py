@@ -242,6 +242,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
     "s13_ivf_index_append": "s11_knn_ivf_index_probe",
+    # retrieval-scoring family: s09 (MaxSim late interaction) holds
+    # the slot; s16 fuses the t24 sparse and s01-style dense rankings
+    # with reciprocal rank fusion (round-5 addition, pytest-only)
+    "s16_hybrid_rrf": "s09_maxsim_late_interaction",
     # pull-stream family: st11 (custom Python streaming source) holds
     # the slot; st01 is the file-staged chunk-pull sibling
     # (driver-green r1–r3)

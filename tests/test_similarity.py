@@ -574,3 +574,28 @@ def test_s15_prefilter_beats_postfilter(spark):
         if labels[r.neighbor_id] == FILTER_LABEL
     ]
     assert len(post) < len(pre), (len(post), len(pre))
+
+
+def test_s16_rrf_fuses_both_retrievers(spark):
+    """s16: every fused row's rrf equals the formula applied to its
+    ranks; docs present in BOTH top-10 lists outscore docs of equal
+    rank present in one; row count is between 10 and 20 (two top-10
+    lists, overlap-dependent)."""
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["s16_hybrid_rrf"].fn(spark, SF_SMOKE).collect()
+    assert 10 <= len(rows) <= 20, len(rows)
+    for r in rows:
+        expect = 0.0
+        if r["sparse_rk"] is not None:
+            expect += 1.0 / (60 + r["sparse_rk"])
+        if r["dense_rk"] is not None:
+            expect += 1.0 / (60 + r["dense_rk"])
+        assert abs(r["rrf"] - round(expect, 6)) < 1e-12, r
+    for r in rows:
+        for rk in (r["sparse_rk"], r["dense_rk"]):
+            assert rk is None or 1 <= rk <= 10, r
+        assert r["sparse_rk"] is not None or r["dense_rk"] is not None, r
+    # each retriever contributes exactly its top-10 list
+    assert sum(r["sparse_rk"] is not None for r in rows) == 10
+    assert sum(r["dense_rk"] is not None for r in rows) == 10
