@@ -1,0 +1,125 @@
+"""Declarative data-quality constraint auditing (the Deequ/dbt-test
+shape): a check list compiles into ONE aggregation pass over the
+table, so a 100 TB nightly audit costs a single scan with map-side
+partial aggregation regardless of how many constraints it carries —
+never one job per check. Referential integrity is the one check that
+can't ride a single-table agg; it compiles to a LEFT ANTI count on
+the key columns only (keyed exchange of 8-byte keys, or a broadcast
+when the parent key set is dimension-sized).
+
+The reference has no quality machinery at all; a reference user
+hand-rolls each check as a separate map/reduce job (N scans for N
+checks, Common.fs:23-45) — here the check set is declarative data and
+the scan count is the invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fsharp_mapreduce_spark.registry import register, table
+
+
+def check_not_null(col: str) -> tuple[str, Column]:
+    """Rows violating NOT NULL."""
+    return (
+        f"{col}_nulls",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint"),
+    )
+
+
+def check_unique(col: str) -> tuple[str, Column]:
+    """Excess rows beyond one per key (0 ⇔ column is unique)."""
+    return (
+        f"{col}_dups",
+        (F.count(F.col(col)) - F.count_distinct(F.col(col))).cast("bigint"),
+    )
+
+
+def check_in_set(col: str, allowed: list[str]) -> tuple[str, Column]:
+    """Rows whose value is outside the accepted set."""
+    arr = F.array(*[F.lit(v) for v in allowed])
+    return (
+        f"{col}_out_of_set",
+        F.sum(F.when(~F.array_contains(arr, F.col(col)), 1).otherwise(0)).cast(
+            "bigint"
+        ),
+    )
+
+
+def check_min(col: str, lo: float) -> tuple[str, Column]:
+    """Rows below the lower bound."""
+    return (
+        f"{col}_below_min",
+        F.sum(F.when(F.col(col) < lo, 1).otherwise(0)).cast("bigint"),
+    )
+
+
+def audit(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
+    """Compile a check list into one single-pass aggregate: a one-row
+    DataFrame with n_rows plus one violation-count column per check.
+    Every check is an associative conditional aggregate, so the whole
+    audit is one map-side-combined exchange to a single 1-row result."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    aggs += [col.alias(name) for name, col in checks]
+    return df.agg(*aggs)
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity count: child rows whose key has no parent
+    — a LEFT ANTI join on the key projections only (nothing but the
+    8-byte keys rides the exchange; Catalyst broadcasts the parent
+    keys when they are dimension-sized)."""
+    orphans = child.select(child_key).join(
+        parent.select(F.col(parent_key).alias(child_key)), child_key, "left_anti"
+    )
+    return orphans.agg(F.count(F.lit(1)).cast("bigint").alias("fk_orphans"))
+
+
+@register(
+    "q48_constraint_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_totalprice_nulls,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS o_orderkey_dups,
+             CAST(SUM(CASE WHEN NOT list_contains(['O', 'F', 'P'], o_orderstatus)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_out_of_set,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_totalprice_below_min
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans
+      FROM lineitem l LEFT JOIN orders p ON l.l_orderkey = p.o_orderkey
+      WHERE p.o_orderkey IS NULL
+    )
+    SELECT o.*, fk.fk_orphans FROM o CROSS JOIN fk
+    """,
+    tags=("quality", "audit", "constraints"),
+)
+def q48_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative audit over orders + lineitem→orders referential
+    integrity: five single-table checks compiled into ONE aggregation
+    pass (plan-pinned: exactly one scan of orders feeds all of them),
+    plus the anti-join orphan count. One row out; at 100 TB the audit
+    cost is one corpus scan + one keyed 8-byte-key exchange, however
+    many checks the list grows to."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    single_pass = audit(
+        o,
+        [
+            check_not_null("o_totalprice"),
+            check_unique("o_orderkey"),
+            check_in_set("o_orderstatus", ["O", "F", "P"]),
+            check_min("o_totalprice", 0.0),
+        ],
+    )
+    fk = fk_violations(li, o, "l_orderkey", "o_orderkey")
+    return single_pass.crossJoin(fk)

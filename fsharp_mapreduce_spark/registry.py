@@ -336,6 +336,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # statistical/regression aggregates (round-5 addition,
         # q-family fold; q01 keeps the aggregation-family slot)
         "q47_grouped_stats",
+        # declarative constraint audit (round-5 addition, q-family
+        # fold; q01/q03 keep the agg/join-family slots)
+        "q48_constraint_audit",
     }
 )
 
@@ -429,6 +432,7 @@ def load_all_query_modules() -> None:
     import fsharp_mapreduce_spark.functions.sampling  # noqa: F401
     import fsharp_mapreduce_spark.functions.text  # noqa: F401
     import fsharp_mapreduce_spark.functions.multimodal  # noqa: F401
+    import fsharp_mapreduce_spark.functions.audit  # noqa: F401
     import fsharp_mapreduce_spark.operators.relational  # noqa: F401
     import fsharp_mapreduce_spark.operators.windows  # noqa: F401
     import fsharp_mapreduce_spark.operators.temporal  # noqa: F401

@@ -639,3 +639,15 @@ def test_t35_textrank_plan_shape(spark):
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q48_audit_scan_economy(spark):
+    """q48 (constraint audit): all four single-table checks compile
+    into ONE scan of orders (the declarative-audit contract — N checks
+    ≠ N scans); the referential check is a LEFT ANTI on key projections
+    with its own parent-key scan; lineitem is scanned once."""
+    df = q("q48_constraint_audit", spark)
+    plan = formatted_plan(df)
+    assert plan.count("orders.parquet") == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "LeftAnti" in plan, plan
