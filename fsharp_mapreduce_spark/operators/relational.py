@@ -1198,3 +1198,78 @@ def q47_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rnd(F.stddev_samp(y)).alias("price_stddev"),
         _rnd(F.var_samp(x)).alias("qty_var"),
     )
+
+
+def write_agg_state(partials: DataFrame, path: str) -> None:
+    """Materialize mergeable aggregation state (the materialized-view
+    pattern): write per-key PARTIALS — sums, counts, co-moments,
+    sketch states — never finalized ratios/averages, so later batches
+    merge associatively without touching history rows."""
+    partials.write.mode("overwrite").parquet(path)
+
+
+def merge_agg_state(
+    state: DataFrame, batch_partials: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Merge stored partials with a new batch's partials: union + one
+    keyed re-aggregation over STATE-SIZED inputs (key cardinality, not
+    row cardinality). Every non-key column must be sum-mergeable."""
+    merged = state.unionByName(batch_partials)
+    sums = [F.sum(c).alias(c) for c in merged.columns if c not in keys]
+    return merged.groupBy(*keys).agg(*sums)
+
+
+@register(
+    "q49_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "incremental", "materialized_view"),
+)
+def q49_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, the t30/s13 asymmetry
+    applied to a materialized view: revenue by (priority, month) where
+    history (< 1998) was folded ONCE into on-disk per-key partials
+    (sum + count — associative state, never finalized averages) and
+    absorbing the new batch costs O(batch) + O(state): the merged plan
+    scans the state parquet plus ONLY the batch slice of orders (the
+    cutoff predicate is a pushed parquet filter — plan-pinned; history
+    rows are never re-read). The ORACLE is the full recompute over all
+    of orders — the value-hash match IS the proof that
+    partial-fold-then-merge equals the one-shot aggregate. For
+    avg/variance keep (sum, count, M2) co-moments; for distinct
+    counts keep HLL sketch state — same merge discipline."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue_sum"),
+        )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    state_path = os.path.join(tempfile.gettempdir(), f"fsmr_aggstate_{tag}")
+    write_agg_state(partials(o.where(F.col("o_orderdate") < cutoff)), state_path)
+
+    state = spark.read.parquet(state_path)
+    batch = partials(o.where(F.col("o_orderdate") >= cutoff))
+    merged = merge_agg_state(state, batch, ["o_orderpriority", "order_month"])
+    return merged.select(
+        "o_orderpriority",
+        "order_month",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        _rnd(F.col("revenue_sum")).alias("revenue"),
+    )

@@ -339,6 +339,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # declarative constraint audit (round-5 addition, q-family
         # fold; q01/q03 keep the agg/join-family slots)
         "q48_constraint_audit",
+        # incremental aggregate maintenance (round-5 addition,
+        # q-family fold; oracle = full recompute)
+        "q49_incremental_agg",
     }
 )
 

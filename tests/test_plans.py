@@ -651,3 +651,16 @@ def test_q48_audit_scan_economy(spark):
     assert plan.count("orders.parquet") == 2, plan
     assert plan.count("lineitem.parquet") == 1, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_q49_merge_never_rereads_history(spark):
+    """q49 (incremental agg): the returned merge plan reads the
+    materialized state parquet plus ONE scan of orders carrying the
+    pushed cutoff predicate — absorbing the batch is O(batch)+O(state)
+    and history rows are never re-read at merge time."""
+    df = q("q49_incremental_agg", spark)
+    plan = formatted_plan(df)
+    assert "fsmr_aggstate_" in plan, plan
+    assert plan.count("orders.parquet") == 1, plan
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf and ("GreaterThanOrEqual" in pf or "IsNotNull" in pf), pf
