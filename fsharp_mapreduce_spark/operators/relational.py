@@ -1273,3 +1273,66 @@ def q49_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         _rnd(F.col("revenue_sum")).alias("revenue"),
     )
+
+
+@register(
+    "q50_local_supplier_revenue",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    tags=("join", "composite", "tpch"),
+)
+def q50_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) — the composite flagship that
+    exercises the whole relational stack in ONE plan: a six-table join
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with
+    a selective date predicate, a region filter that prunes through
+    two dimension hops, and a grouped revenue aggregate. The
+    scale-ordering is explicit: every table enters pre-projected to
+    its join keys + payload (column pruning to the scans), the date
+    range is a pushed parquet filter on orders, region→nation
+    collapses to a broadcast 5-row dimension, and the fact-fact
+    lineitem⋈orders join shuffles only pruned columns — Catalyst/AQE
+    choose broadcast vs shuffle per side by size, exactly what a
+    hand-scheduled reference job cannot re-plan at runtime."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = (
+        table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _rnd(F.sum("net")).alias("revenue"),
+    )

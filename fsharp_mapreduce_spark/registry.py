@@ -342,6 +342,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # incremental aggregate maintenance (round-5 addition,
         # q-family fold; oracle = full recompute)
         "q49_incremental_agg",
+        # TPC-H Q5 composite flagship (round-5 addition, q-family
+        # fold; q03/q04 keep the join-family slots)
+        "q50_local_supplier_revenue",
     }
 )
 

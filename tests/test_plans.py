@@ -664,3 +664,19 @@ def test_q49_merge_never_rereads_history(spark):
     assert plan.count("orders.parquet") == 1, plan
     pf = " ".join(pushed_filters(df))
     assert "o_orderdate" in pf and ("GreaterThanOrEqual" in pf or "IsNotNull" in pf), pf
+
+
+def test_q50_composite_pushdown_and_pruning(spark):
+    """q50 (TPC-H Q5 composite): the date range reaches the orders
+    parquet scan as pushed filters, every scan reads only its join
+    keys + payload (lineitem: 4 columns, not 11), and the
+    region→nation dimension hop is a broadcast."""
+    df = q("q50_local_supplier_revenue", spark)
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf, pf
+    scans = read_schema_columns(df)
+    li_scans = [s for s in scans if any(c.startswith("l_") for c in s)]
+    assert li_scans, scans
+    for s in li_scans:
+        assert s <= {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}, s
+    assert has_broadcast_join(df), formatted_plan(df)
