@@ -1336,3 +1336,101 @@ def q50_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         _rnd(F.sum("net")).alias("revenue"),
     )
+
+
+def scd2_upsert(
+    dim: DataFrame, updates: DataFrame, key: str, ts_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE: apply an update batch
+    to a versioned dimension (columns: ``key``, tracked attributes,
+    ``valid_from``, ``valid_to`` NULL-when-current, ``is_current``),
+    closing the current version of each genuinely-changed key at the
+    update's timestamp and opening a new current version — history
+    rows keep full audit lineage, point-in-time joins stay exact.
+
+    O(affected keys) by construction: history rows pass through
+    untouched (no join, no shuffle — in a lakehouse they stay on disk
+    via `merge_upsert`'s partition-overwrite discipline); only the
+    CURRENT slice joins the batch, keyed on ``key`` (broadcast when
+    the batch is small — the nightly-CDC norm). No-op updates (every
+    tracked attribute equal) are detected and dropped, so re-running
+    yesterday's feed creates zero spurious versions — the merge is
+    idempotent."""
+    attrs = [c for c in updates.columns if c not in (key, ts_col)]
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+    cmp_cols = [
+        (F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))) for a in attrs
+    ]
+    all_equal = cmp_cols[0]
+    for c in cmp_cols[1:]:
+        all_equal = all_equal & c
+    effective = (
+        updates.alias("u")
+        .join(cur.alias("c"), F.col(f"u.{key}") == F.col(f"c.{key}"), "left")
+        .where(F.col(f"c.{key}").isNull() | ~all_equal)
+        .select("u.*")
+    )
+    eff_keys = effective.select(key, ts_col)
+    closed = (
+        cur.join(eff_keys, key, "inner")
+        .withColumn("valid_to", F.col(ts_col))
+        .withColumn("is_current", F.lit(False))
+        .drop(ts_col)
+    )
+    untouched = cur.join(eff_keys.select(key), key, "left_anti")
+    opened = (
+        effective.withColumnRenamed(ts_col, "valid_from")
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (
+        hist.unionByName(closed)
+        .unionByName(untouched)
+        .unionByName(opened.select(*hist.columns))
+    )
+
+
+@register(
+    "q51_scd2_upsert",
+    oracle="""
+    WITH base AS (SELECT c_custkey, ROUND(c_acctbal, 2) AS acctbal FROM customer)
+    SELECT c_custkey, acctbal,
+           TIMESTAMP '1995-01-01' AS valid_from,
+           TIMESTAMP '1997-06-01' AS valid_to,
+           FALSE AS is_current
+    FROM base WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, acctbal,
+           TIMESTAMP '1995-01-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM base WHERE c_custkey % 10 <> 0
+    UNION ALL
+    SELECT c_custkey, ROUND(ROUND(c_acctbal, 2) + 100.0, 2),
+           TIMESTAMP '1997-06-01', CAST(NULL AS TIMESTAMP), TRUE
+    FROM customer WHERE c_custkey % 10 = 0
+    """,
+    tags=("dimension", "scd2", "cdc", "merge"),
+)
+def q51_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scd2_upsert` on the customer dimension: the initial load is
+    version 1 (valid_from 1995-01-01, current); a deterministic CDC
+    batch (every 10th customer's balance +100 at 1997-06-01) closes
+    those keys' first versions and opens new current ones. The oracle
+    states the expected FINAL version table directly — closed rows
+    carry the batch timestamp as valid_to, untouched keys remain
+    open, new versions are current — so the hash match proves the
+    merge semantics, not just row counts."""
+    c = table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = c.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.round(F.round("c_acctbal", 2) + 100.0, 2).alias("acctbal"),
+        F.lit("1997-06-01").cast("timestamp").alias("ts"),
+    )
+    return scd2_upsert(dim, updates, "c_custkey", "ts")

@@ -345,6 +345,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # TPC-H Q5 composite flagship (round-5 addition, q-family
         # fold; q03/q04 keep the join-family slots)
         "q50_local_supplier_revenue",
+        # SCD2 dimension versioning (round-5 addition, q-family fold;
+        # the merge_upsert sibling)
+        "q51_scd2_upsert",
     }
 )
 

@@ -404,3 +404,44 @@ def test_merge_upsert_refuses_duplicate_update_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         merge_upsert(spark, target, dup, ["k"], "p")
+
+
+def test_scd2_upsert_idempotent_and_noop_aware(spark):
+    """scd2_upsert: a changed key closes v1 at the batch ts and opens
+    a current v2; a NO-OP update (equal attributes) creates no
+    version; a brand-new key inserts as current; and re-applying the
+    SAME batch to the merged result changes nothing (idempotent CDC
+    replay)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.operators.relational import scd2_upsert
+
+    dim = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["k", "bal"]
+    ).select(
+        "k",
+        "bal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = spark.createDataFrame(
+        [(1, 11.0), (2, 20.0), (3, 30.0)], ["k", "bal"]
+    ).withColumn("ts", F.lit("2021-06-01").cast("timestamp"))
+
+    once = scd2_upsert(dim, updates, "k", "ts")
+    rows = {(r["k"], r["bal"], r["is_current"]): r for r in once.collect()}
+    assert len(rows) == 4  # k1 v1+v2, k2 v1 (no-op), k3 v1
+    assert rows[(1, 10.0, False)]["valid_to"] is not None  # closed at ts
+    assert rows[(1, 11.0, True)]["valid_to"] is None
+    assert (2, 20.0, True) in rows  # untouched current
+    assert (3, 30.0, True) in rows  # new key inserted current
+
+    twice = scd2_upsert(once, updates, "k", "ts")
+    assert sorted(
+        (r["k"], r["bal"], r["is_current"], r["valid_from"], r["valid_to"])
+        for r in twice.collect()
+    ) == sorted(
+        (r["k"], r["bal"], r["is_current"], r["valid_from"], r["valid_to"])
+        for r in once.collect()
+    )
