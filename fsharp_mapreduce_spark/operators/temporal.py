@@ -254,3 +254,69 @@ def q38_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(1, "view", v).union(stage(2, "click", c)).union(
         stage(3, "purchase", p)
     )
+
+
+@register(
+    "q52_asof_tolerance_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(CASE WHEN e.ts >= o.o_orderdate - INTERVAL 7 DAY
+                      THEN e.ev_value END, 4) AS last_event_value
+    FROM (SELECT * FROM orders WHERE o_custkey < 150) o
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, ROUND(MAX(value), 6) AS ev_value
+      FROM events WHERE user_id < 150 GROUP BY user_id, ts
+    ) e
+    ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def q52_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a TOLERANCE bound (pandas `merge_asof
+    (tolerance=...)`): the most recent event at or before each order,
+    but only if it fell within the trailing 7 days — staler matches
+    resolve to NULL. Same one-shuffle union-and-last-value plan as
+    q08; the carried state is a (ts, value) STRUCT instead of the
+    bare value, so the tolerance predicate is applied AFTER the
+    window from the matched event's own timestamp — no second join,
+    no re-scan. The forward direction (`first event at-or-after`) is
+    the same plan with the comparisons and window order reversed.
+    Oracle: DuckDB's native ASOF JOIN exposing the matched ts, with
+    the identical CASE bound."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_custkey") < 150)
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 150)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("ev_value"))
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_probe"),
+        "o_orderkey",
+        F.lit(None).cast("struct<ts:timestamp,v:double>").alias("ev"),
+    )
+    build = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.struct(F.col("ts"), F.col("ev_value").alias("v")).alias("ev"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "is_probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = probe.unionByName(build).withColumn(
+        "last_ev", F.last("ev", ignorenulls=True).over(w)
+    )
+    in_tol = F.col("last_ev.ts") >= F.col("t") - F.expr("INTERVAL 7 DAYS")
+    return merged.where(F.col("is_probe") == 1).select(
+        "o_orderkey",
+        F.col("k").alias("o_custkey"),
+        F.round(
+            F.when(in_tol, F.col("last_ev.v")), 4
+        ).alias("last_event_value"),
+    )

@@ -348,6 +348,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # SCD2 dimension versioning (round-5 addition, q-family fold;
         # the merge_upsert sibling)
         "q51_scd2_upsert",
+        # as-of with tolerance (round-5 addition, q-family fold; q08
+        # keeps the as-of-family slot)
+        "q52_asof_tolerance_join",
     }
 )
 

@@ -680,3 +680,13 @@ def test_q50_composite_pushdown_and_pruning(spark):
     for s in li_scans:
         assert s <= {"l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"}, s
     assert has_broadcast_join(df), formatted_plan(df)
+
+
+def test_q52_asof_tolerance_single_shuffle(spark):
+    """q52 (tolerance as-of): same one-exchange-per-key budget as q08 —
+    carrying the (ts, value) struct through the window must not add a
+    join or shuffle over the plain as-of."""
+    df = q("q52_asof_tolerance_join", spark)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert exchange_count(df) <= 2, plan  # probe + build union → one keyed exchange each
