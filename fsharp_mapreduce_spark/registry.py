@@ -282,6 +282,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # trilogy through the same Arrow decode shape (round-5 addition,
     # pytest-only per the cadence)
     "m08_avi_decode_stats": "m03_frame_sample",
+    # fourth real codec and the first COMPRESSED one: m09 runs a
+    # genuine PNG (CRC chunk walk, zlib inflate, all-five-filter
+    # reconstruction) through the same Arrow decode shape (round-5
+    # addition, pytest-only per the cadence)
+    "m09_png_decode_stats": "m03_frame_sample",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

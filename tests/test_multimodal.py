@@ -427,3 +427,82 @@ def test_avi_roundtrip():
     avi = encode_avi_gray(frames, fps=25)
     got, fps = decode_avi(avi)
     assert fps == 25 and got.tolist() == frames.tolist()
+
+
+# --- m09: PNG codec golden tests ------------------------------------------
+
+
+def test_png_bytes_are_spec_conformant():
+    """Byte-literal walk of an encoded PNG: 8-byte signature, IHDR
+    first with big-endian dims + (8, 0, 0, 0, 0), two IDAT chunks
+    (the deliberate split), IEND last, every chunk CRC valid."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import PNG_SIG, encode_png_gray
+
+    px = np.arange(9, dtype=np.uint8).reshape(3, 3)
+    png = encode_png_gray(px)
+    assert png[:8] == PNG_SIG
+    pos, seen = 8, []
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])
+        assert zlib.crc32(ctype + data) & 0xFFFFFFFF == crc, ctype
+        seen.append(ctype)
+        pos += 12 + length
+    assert seen == [b"IHDR", b"IDAT", b"IDAT", b"IEND"], seen
+    w, h, depth, color, comp, filt, inter = struct.unpack(
+        ">IIBBBBB", png[16 : 16 + 13]
+    )
+    assert (w, h, depth, color, comp, filt, inter) == (3, 3, 8, 0, 0, 0, 0)
+
+
+def test_png_every_filter_type_reconstructs():
+    """An 18-row image rotates through all five PNG filter types
+    (row % 5); the decoder must reconstruct each against the
+    previously-reconstructed row — any per-filter defect corrupts
+    that row and everything below it."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, (18, 18)).astype(np.uint8)
+    assert (decode_png(encode_png_gray(px)) == px).all()
+
+
+def test_png_decoder_gates_and_crc():
+    """Corrupted chunk bytes fail the CRC check loudly; color/16-bit
+    PNGs hit the documented NotImplementedError gate; a non-PNG
+    payload is rejected at the signature."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png_gray,
+    )
+
+    png = bytearray(encode_png_gray(np.zeros((4, 4), dtype=np.uint8)))
+    png[40] ^= 0xFF  # flip a byte inside IDAT without fixing the CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))
+    rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # color type 2
+    rgb = PNG_SIG + _png_chunk(b"IHDR", rgb_ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_png(rgb)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")

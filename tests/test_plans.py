@@ -690,3 +690,11 @@ def test_q52_asof_tolerance_single_shuffle(spark):
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert exchange_count(df) <= 2, plan  # probe + build union → one keyed exchange each
+
+
+def test_m09_png_decode_is_map_only(spark):
+    """m09: the PNG encode→decode round-trip is one mapInPandas
+    projection — the only exchange is the fan_out repartition (same
+    contract as m06/m07/m08)."""
+    df = q("m09_png_decode_stats", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
