@@ -1463,3 +1463,39 @@ def q51_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1997-06-01").cast("timestamp").alias("ts"),
     )
     return scd2_upsert(dim, updates, "c_custkey", "ts")
+
+
+@register(
+    "q53_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, val FROM (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 4) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 4) AS sum_price,
+             ROUND(AVG(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY 1
+    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))
+    """,
+    tags=("reshape", "unpivot", "melt"),
+)
+def q53_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — the inverse reshape of q28's pivot: a wide
+    per-flag metrics row becomes (flag, metric, val) long form, the
+    shape feature stores and plotting layers ingest. Spark's native
+    `DataFrame.unpivot` plans an Expand over the already-aggregated
+    3-row input (metadata-sized — the reshape itself costs nothing at
+    any scale; the only exchange is the upstream aggregation's). Both
+    engines run their native unpivot; values pre-rounded per metric so
+    the long-form hash is cross-engine stable."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        _rnd(F.sum("l_quantity")).alias("sum_qty"),
+        _rnd(F.sum("l_extendedprice")).alias("sum_price"),
+        _rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "avg_disc"],
+        "metric",
+        "val",
+    )

@@ -356,6 +356,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # as-of with tolerance (round-5 addition, q-family fold; q08
         # keeps the as-of-family slot)
         "q52_asof_tolerance_join",
+        # UNPIVOT/melt (round-5 addition, q-family fold; q28's pivot
+        # keeps the reshape-family exposure via q01's group)
+        "q53_unpivot_metrics",
     }
 )
 
