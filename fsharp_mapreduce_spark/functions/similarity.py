@@ -1916,3 +1916,147 @@ def s16_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("rrf").desc(), "doc_id")
 
 
+
+
+MMR_LAMBDA = 0.5  # relevance/diversity tradeoff
+MMR_K = 3  # selections
+MMR_POOL = 10  # candidate pool depth
+
+
+def _s17_oracle() -> str:
+    """Unrolled greedy MMR: candidate pool (sequential-fold cosines,
+    bit-identical to Spark's), then each selection step as its own CTE
+    — argmax of ROUND(mmr, 6) with doc_id tiebreak, penalties against
+    the previously-selected rows via scalar cross joins."""
+    cos = _cosine_sql
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings
+               WHERE vec_id = {RRF_DENSE_QUERY}),
+    scored AS (
+      SELECT e.vec_id AS doc_id, e.embedding AS emb,
+             {cos('q.qe', 'e.embedding')} AS rel
+      FROM q JOIN embeddings e ON e.vec_id <> {RRF_DENSE_QUERY}
+    ),
+    cand AS (
+      SELECT doc_id, emb, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY ROUND(rel, 6) DESC, doc_id) AS rk
+        FROM scored
+      ) WHERE rk <= {MMR_POOL}
+    ),
+    sel1 AS (SELECT doc_id, emb, rel FROM cand
+             ORDER BY ROUND(rel, 6) DESC, doc_id LIMIT 1),
+    m2 AS (
+      SELECT c.doc_id, c.emb, c.rel,
+             {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * {cos('c.emb', 's.emb')} AS mmr
+      FROM cand c, sel1 s WHERE c.doc_id <> s.doc_id
+    ),
+    sel2 AS (SELECT doc_id, emb, rel, mmr FROM m2
+             ORDER BY ROUND(mmr, 6) DESC, doc_id LIMIT 1),
+    m3 AS (
+      SELECT c.doc_id, c.rel,
+             {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} *
+               GREATEST({cos('c.emb', 's1.emb')}, {cos('c.emb', 's2.emb')}) AS mmr
+      FROM cand c, sel1 s1, sel2 s2
+      WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id
+    ),
+    sel3 AS (SELECT doc_id, rel, mmr FROM m3
+             ORDER BY ROUND(mmr, 6) DESC, doc_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, doc_id, ROUND(rel, 6) AS score FROM sel1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), doc_id, ROUND(mmr, 6) FROM sel2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), doc_id, ROUND(mmr, 6) FROM sel3
+    """
+
+
+@register(
+    "s17_mmr_rerank",
+    oracle=_s17_oracle(),
+    tags=("similarity", "retrieval", "mmr", "diversity"),
+)
+def s17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from the cosine top-{MMR_POOL} for probe 0, greedily pick
+    {MMR_K} results maximizing λ·rel − (1−λ)·max-sim-to-selected —
+    the diversification layer RAG stacks run after s01/s02/s16, so
+    near-duplicate hits don't crowd the context window.
+
+    The scale split is the point: candidate generation is the
+    corpus-scale stage (here the s01 broadcast-probe plan; at 100 TB
+    the s02/s11 index paths) while the greedy loop runs on the
+    POOL-sized frame — every step is a bounded ≤{MMR_POOL}-row
+    DataFrame op (1-row broadcast cross joins carry the selected
+    embeddings; no collect, no driver math, so the same code runs
+    with a 10k-candidate pool on a cluster). The oracle unrolls the
+    identical greedy steps as CTEs over sequential-fold cosines —
+    value-hash covers pool, penalties, and selection order."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == RRF_DENSE_QUERY).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.where(F.col("vec_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("emb"),
+            cosine(F.col("qe"), F.col("embedding")).alias("rel"),
+        )
+    )
+    cand = scoped_persist(
+        scored.orderBy(F.round("rel", 6).desc(), "doc_id").limit(MMR_POOL)
+    )
+    lam = F.lit(MMR_LAMBDA)
+    one_m = F.lit(1 - MMR_LAMBDA)
+
+    sel1 = cand.orderBy(F.round("rel", 6).desc(), "doc_id").limit(1)
+    s1 = F.broadcast(
+        sel1.select(F.col("doc_id").alias("s1_id"), F.col("emb").alias("s1_emb"))
+    )
+    m2 = (
+        cand.crossJoin(s1)
+        .where(F.col("doc_id") != F.col("s1_id"))
+        .withColumn(
+            "mmr", lam * F.col("rel") - one_m * cosine(F.col("emb"), F.col("s1_emb"))
+        )
+    )
+    sel2 = m2.orderBy(F.round("mmr", 6).desc(), "doc_id").limit(1)
+    s2 = F.broadcast(
+        sel2.select(F.col("doc_id").alias("s2_id"), F.col("emb").alias("s2_emb"))
+    )
+    m3 = (
+        cand.crossJoin(s1)
+        .crossJoin(s2)
+        .where((F.col("doc_id") != F.col("s1_id")) & (F.col("doc_id") != F.col("s2_id")))
+        .withColumn(
+            "mmr",
+            lam * F.col("rel")
+            - one_m
+            * F.greatest(
+                cosine(F.col("emb"), F.col("s1_emb")),
+                cosine(F.col("emb"), F.col("s2_emb")),
+            ),
+        )
+    )
+    sel3 = m3.orderBy(F.round("mmr", 6).desc(), "doc_id").limit(1)
+    return (
+        sel1.select(
+            F.lit(1).cast("bigint").alias("rank"),
+            "doc_id",
+            F.round("rel", 6).alias("score"),
+        )
+        .unionByName(
+            sel2.select(
+                F.lit(2).cast("bigint").alias("rank"),
+                "doc_id",
+                F.round("mmr", 6).alias("score"),
+            )
+        )
+        .unionByName(
+            sel3.select(
+                F.lit(3).cast("bigint").alias("rank"),
+                "doc_id",
+                F.round("mmr", 6).alias("score"),
+            )
+        )
+    )

@@ -246,6 +246,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the slot; s16 fuses the t24 sparse and s01-style dense rankings
     # with reciprocal rank fusion (round-5 addition, pytest-only)
     "s16_hybrid_rrf": "s09_maxsim_late_interaction",
+    # ...and s17 is the diversification member of the same
+    # retrieval-scoring family: greedy MMR re-rank over the candidate
+    # pool (round-5 addition, pytest-only per the cadence)
+    "s17_mmr_rerank": "s09_maxsim_late_interaction",
     # pull-stream family: st11 (custom Python streaming source) holds
     # the slot; st01 is the file-staged chunk-pull sibling
     # (driver-green r1–r3)

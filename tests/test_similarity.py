@@ -599,3 +599,31 @@ def test_s16_rrf_fuses_both_retrievers(spark):
     # each retriever contributes exactly its top-10 list
     assert sum(r["sparse_rk"] is not None for r in rows) == 10
     assert sum(r["dense_rk"] is not None for r in rows) == 10
+
+
+def test_s17_mmr_prefers_diversity_over_neardup(spark, tmp_path):
+    """Planted MMR property: when the two most relevant candidates are
+    near-duplicates, rank 2 must go to the diverse moderately-relevant
+    vector, not the duplicate — the exact behavior plain relevance
+    ranking (s01) gets wrong."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),      # the probe
+        (1, [0.99, 0.10, 0.0, 0.0], 0),    # near-dup A (most relevant)
+        (2, [0.995, 0.09, 0.0, 0.0], 0),   # near-dup B (≈ same direction)
+        (3, [0.70, 0.0, 0.70, 0.0], 0),    # diverse, moderately relevant
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    rows = {r["rank"]: r["doc_id"] for r in
+            QUERIES["s17_mmr_rerank"].fn(spark, str(tmp_path)).collect()}
+    assert rows[1] in (1, 2)          # highest relevance wins rank 1
+    assert rows[2] == 3, rows         # diversity beats the near-dup
+    assert rows[3] in (1, 2) and rows[3] != rows[1]
