@@ -1783,6 +1783,17 @@ def distribution_drift(
     batch = batch_toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_b")
     )
+    return drift_from_counts(corpus, batch, smooth)
+
+
+def drift_from_counts(
+    corpus: DataFrame, batch: DataFrame, smooth: float = DRIFT_SMOOTH
+) -> DataFrame:
+    """The drift computation over pre-aggregated vocabulary-grain
+    count tables ``(tok, n_c)`` / ``(tok, n_b)`` — the entry point
+    when the batch counts were accumulated elsewhere (st16 sums them
+    per micro-batch; an incremental pipeline would read them from a
+    q49-style state table)."""
     tot = corpus.agg(
         F.sum("n_c").alias("t_c"), F.count(F.lit(1)).alias("v")
     ).crossJoin(batch.agg(F.sum("n_b").alias("t_b")))
@@ -1811,9 +1822,7 @@ def distribution_drift(
     )
 
 
-@register(
-    "t36_distribution_drift",
-    oracle=f"""
+_T36_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
     ),
@@ -1841,7 +1850,12 @@ def distribution_drift(
            ROUND(SUM((p_b - p_c) * ln(p_b / p_c)), 6) AS psi,
            ROUND(SUM(p_b * ln(p_b / p_c)), 6) AS kl_batch_vs_corpus
     FROM j
-    """,
+    """
+
+
+@register(
+    "t36_distribution_drift",
+    oracle=_T36_SQL,
     tags=("text", "drift", "quality", "psi"),
 )
 def t36_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -270,6 +270,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # slot; st13 is the watermark-closed LEFT OUTER variant (round-5
     # addition, pytest-only this round per the rotation cadence)
     "st13_stream_left_outer_join": "st05_stream_stream_join",
+    # streaming-quality family: st12 (quality-filtered stream) holds
+    # the slot; st16 streams t36's drift audit — per-micro-batch
+    # count partials accumulated st08-style, oracle literally t36's
+    # SQL (round-5 addition, pytest-only per the cadence)
+    "st16_stream_drift_audit": "st12_stream_quality_filter",
     # stream-static join family: st07 (broadcast dim enrichment) holds
     # the slot; st14 is the ANN-serving variant — micro-batched query
     # vectors probing the materialized LSH index per batch (round-5

@@ -789,3 +789,73 @@ def st15_stream_anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
     )
     return run_to_completion(agg, "st15_out", output_mode="complete")
+
+
+from fsharp_mapreduce_spark.functions.text import (  # noqa: E402
+    _T36_SQL,
+    DRIFT_BATCH_MOD,
+    drift_from_counts,
+)
+
+
+@register(
+    "st16_stream_drift_audit",
+    oracle=_T36_SQL,
+    tags=("streaming", "drift", "quality", "psi"),
+)
+def st16_stream_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t36's PSI/KL drift audit with the BATCH side arriving as a
+    stream — the production shape: the incoming feed is consumed in
+    micro-batches, each batch contributes only its vocabulary-grain
+    token counts to an append-only partial log (st08's
+    partial-result-merge contract; per-trigger state is one
+    vocab-sized count table, never raw text), and the audit runs
+    `drift_from_counts` over the summed partials against the STATIC
+    corpus distribution. Oracle is literally t36's SQL — the streamed
+    accumulation must be indistinguishable from the batch computation
+    (stream/batch parity, the st01 discipline)."""
+    import tempfile
+
+    docs = table(spark, sf_dir, "documents")
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+        ).where(F.col("tok") != "")
+
+    staged = stage_as_chunked_files(
+        docs.where(F.col("doc_id") % DRIFT_BATCH_MOD == 0).select("doc_id", "text"),
+        n_chunks=4,
+        memo_key=(sf_dir, "documents_drift_batch"),
+    )
+    stream = read_pull_stream(spark, staged)
+    sink_dir = tempfile.mkdtemp(prefix="fsmr_st16_")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            toks(batch_df)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_counts = (
+        spark.read.parquet(sink_dir)
+        .groupBy("tok")
+        .agg(F.sum("n").cast("bigint").alias("n_b"))
+    )
+    corpus_counts = toks(docs).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    return drift_from_counts(corpus_counts, batch_counts)

@@ -508,3 +508,15 @@ def test_st14_stream_equals_batch_ann(spark):
         for r in QUERIES["s02_knn_lsh"].fn(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_st16_stream_drift_equals_batch(spark):
+    """st16's micro-batch-accumulated drift audit must be row-identical
+    to t36's one-shot batch computation — the partial count log loses
+    nothing (stream/batch parity on the model-table path, not just on
+    row streams)."""
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    batch = QUERIES["t36_distribution_drift"].fn(spark, SF_SMOKE).collect()
+    stream = QUERIES["st16_stream_drift_audit"].fn(spark, SF_SMOKE).collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
