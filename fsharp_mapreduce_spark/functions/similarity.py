@@ -2060,3 +2060,123 @@ def s17_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+HAM_CAND = 20  # hamming candidates per query before exact re-rank
+
+
+def sign_signature(col: Column, start: int) -> Column:
+    """32 sign bits (dims ``start``..start+31, 1-based) folded into a
+    BIGINT: acc·2 + [x ≥ 0]. Sequential integer fold — bit-identical
+    across engines, and 32 bits per word keeps every intermediate far
+    from BIGINT overflow (a full 64-bit word would overflow the signed
+    top bit, which DuckDB raises on and Spark silently wraps)."""
+    return F.aggregate(
+        F.slice(col, start, 32),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x >= 0, 1).otherwise(0),
+    )
+
+
+def _s18_oracle() -> str:
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "[CASE WHEN {e}[i] >= 0 THEN 1::BIGINT ELSE 0::BIGINT END "
+        "for i in generate_series({a}, {b})]), (acc, b) -> acc * 2 + b)"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding,
+             {fold.format(e='embedding', a=1, b=32)} AS hi,
+             {fold.format(e='embedding', a=33, b=64)} AS lo
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, hi AS qhi, lo AS qlo
+          FROM sig WHERE vec_id < {N_QUERIES}),
+    ham AS (
+      SELECT q.query_id, s.vec_id AS neighbor_id, s.embedding AS emb, q.qe,
+             bit_count(xor(s.hi, q.qhi)) + bit_count(xor(s.lo, q.qlo)) AS ham
+      FROM q JOIN sig s ON s.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY ham, neighbor_id
+        ) AS crk FROM ham
+      ) WHERE crk <= {HAM_CAND}
+    ),
+    rer AS (
+      SELECT query_id, neighbor_id, CAST(ham AS BIGINT) AS ham,
+             {_cosine_sql('qe', 'emb')} AS sim
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, rank, ham, ROUND(sim, 6) AS sim FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY ROUND(sim, 6) DESC, neighbor_id
+      ) AS BIGINT) AS rank FROM rer
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "s18_knn_binary_hamming",
+    oracle=_s18_oracle(),
+    tags=("similarity", "ann", "binary", "hamming", "quantization"),
+)
+def s18_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature ANN — the extreme end of the quantization
+    ladder (s08 int8 = 4×, s14 PQ = 128×, THIS = 256×: 64 float dims
+    → two 32-bit sign words): candidates ranked by Hamming distance
+    computed as bit_count(xor) on BIGINTs — a purely INTEGER candidate
+    stage (exact cross-engine, zero float-summation hazard, and at
+    100 TB the corpus scan/shuffle for candidate generation moves 8
+    bytes per vector instead of 256), then the top-{HAM_CAND} per
+    query re-ranked with the exact fold cosine. Two-stage recall
+    follows the sign-bit Johnson-Lindenstrauss-style bound; measured
+    and floor-pinned vs s01 (the s08/s14 discipline). Signature
+    computation is a map-only projection — pinned: no exchange before
+    the per-query candidate window."""
+    emb = table(spark, sf_dir, "embeddings")
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        sign_signature(F.col("embedding"), 1).alias("hi"),
+        sign_signature(F.col("embedding"), 33).alias("lo"),
+    )
+    probes = sig.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("hi").alias("qhi"),
+        F.col("lo").alias("qlo"),
+    )
+    ham = (
+        sig.where(F.col("vec_id") >= 0)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("emb"),
+            "qe",
+            (
+                F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+                + F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+            ).alias("ham"),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy("ham", "neighbor_id")
+    cand = ham.withColumn("crk", F.row_number().over(wc)).where(
+        F.col("crk") <= HAM_CAND
+    )
+    rer = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.col("ham").cast("bigint").alias("ham"),
+        cosine(F.col("qe"), F.col("emb")).alias("sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.round("sim", 6).desc(), "neighbor_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "ham", F.round("sim", 6).alias("sim"))
+    )

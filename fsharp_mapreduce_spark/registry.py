@@ -225,6 +225,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # is the product-quantization variant of the same candidate →
     # exact-re-rank shape (round-5 addition, pytest-only per cadence)
     "s14_knn_pq": "s08_knn_quantized",
+    # ...and s18 is the binary end of the same quantization ladder:
+    # sign-bit signatures, integer-exact bit_count(xor) hamming
+    # candidates, exact re-rank (round-5 addition, pytest-only)
+    "s18_knn_binary_hamming": "s08_knn_quantized",
     # kNN-join family: s07 (sub-quadratic LSH join) holds the slot;
     # s06 is its declared exact verifier twin (driver-green r2–r3)
     "s06_knn_join": "s07_knn_join_lsh",

@@ -698,3 +698,15 @@ def test_m09_png_decode_is_map_only(spark):
     contract as m06/m07/m08)."""
     df = q("m09_png_decode_stats", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_s18_candidate_stage_integer_and_map_only(spark):
+    """s18: signature computation is a map-only projection (the corpus
+    is never exchanged on vec_id; the only keyed exchange is the
+    per-query candidate window) and the plan has no single-partition
+    stage."""
+    df = q("s18_knn_binary_hamming", spark)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "bit_count" in plan, plan

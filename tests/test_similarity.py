@@ -627,3 +627,26 @@ def test_s17_mmr_prefers_diversity_over_neardup(spark, tmp_path):
     assert rows[1] in (1, 2)          # highest relevance wins rank 1
     assert rows[2] == 3, rows         # diversity beats the near-dup
     assert rows[3] in (1, 2) and rows[3] != rows[1]
+
+
+def test_s18_hamming_matches_numpy_and_recall_floor(spark):
+    """s18: (a) the BIGINT sign-fold + bit_count(xor) hamming equals a
+    numpy recomputation for every emitted candidate; (b) two-stage
+    recall vs exact s01 stays above the 0.3 floor (measured 0.48-0.52
+    on the random fixture — uniformly hard for 64 sign bits)."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.registry import QUERIES, table
+
+    rows = QUERIES["s18_knn_binary_hamming"].fn(spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: np.array(r.embedding)
+        for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    bits = {k: (v >= 0).astype(int) for k, v in emb.items()}
+    for r in rows:
+        want = int((bits[r.query_id] != bits[r.neighbor_id]).sum())
+        assert r.ham == want, (r.query_id, r.neighbor_id, r.ham, want)
+    exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(got & exact) / len(exact) >= 0.3
