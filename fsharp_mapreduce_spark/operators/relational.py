@@ -1499,3 +1499,65 @@ def q53_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@register(
+    "q54_mad_outlier_audit",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m2.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3.0 * 1.4826 * m2.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("aggregation", "robust_statistics", "outliers"),
+)
+def q54_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type — median absolute deviation
+    with the 1.4826 normal-consistency constant and the classic 3σ̂
+    rule: |x − med| > 3·1.4826·MAD. The robust complement to q47's
+    moment statistics (one wild sensor value shifts a mean/stddev
+    fence arbitrarily; it moves a median/MAD fence not at all). Plan:
+    two keyed percentile aggregations; the per-group medians/MADs are
+    dimension-sized tables that broadcast back onto the fact stream —
+    the fact table is scanned, never shuffled, for the deviation and
+    audit passes (plan-pinned). Exact percentiles for the oracle gate
+    (the q29/q45 rule); at 100 TB the same plan swaps in
+    percentile_approx."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    fence = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _rnd(F.first("med"), 6).alias("med"),
+            _rnd(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > fence, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -376,6 +376,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # UNPIVOT/melt (round-5 addition, q-family fold; q28's pivot
         # keeps the reshape-family exposure via q01's group)
         "q53_unpivot_metrics",
+        # MAD robust outlier audit (round-5 addition, q-family fold;
+        # q29/q47 keep the quantile/statistics slots via q01's group)
+        "q54_mad_outlier_audit",
     }
 )
 

@@ -710,3 +710,13 @@ def test_s18_candidate_stage_integer_and_map_only(spark):
     assert "hashpartitioning(vec_id" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "bit_count" in plan, plan
+
+
+def test_q54_fact_broadcast_never_shuffled_for_fences(spark):
+    """q54 (MAD audit): the per-group median/MAD tables broadcast back
+    onto the fact stream — the events table is exchanged only by the
+    keyed aggregations, never to meet its own statistics."""
+    df = q("q54_mad_outlier_audit", spark)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
