@@ -1876,3 +1876,77 @@ def t36_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         toks, toks.where(F.col("doc_id") % DRIFT_BATCH_MOD == 0)
     )
+
+
+NOVELTY_NGRAM = 3  # tokens per novelty n-gram
+NOVELTY_BATCH_MOD = DRIFT_BATCH_MOD  # same batch slice as t36
+
+
+def ngram_novelty(
+    reference: DataFrame, batch: DataFrame, n: int = NOVELTY_NGRAM
+) -> DataFrame:
+    """Vocabulary-growth audit — t36's drift measures how the batch
+    RE-WEIGHTS the known distribution; this measures what the batch
+    ADDS: the fraction of the batch's distinct {n}-gram hashes absent
+    from the reference corpus. The two together answer "is this feed
+    shifting, growing, or both?" before it's mixed into training data.
+
+    100 TB shape (the t25 discipline inverted): both sides reduce to
+    8-byte md5-family gram hashes; the BATCH-derived distinct set is
+    broadcast into a semi-join probe of the reference's gram stream,
+    so the reference corpus is scanned once and never shuffled, and
+    the only aggregates are batch-bounded distincts."""
+    bh = decontamination_gram_hashes(batch, n=n).select("h").distinct()
+    rh = decontamination_gram_hashes(reference, n=n).select("h")
+    found = rh.join(F.broadcast(bh), "h", "left_semi").distinct()
+    tot = bh.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch_grams"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return tot.crossJoin(nf).select(
+        "n_batch_grams",
+        (F.col("n_batch_grams") - F.col("n_found")).cast("bigint").alias("n_novel"),
+        F.round(
+            F.lit(1.0) - F.col("n_found") * F.lit(1.0) / F.col("n_batch_grams"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "t37_ngram_novelty",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(CASE WHEN len(ws) >= {NOVELTY_NGRAM} THEN
+               [list_aggregate(ws[i : i + {NOVELTY_NGRAM - 1}], 'string_agg', ' ')
+                for i in generate_series(1, len(ws) - {NOVELTY_NGRAM} + 1)]
+             ELSE [] END) AS gram
+      FROM w
+    ),
+    gh AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 12))::BIGINT % 2147483647 AS h
+      FROM g
+    ),
+    batch AS (SELECT DISTINCT h FROM gh WHERE doc_id % {NOVELTY_BATCH_MOD} = 0),
+    ref AS (SELECT DISTINCT h FROM gh WHERE doc_id % {NOVELTY_BATCH_MOD} <> 0),
+    found AS (SELECT DISTINCT b.h FROM batch b JOIN ref r USING (h))
+    SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch_grams,
+           CAST((SELECT COUNT(*) FROM batch) - (SELECT COUNT(*) FROM found) AS BIGINT)
+             AS n_novel,
+           ROUND(1.0 - (SELECT COUNT(*) FROM found) * 1.0 /
+                 (SELECT COUNT(*) FROM batch), 6) AS novelty_rate
+    """,
+    tags=("text", "novelty", "ngram", "drift"),
+)
+def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ngram_novelty` with doc_id % {7} == 0 as the batch against the
+    REST of the corpus (the batch is excluded from its own reference —
+    a subset-batch would trivially score 0): one row out — distinct
+    batch {3}-grams, how many are novel, the novelty rate (0.40 on
+    this fixture: non-degenerate in both directions). Pairs with t36:
+    drift says the feed re-weights what we have, novelty says how much
+    it adds."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    batch = docs.where(F.col("doc_id") % NOVELTY_BATCH_MOD == 0)
+    reference = docs.where(F.col("doc_id") % NOVELTY_BATCH_MOD != 0)
+    return ngram_novelty(reference, batch)

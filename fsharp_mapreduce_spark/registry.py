@@ -214,6 +214,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # vocabulary-grain count tables) is the batch-vs-corpus member of
     # the token-statistics family (round-5 addition, pytest-only)
     "t36_distribution_drift": "t19_tfidf_top_terms",
+    # n-gram membership family: t25 (decontamination) holds the slot;
+    # t37 inverts the same broadcast-gram-hash probe to measure what
+    # a batch ADDS (novelty rate; round-5 addition, pytest-only)
+    "t37_ngram_novelty": "t25_decontaminate",
     # similarity family: s08 (int8 two-stage) holds the slot; s01 is
     # the exact probe-broadcast sibling it re-ranks with
     # (driver-green r1–r3; recall pin ties them)

@@ -937,3 +937,24 @@ def test_distribution_drift_fires_on_planted_shift(spark):
     psi_skewed = distribution_drift(corpus, skewed).collect()[0]["psi"]
     assert abs(psi_stable) < 0.01, psi_stable
     assert psi_skewed > 0.2, psi_skewed
+
+
+def test_ngram_novelty_discriminates(spark):
+    """ngram_novelty extremes: a batch that IS a subset of the
+    reference scores 0 novelty; a batch sharing no vocabulary with the
+    reference scores 1.0."""
+    from fsharp_mapreduce_spark.functions.text import ngram_novelty
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    subset = ref.limit(3)
+    disjoint = spark.createDataFrame(
+        [(99, "omega psi chi phi upsilon tau")], ["doc_id", "text"]
+    )
+    r0 = ngram_novelty(ref, subset).collect()[0]
+    r1 = ngram_novelty(ref, disjoint).collect()[0]
+    assert r0["novelty_rate"] == 0.0, r0
+    assert r1["novelty_rate"] == 1.0, r1
+    assert r1["n_novel"] == r1["n_batch_grams"]
