@@ -281,3 +281,16 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return len(parts)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files were written under EVOLVING
+    schemas (columns added over time — the normal life of a 100 TB
+    table that has been ingesting for years): ``mergeSchema`` unions
+    the per-file footer schemas, files written before a column existed
+    surface NULL for it, and predicate pushdown / column pruning still
+    apply per file. Schema merging reads every footer, so production
+    tables should pin the merged schema in a catalog once known —
+    this entry point is for the discovery/read-side of evolution;
+    `merge_upsert`/`write_compacted` handle the write side."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -473,3 +473,32 @@ def test_scd2_upsert_rejects_bad_batches(spark):
     )
     with pytest.raises(ValueError, match="no tracked attribute"):
         scd2_upsert(dim, keys_only, "k", "ts")
+
+
+def test_read_evolved_unions_schemas_and_keeps_pushdown(spark, tmp_path):
+    """Schema evolution: v1 files (id, a) and v2 files (id, a, b) in
+    one dataset — read_evolved surfaces the union schema, NULLs b for
+    v1 rows, keeps values straight per file, and still pushes filters
+    down to the scan (pruning is per-file, evolution costs nothing at
+    query time)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.plans.explain import pushed_filters
+    from fsharp_mapreduce_spark.sources.io import read_evolved
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "a"]).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(
+        [(3, 30.0, "x"), (4, 40.0, "y")], ["id", "a", "b"]
+    ).write.mode("append").parquet(d)
+
+    df = read_evolved(spark, d)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r["id"]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows == {1: (10.0, None), 2: (20.0, None), 3: (30.0, "x"), 4: (40.0, "y")}
+
+    filtered = df.where(F.col("id") > 2).select("id", "b")
+    assert "id" in " ".join(pushed_filters(filtered))
+    assert {r["id"] for r in filtered.collect()} == {3, 4}
