@@ -209,3 +209,59 @@ def t27_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SHUFFLE_SEED = 20260814  # epoch seed — change it, get a fresh permutation
+
+
+def deterministic_shuffle(
+    docs: DataFrame, key: str = "doc_id", seed: int = SHUFFLE_SEED
+) -> DataFrame:
+    """Reproducible corpus permutation — the epoch shuffle a training
+    run needs to survive retries, partial re-runs, and cluster-shape
+    changes WITHOUT an RNG: shuffle_pos = global rank in
+    md5(seed ‖ key) order (cross-engine hash family, key tiebreak).
+    Same seed ⇒ byte-identical order on any cluster; next epoch is
+    seed+1, not a mutable RNG state. The ranking is q31's two-pass
+    range-partitioned `global_row_numbers` — no single-partition
+    stage, so the permutation of a 100 TB corpus parallelizes like
+    any other sort."""
+    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
+    from fsharp_mapreduce_spark.operators.windows import global_row_numbers
+
+    hashed = docs.select(
+        F.col(key),
+        md5_int_hash(F.concat_ws("|", F.lit(str(seed)), F.col(key).cast("string"))).alias(
+            "_h"
+        ),
+    )
+    ranked = global_row_numbers(hashed, ["_h", key])
+    return ranked.select(
+        key, F.col("_h").cast("bigint").alias("h"), F.col("rn").cast("bigint").alias("shuffle_pos")
+    )
+
+
+@register(
+    "t38_deterministic_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{SHUFFLE_SEED}' || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               % 2147483647 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(h AS BIGINT) AS h,
+           CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS shuffle_pos
+    FROM h
+    """,
+    tags=("sampling", "shuffle", "ordering", "training"),
+)
+def t38_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`deterministic_shuffle` over the document corpus: every doc
+    gets a reproducible epoch position (md5-hash order, q31's
+    range-partitioned two-pass ranks — plan has no Exchange
+    SinglePartition, pinned). The oracle ranks the identical hashes
+    with a plain window: the value-hash match proves the distributed
+    two-pass permutation equals the single-node sort."""
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs)

@@ -194,6 +194,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # t29 (sequence packing) takes the slot; t15 (driver-green r1–r4)
     # is the TakeOrderedAndProject sibling on the same hash keys
     "t15_fixed_size_sample": "t29_sequence_pack",
+    # ...and t38 (deterministic epoch shuffle: global md5-hash ranks
+    # via q31's two-pass machinery) is the full-permutation member of
+    # the same deterministic-hash family (round-5 addition,
+    # pytest-only per the cadence)
+    "t38_deterministic_shuffle": "t29_sequence_pack",
     # map-only text-transform family (r5 rotation): t28 (the composed
     # funnel whose stage 1 IS t18's cleaning rule fused on one scan)
     # takes the slot; t18 (driver-green r1–r4) and t16 fold

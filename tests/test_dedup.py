@@ -958,3 +958,28 @@ def test_ngram_novelty_discriminates(spark):
     assert r0["novelty_rate"] == 0.0, r0
     assert r1["novelty_rate"] == 1.0, r1
     assert r1["n_novel"] == r1["n_batch_grams"]
+
+
+def test_deterministic_shuffle_is_seeded_permutation(spark):
+    """deterministic_shuffle: positions are a permutation 1..n,
+    identical across repartitioned inputs (retry/cluster-shape
+    invariance), and a different seed yields a different order."""
+    from fsharp_mapreduce_spark.functions.sampling import deterministic_shuffle
+    from fsharp_mapreduce_spark.registry import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents")
+    a = {r["doc_id"]: r["shuffle_pos"] for r in deterministic_shuffle(docs).collect()}
+    n = len(a)
+    assert sorted(a.values()) == list(range(1, n + 1))
+    b = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(docs.repartition(7)).collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(docs, seed=1).collect()
+    }
+    assert sorted(c.values()) == list(range(1, n + 1))
+    assert c != a

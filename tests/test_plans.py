@@ -720,3 +720,12 @@ def test_q54_fact_broadcast_never_shuffled_for_fences(spark):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_t38_shuffle_no_single_partition(spark):
+    """t38 (deterministic epoch shuffle): the global permutation must
+    use q31's two-pass range-partitioned ranks — no Exchange
+    SinglePartition anywhere (the plan that would serialize a 100 TB
+    permutation through one task)."""
+    df = q("t38_deterministic_shuffle", spark)
+    assert "SinglePartition" not in formatted_plan(df), formatted_plan(df)
