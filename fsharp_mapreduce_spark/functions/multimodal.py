@@ -1275,3 +1275,174 @@ def m09_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Interlaced/color/16-bit PNGs are the documented gate."""
     media = documents_as_media(spark, sf_dir)
     return png_roundtrip_stats(media)
+
+
+# --- m10: heterogeneous media — codec dispatch by magic bytes -------------
+
+DISPATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_units", T.LongType(), False),
+        T.StructField("unit_sum", T.LongType(), False),
+    ]
+)
+
+_CODECS = ("bmp", "wav", "avi", "png")  # doc_id % 4 picks the encoder
+
+
+def sniff_codec(payload: bytes) -> str:
+    """Identify a media payload by its magic bytes — what a real
+    heterogeneous lake table requires, because the `format` metadata
+    column is advisory and the bytes are the truth."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:8] == PNG_SIG:
+        return "png"
+    if payload[:4] == b"RIFF":
+        if payload[8:12] == b"WAVE":
+            return "wav"
+        if payload[8:12] == b"AVI ":
+            return "avi"
+    raise ValueError("unrecognized media payload")
+
+
+def codec_dispatch_stats(media: DataFrame) -> DataFrame:
+    """The heterogeneous-table decode pass: each row's payload is a
+    DIFFERENT real container (doc_id % 4 → BMP / WAV / AVI / PNG),
+    and ONE mapInPandas projection sniffs the magic bytes and routes
+    to the right pure-stdlib decoder — the m-family's four codecs
+    composed the way a production media lake actually arrives (mixed,
+    self-describing, schema column untrusted). Stats are measured on
+    each decoder's parsed output; map-only, zero exchanges beyond the
+    fixture fan_out."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    n_img = PNG_SIDE * PNG_SIDE
+    n_wav_bytes = WAV_SAMPLES * 2
+    n_avi = AVI_FRAMES * AVI_H * AVI_W
+
+    def tile(digest: bytes, n: int) -> bytes:
+        return (digest * (n // len(digest) + 1))[:n]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, codecs, nu, sums = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.sha256(payload or b"").digest()
+                codec = _CODECS[int(mid) % 4]
+                if codec == "bmp":
+                    enc = encode_bmp_gray(
+                        np.frombuffer(tile(digest, n_img), dtype=np.uint8).reshape(
+                            BMP_SIDE, BMP_SIDE
+                        )
+                    )
+                elif codec == "wav":
+                    enc = encode_wav_pcm16(
+                        np.frombuffer(tile(digest, n_wav_bytes), dtype="<i2")
+                    )
+                elif codec == "avi":
+                    enc = encode_avi_gray(
+                        np.frombuffer(tile(digest, n_avi), dtype=np.uint8).reshape(
+                            AVI_FRAMES, AVI_H, AVI_W
+                        )
+                    )
+                else:
+                    enc = encode_png_gray(
+                        np.frombuffer(tile(digest, n_img), dtype=np.uint8).reshape(
+                            PNG_SIDE, PNG_SIDE
+                        )
+                    )
+                kind = sniff_codec(enc)
+                assert kind == codec  # the bytes, not the metadata, decide
+                if kind == "bmp":
+                    units = decode_bmp(enc).astype(np.int64).ravel()
+                elif kind == "png":
+                    units = decode_png(enc).astype(np.int64).ravel()
+                elif kind == "wav":
+                    units = decode_wav(enc)[0].astype(np.int64)
+                else:
+                    units = decode_avi(enc)[0].astype(np.int64).ravel()
+                ids.append(mid)
+                codecs.append(kind)
+                nu.append(len(units))
+                sums.append(int(units.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "codec": codecs,
+                    "n_units": pd.array(nu, dtype="int64"),
+                    "unit_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, DISPATCH_SCHEMA)
+
+
+def _m10_oracle() -> str:
+    """Analytic replica of all four decode paths keyed by doc_id % 4:
+    byte-sum arithmetic for the three uint8 codecs (bmp/png/avi — each
+    with its own tile length's cycle/remainder split) and the
+    little-endian int16 arithmetic for wav. One CASE expression per
+    output column — any decoder routed wrongly or parsing wrongly
+    breaks its residue class."""
+    n_img = PNG_SIDE * PNG_SIDE
+    n_wav_b = WAV_SAMPLES * 2
+    n_avi = AVI_FRAMES * AVI_H * AVI_W
+    ci, ri = n_img // 32, n_img % 32
+    ca, ra = n_avi // 32, n_avi % 32
+    cw, rw = n_wav_b // 32, (n_wav_b % 32) // 2
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    byte = f"({hv.format(p='2*bi + 1')} * 16 + {hv.format(p='2*bi + 2')})"
+    return f"""
+    WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+    b(bi) AS (SELECT unnest(generate_series(0, 31))),
+    bytes AS (SELECT doc_id, bi, {byte} AS byte FROM h CROSS JOIN b),
+    samples AS (
+      SELECT lo.doc_id, lo.bi // 2 AS si,
+             CASE WHEN lo.byte + hi.byte * 256 >= 32768
+                  THEN lo.byte + hi.byte * 256 - 65536
+                  ELSE lo.byte + hi.byte * 256 END AS v
+      FROM bytes lo JOIN bytes hi
+        ON lo.doc_id = hi.doc_id AND hi.bi = lo.bi + 1
+      WHERE lo.bi % 2 = 0
+    ),
+    sums AS (
+      SELECT b.doc_id,
+             SUM(b.byte) AS dsum,
+             SUM(CASE WHEN b.bi < {ri} THEN b.byte ELSE 0 END) AS rsum_img,
+             SUM(CASE WHEN b.bi < {ra} THEN b.byte ELSE 0 END) AS rsum_avi
+      FROM bytes b GROUP BY 1
+    ),
+    wsums AS (
+      SELECT doc_id, SUM(v) AS ssum,
+             SUM(CASE WHEN si < {rw} THEN v ELSE 0 END) AS wrsum
+      FROM samples GROUP BY 1
+    )
+    SELECT s.doc_id AS media_id,
+           CASE s.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                             WHEN 2 THEN 'avi' ELSE 'png' END AS codec,
+           CAST(CASE s.doc_id % 4
+             WHEN 0 THEN {n_img} WHEN 1 THEN {WAV_SAMPLES}
+             WHEN 2 THEN {n_avi} ELSE {n_img} END AS BIGINT) AS n_units,
+           CAST(CASE s.doc_id % 4
+             WHEN 0 THEN {ci} * s.dsum + s.rsum_img
+             WHEN 1 THEN {cw} * w.ssum + w.wrsum
+             WHEN 2 THEN {ca} * s.dsum + s.rsum_avi
+             ELSE {ci} * s.dsum + s.rsum_img END AS BIGINT) AS unit_sum
+    FROM sums s JOIN wsums w USING (doc_id)
+"""
+
+
+@register("m10_codec_dispatch", oracle=_m10_oracle(), tags=("multimodal", "dispatch", "decode"))
+def m10_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The m-family capstone: a HETEROGENEOUS media table (every
+    fourth row BMP / WAV / AVI / PNG — four real containers) decoded
+    in ONE Arrow pass that routes each payload by its MAGIC BYTES
+    (`sniff_codec`), not by trusting a format column. The oracle
+    replays all four codecs' analytic arithmetic keyed by residue
+    class, so one value-hash covers image, audio, video, and
+    compressed-image decode plus the dispatch itself."""
+    media = documents_as_media(spark, sf_dir)
+    return codec_dispatch_stats(media)

@@ -313,6 +313,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # reconstruction) through the same Arrow decode shape (round-5
     # addition, pytest-only per the cadence)
     "m09_png_decode_stats": "m03_frame_sample",
+    # the m-family capstone: m10 decodes a heterogeneous table (all
+    # four real codecs, routed by magic bytes) in one Arrow pass
+    # (round-5 addition, pytest-only per the cadence)
+    "m10_codec_dispatch": "m03_frame_sample",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

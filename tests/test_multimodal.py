@@ -506,3 +506,35 @@ def test_png_decoder_gates_and_crc():
         decode_png(rgb)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"JFIF not a png")
+
+
+def test_sniff_codec_identifies_all_four_and_rejects_unknown():
+    """sniff_codec routes by bytes: all four encoders' outputs are
+    identified, RIFF disambiguates WAV vs AVI by the form type, and
+    unknown payloads raise."""
+    import numpy as np
+    import pytest
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        AVI_FRAMES,
+        AVI_H,
+        AVI_W,
+        encode_avi_gray,
+        encode_bmp_gray,
+        encode_png_gray,
+        encode_wav_pcm16,
+        sniff_codec,
+    )
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    assert sniff_codec(encode_bmp_gray(img)) == "bmp"
+    assert sniff_codec(encode_png_gray(img)) == "png"
+    assert sniff_codec(encode_wav_pcm16(np.zeros(16, dtype="<i2"))) == "wav"
+    assert (
+        sniff_codec(
+            encode_avi_gray(np.zeros((AVI_FRAMES, AVI_H, AVI_W), dtype=np.uint8))
+        )
+        == "avi"
+    )
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_codec(b"GIF89a not supported")

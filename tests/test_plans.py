@@ -729,3 +729,10 @@ def test_t38_shuffle_no_single_partition(spark):
     permutation through one task)."""
     df = q("t38_deterministic_shuffle", spark)
     assert "SinglePartition" not in formatted_plan(df), formatted_plan(df)
+
+
+def test_m10_dispatch_is_map_only(spark):
+    """m10: the four-codec dispatch pass is one mapInPandas projection
+    — same map-only contract as the single-codec queries."""
+    df = q("m10_codec_dispatch", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
