@@ -1319,7 +1319,8 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(media.sparkSession)
-    n_img = PNG_SIDE * PNG_SIDE
+    n_bmp = BMP_SIDE * BMP_SIDE
+    n_png = PNG_SIDE * PNG_SIDE
     n_wav_bytes = WAV_SAMPLES * 2
     n_avi = AVI_FRAMES * AVI_H * AVI_W
 
@@ -1334,7 +1335,7 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
                 codec = _CODECS[int(mid) % 4]
                 if codec == "bmp":
                     enc = encode_bmp_gray(
-                        np.frombuffer(tile(digest, n_img), dtype=np.uint8).reshape(
+                        np.frombuffer(tile(digest, n_bmp), dtype=np.uint8).reshape(
                             BMP_SIDE, BMP_SIDE
                         )
                     )
@@ -1350,7 +1351,7 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
                     )
                 else:
                     enc = encode_png_gray(
-                        np.frombuffer(tile(digest, n_img), dtype=np.uint8).reshape(
+                        np.frombuffer(tile(digest, n_png), dtype=np.uint8).reshape(
                             PNG_SIDE, PNG_SIDE
                         )
                     )
@@ -1387,10 +1388,12 @@ def _m10_oracle() -> str:
     little-endian int16 arithmetic for wav. One CASE expression per
     output column — any decoder routed wrongly or parsing wrongly
     breaks its residue class."""
-    n_img = PNG_SIDE * PNG_SIDE
+    n_bmp = BMP_SIDE * BMP_SIDE
+    n_png = PNG_SIDE * PNG_SIDE
     n_wav_b = WAV_SAMPLES * 2
     n_avi = AVI_FRAMES * AVI_H * AVI_W
-    ci, ri = n_img // 32, n_img % 32
+    cb, rb = n_bmp // 32, n_bmp % 32
+    cp, rp = n_png // 32, n_png % 32
     ca, ra = n_avi // 32, n_avi % 32
     cw, rw = n_wav_b // 32, (n_wav_b % 32) // 2
     hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
@@ -1411,7 +1414,8 @@ def _m10_oracle() -> str:
     sums AS (
       SELECT b.doc_id,
              SUM(b.byte) AS dsum,
-             SUM(CASE WHEN b.bi < {ri} THEN b.byte ELSE 0 END) AS rsum_img,
+             SUM(CASE WHEN b.bi < {rb} THEN b.byte ELSE 0 END) AS rsum_bmp,
+             SUM(CASE WHEN b.bi < {rp} THEN b.byte ELSE 0 END) AS rsum_png,
              SUM(CASE WHEN b.bi < {ra} THEN b.byte ELSE 0 END) AS rsum_avi
       FROM bytes b GROUP BY 1
     ),
@@ -1424,13 +1428,13 @@ def _m10_oracle() -> str:
            CASE s.doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
                              WHEN 2 THEN 'avi' ELSE 'png' END AS codec,
            CAST(CASE s.doc_id % 4
-             WHEN 0 THEN {n_img} WHEN 1 THEN {WAV_SAMPLES}
-             WHEN 2 THEN {n_avi} ELSE {n_img} END AS BIGINT) AS n_units,
+             WHEN 0 THEN {n_bmp} WHEN 1 THEN {WAV_SAMPLES}
+             WHEN 2 THEN {n_avi} ELSE {n_png} END AS BIGINT) AS n_units,
            CAST(CASE s.doc_id % 4
-             WHEN 0 THEN {ci} * s.dsum + s.rsum_img
+             WHEN 0 THEN {cb} * s.dsum + s.rsum_bmp
              WHEN 1 THEN {cw} * w.ssum + w.wrsum
              WHEN 2 THEN {ca} * s.dsum + s.rsum_avi
-             ELSE {ci} * s.dsum + s.rsum_img END AS BIGINT) AS unit_sum
+             ELSE {cp} * s.dsum + s.rsum_png END AS BIGINT) AS unit_sum
     FROM sums s JOIN wsums w USING (doc_id)
 """
 

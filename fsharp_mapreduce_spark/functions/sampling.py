@@ -226,7 +226,6 @@ def deterministic_shuffle(
     range-partitioned `global_row_numbers` — no single-partition
     stage, so the permutation of a 100 TB corpus parallelizes like
     any other sort."""
-    from fsharp_mapreduce_spark.functions.dedup import md5_int_hash
     from fsharp_mapreduce_spark.operators.windows import global_row_numbers
 
     hashed = docs.select(

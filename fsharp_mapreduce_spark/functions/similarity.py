@@ -2150,8 +2150,7 @@ def s18_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lo").alias("qlo"),
     )
     ham = (
-        sig.where(F.col("vec_id") >= 0)
-        .crossJoin(F.broadcast(probes))
+        sig.crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

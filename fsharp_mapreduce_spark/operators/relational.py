@@ -1474,7 +1474,7 @@ def q51_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(SUM(l_extendedprice), 4) AS sum_price,
              ROUND(AVG(l_discount), 6) AS avg_disc
       FROM lineitem GROUP BY 1
-    ) UNPIVOT (val FOR metric IN (sum_qty, sum_price, avg_disc))
+    ) UNPIVOT INCLUDE NULLS (val FOR metric IN (sum_qty, sum_price, avg_disc))
     """,
     tags=("reshape", "unpivot", "melt"),
 )
@@ -1485,8 +1485,10 @@ def q53_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     `DataFrame.unpivot` plans an Expand over the already-aggregated
     3-row input (metadata-sized — the reshape itself costs nothing at
     any scale; the only exchange is the upstream aggregation's). Both
-    engines run their native unpivot; values pre-rounded per metric so
-    the long-form hash is cross-engine stable."""
+    engines run their native unpivot — INCLUDE NULLS on the DuckDB side,
+    because Spark's unpivot keeps NULL metric values and DuckDB's
+    default drops them; values pre-rounded per metric so the
+    long-form hash is cross-engine stable."""
     li = table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
         _rnd(F.sum("l_quantity")).alias("sum_qty"),
