@@ -320,3 +320,51 @@ def q52_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, F.col("last_ev.v")), 4
         ).alias("last_event_value"),
     )
+
+
+@register(
+    "q55_time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(nxt - t) AS BIGINT) AS span_us,
+           ROUND(SUM(value * (nxt - t)) / SUM(nxt - t), 6) AS twap
+    FROM d WHERE nxt IS NOT NULL
+    GROUP BY 1
+    """,
+    tags=("temporal", "window", "twap"),
+)
+def q55_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — the aggregate irregularly
+    sampled telemetry actually needs (a plain AVG over-weights bursts:
+    a sensor that reports 100× during one hot minute dominates the
+    mean; TWAP weights each reading by how long it HELD):
+    twap = Σ value·Δt / Σ Δt with Δt to the next reading, last
+    reading open-ended and excluded. One keyed exchange: the lead()
+    window and the per-user aggregate share the user_id partitioning,
+    so Catalyst plans a single shuffle for both (plan-pinned).
+    Interval weights are exact BIGINT microseconds on both engines;
+    ties at equal ts get Δt = 0 (event_id tiebreak makes the pairing
+    deterministic)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("t")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(dt).cast("bigint").alias("span_us"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+    )

@@ -392,6 +392,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # MAD robust outlier audit (round-5 addition, q-family fold;
         # q29/q47 keep the quantile/statistics slots via q01's group)
         "q54_mad_outlier_audit",
+        # time-weighted average (round-5 addition, q-family fold;
+        # q39/q25 keep the temporal-window slots)
+        "q55_time_weighted_avg",
     }
 )
 

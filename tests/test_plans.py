@@ -736,3 +736,11 @@ def test_m10_dispatch_is_map_only(spark):
     — same map-only contract as the single-codec queries."""
     df = q("m10_codec_dispatch", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_q55_twap_single_shuffle(spark):
+    """q55 (TWAP): the lead() window and the per-user aggregate share
+    the user_id partitioning — one keyed exchange serves both."""
+    df = q("q55_time_weighted_avg", spark)
+    assert exchange_count(df) == 1, formatted_plan(df)
+    assert "SinglePartition" not in formatted_plan(df)
