@@ -1563,3 +1563,172 @@ def q54_mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def bloom_reduce(
+    fat: DataFrame,
+    keys: DataFrame,
+    fat_key: str,
+    key_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filter join reduction — `semi_reduce`'s big-build-side
+    sibling: shrink the fat side of a join BEFORE it shuffles by
+    broadcasting a FIXED-SIZE bit array of the other side's keys
+    instead of the keys themselves.
+
+    When `semi_reduce`'s exact key list outgrows the broadcast budget
+    (1B distinct bigint keys = 8 GB), the bloom bitmap stays at
+    n_bits/8 bytes REGARDLESS of key cardinality — the classic
+    runtime-filter trade: bounded false positives (re-checked for
+    free by the payload join that follows, so the final answer stays
+    exact) in exchange for a broadcast whose size the planner
+    controls. This is the hand-rolled, plan-inspectable form of
+    Spark's `spark.sql.optimizer.runtime.bloomFilter.enabled`
+    injection (which only fires under its own selectivity/size
+    heuristics).
+
+    Mechanics — everything stays JVM-side expression code:
+    - build: the keys' distinct values hash through ``n_hashes``
+      seeded xxhash64 draws; set bits aggregate into a ≤ n_bits/64-row
+      (word → 64-bit lane) table via ``bit_or(shiftleft(1, bit))`` —
+      two key-grain exchanges on the SMALL side only;
+    - probe: the fat side joins the broadcast word table once per
+      seed (map-side BroadcastHashJoin inside its scan stage, no fat
+      row moves) with the bit test in the join condition — a row
+      survives only if ALL ``n_hashes`` bits are set.
+
+    Defaults (65 536 bits, 3 hashes) give <1% false positives up to
+    ~6k keys; size n_bits ≈ 10–15 bits per expected distinct key at
+    the target scale."""
+    m = n_bits
+    distinct_keys = keys.select(F.col(key_col).alias("_bk")).distinct()
+    positions = distinct_keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("_bk")), F.lit(m))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("_pos")
+    )
+    bitmap = positions.groupBy(
+        F.shiftright(F.col("_pos"), 6).alias("_word")
+    ).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(_pos % 64 AS INT))")).alias("_bits")
+    )
+
+    probe = fat
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(fat_key)), F.lit(m))
+        probe = probe.withColumn(f"_w{i}", F.shiftright(pos, 6)).withColumn(
+            f"_t{i}", pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+    for i in range(n_hashes):
+        lane = bitmap.select(
+            F.col("_word").alias(f"_word{i}"), F.col("_bits").alias(f"_bits{i}")
+        )
+        probe = probe.join(
+            F.broadcast(lane),
+            (F.col(f"_w{i}") == F.col(f"_word{i}"))
+            & (F.expr(f"(shiftright(_bits{i}, _t{i}) & 1L) = 1L")),
+            "inner",
+        )
+    drop = [c for i in range(n_hashes) for c in (f"_w{i}", f"_t{i}", f"_word{i}", f"_bits{i}")]
+    return probe.drop(*drop)
+
+
+@register(
+    "q56_bloom_join_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+    GROUP BY 1
+    """,
+    tags=("join", "bloom_filter", "runtime_filter"),
+)
+def q56_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automobile-segment order revenue by month via `bloom_reduce`:
+    orders are pre-filtered by a broadcast BLOOM bitmap of the
+    filtered customers' keys (three map-side BroadcastHashJoins
+    against a ≤1024-row word table, inside the orders scan stage),
+    then the payload join — pinned to a SHUFFLE hash join exactly
+    like q46, since at fixture scale Spark would rightly broadcast
+    the whole filtered customer side — runs over survivors only and
+    re-checks the bloom stage's false positives, so the answer is
+    exactly the plain join's. The segment predicate is pushed into
+    the customer parquet scan on both uses; the bloom stage's pruning
+    is count-pinned (survivors strictly between the exact matches and
+    the full fact table) in tests/test_plans.py."""
+    orders = table(spark, sf_dir, "orders")
+    autos = table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    reduced = bloom_reduce(orders, autos, "o_custkey", "c_custkey")
+    joined = reduced.join(
+        autos.hint("shuffle_hash"),
+        reduced["o_custkey"] == autos["c_custkey"],
+    )
+    return joined.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        _rnd(F.sum("o_totalprice")).alias("revenue"),
+    )
+
+
+@register(
+    "q57_cohort_retention",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
+      FROM events
+    ),
+    co AS (
+      SELECT user_id, MIN(activity_month) AS cohort_month
+      FROM am GROUP BY user_id
+    )
+    SELECT co.cohort_month,
+           CAST(datediff('month', co.cohort_month, am.activity_month) AS BIGINT)
+             AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM am JOIN co USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "cohort", "retention"),
+)
+def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST active month, counted in every later
+    month they return (cohort_month × month_offset → distinct users).
+    Plan: ONE user-keyed exchange folds each user to (first month,
+    distinct active months) — per-user state bounded by the calendar,
+    not the event count, thanks to map-side partial collect_set — and
+    the exploded user-months feed one final small keyed aggregate. No
+    self-join of the event table against its own firsts and no
+    distinct-exchange of raw events, the two shapes that die first at
+    100 TB; a year of months is ≤12 rows per user regardless of how
+    many billions of events the user emitted."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("activity_month")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("activity_month").alias("cohort_month"),
+        F.collect_set("activity_month").alias("months"),
+    )
+    exploded = per_user.select(
+        "cohort_month", F.explode("months").alias("activity_month")
+    )
+    return exploded.groupBy(
+        "cohort_month",
+        F.months_between(F.col("activity_month"), F.col("cohort_month"))
+        .cast("bigint")
+        .alias("month_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -395,6 +395,13 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # time-weighted average (round-5 addition, q-family fold;
         # q39/q25 keep the temporal-window slots)
         "q55_time_weighted_avg",
+        # bloom-filter join pruning (round-5 addition, q-family fold;
+        # q46's semi-join reduction is the exact-key sibling, q03
+        # keeps the join-family slot)
+        "q56_bloom_join_pruning",
+        # cohort retention matrix (round-5 addition, q-family fold;
+        # q01 keeps the aggregation-family slot)
+        "q57_cohort_retention",
     }
 )
 
