@@ -1106,7 +1106,7 @@ def encode_png_gray(pixels: "np.ndarray") -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> "np.ndarray":
+def decode_png(payload: bytes, filters_seen: set | None = None) -> "np.ndarray":
     """Pure-stdlib PNG parser for 8-bit grayscale non-interlaced
     images: signature check, chunk walk with CRC verification,
     IHDR validation, multi-IDAT concatenation, zlib inflate, and
@@ -1114,7 +1114,10 @@ def decode_png(payload: bytes) -> "np.ndarray":
     §9 recursion: each row's bytes depend on the reconstructed row
     above). Interlaced (Adam7), non-grayscale, and non-8-bit images
     raise NotImplementedError — the documented gate, same policy as
-    the '00dc' compressed-AVI gate."""
+    the '00dc' compressed-AVI gate. When ``filters_seen`` is passed,
+    every scanline's filter-type byte actually reconstructed is added
+    to it, so callers can report MEASURED filter coverage instead of
+    assuming the encoder's rotation (ADVICE r5)."""
     import struct
     import zlib
 
@@ -1154,6 +1157,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
     for y in range(h):
         line = raw[y * (w + 1) : (y + 1) * (w + 1)]
         ft, data_row = line[0], np.frombuffer(line[1:], dtype=np.uint8).astype(np.int64)
+        if filters_seen is not None:
+            filters_seen.add(ft)
         prev = out[y - 1] if y > 0 else np.zeros(w, dtype=np.int64)
         if ft == 0:
             rec = data_row
@@ -1212,11 +1217,17 @@ def png_roundtrip_stats(media: DataFrame, side: int = PNG_SIDE) -> DataFrame:
                     (digest * (n // len(digest) + 1))[:n], dtype=np.uint8
                 )
                 png = encode_png_gray(flat.reshape(side, side))
-                img = decode_png(png)
+                seen: set = set()
+                img = decode_png(png, filters_seen=seen)
                 ids.append(mid)
                 ws.append(img.shape[1])
                 hs.append(img.shape[0])
-                nf.append(min(5, side))
+                # MEASURED from the filter bytes the decoder actually
+                # reconstructed — not the encoder's rotation constant
+                # (ADVICE r5); the analytic oracle still expects
+                # min(5, side), so a filter-stream parse defect now
+                # breaks the hash
+                nf.append(len(seen))
                 sums.append(int(img.astype(np.int64).sum()))
             yield pd.DataFrame(
                 {
@@ -1356,7 +1367,15 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
                         )
                     )
                 kind = sniff_codec(enc)
-                assert kind == codec  # the bytes, not the metadata, decide
+                # the bytes, not the metadata, decide — and the check
+                # must survive `python -O` (ADVICE r5: a bare assert
+                # is stripped, silently routing a mis-sniffed payload
+                # to the wrong decoder)
+                if kind != codec:
+                    raise ValueError(
+                        f"m10 dispatch: sniffed {kind!r} for a payload "
+                        f"encoded as {codec!r} (media_id={mid})"
+                    )
                 if kind == "bmp":
                     units = decode_bmp(enc).astype(np.int64).ravel()
                 elif kind == "png":

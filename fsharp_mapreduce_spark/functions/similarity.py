@@ -393,9 +393,16 @@ def s12_knn_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid at every SF (the planes are deterministic constants, not
     data-derived)."""
     import hashlib
+    import re
 
     emb = table(spark, sf_dir, "embeddings")
-    index_table = "fsmr_lsh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # application id in the name: two concurrent processes benching
+    # the same fixture must not race DROP/overwrite against probe
+    # reads on a shared warehouse table (ADVICE r5)
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    index_table = (
+        "fsmr_lsh_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12] + "_" + app
+    )
     build_lsh_index(emb, index_table)
     return knn_lsh_probe(spark, index_table)
 
@@ -782,17 +789,24 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_dir(sf_dir: str) -> str:
-    """Deterministic per-fixture index location under the system temp
-    dir. The registered s11 query REBUILDS it every invocation
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Per-fixture, per-APPLICATION index location under the system
+    temp dir. The registered s11 query REBUILDS it every invocation
     (overwrite) — deterministic output regardless of stale state, and
-    the bench row then honestly times build + probe."""
+    the bench row then honestly times build + probe. The application
+    id in the path keeps two concurrent processes benching the same
+    fixture from racing build-overwrite against probe reads
+    (ADVICE r5); within one process the path is stable, so repeat
+    invocations still exercise the overwrite-clears-stale-state
+    contract."""
     import hashlib
     import os
+    import re
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}")
+    app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
+    return os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}_{app}")
 
 
 @register(
@@ -816,7 +830,7 @@ def s11_knn_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     to s04's inline pipeline (equivalence-tested), so it shares s04's
     data-derived centroid-literal oracle factory."""
     emb = table(spark, sf_dir, "embeddings")
-    index_path = _ivf_index_dir(sf_dir)
+    index_path = _ivf_index_dir(spark, sf_dir)
     cent_mat = build_ivf_index(emb, index_path)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     return knn_ivf_probe(spark, index_path, cent_mat, queries)
@@ -871,7 +885,7 @@ def s13_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle."""
     emb = table(spark, sf_dir, "embeddings")
     is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
-    index_path = _ivf_index_dir(sf_dir) + "_lifecycle"
+    index_path = _ivf_index_dir(spark, sf_dir) + "_lifecycle"
     cent_mat = build_ivf_index(emb.where(~is_batch), index_path)
     append_ivf_index(emb.where(is_batch), index_path, cent_mat)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")

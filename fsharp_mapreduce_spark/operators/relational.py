@@ -907,13 +907,19 @@ def q41_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     to spark.sql.cteRecursionLevelLimit's default of 100 — a corpus
     spanning >8.3 years would fail at runtime — so the limit is raised
     explicitly (5000 months ≈ 400 years; still metadata-sized,
-    ADVICE r4). DuckDB runs the identical recursive SQL — the one
-    query in the registry where BOTH engines execute the same text
-    verbatim."""
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5000")
+    ADVICE r4). The override is scoped, not leaked into the shared
+    session (ADVICE r5): the limit is consumed at EXECUTION time, so
+    the ~84-row result is eagerly materialized (localCheckpoint)
+    inside the try/finally — restoring before returning a lazy plan
+    would re-impose the default at collect time. DuckDB runs the
+    identical recursive SQL — the one query in the registry where
+    BOTH engines execute the same text verbatim."""
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
+    prev = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "5000")
+    try:
+        return spark.sql(
+            """
         WITH RECURSIVE cal(m, mx) AS (
           SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP),
                  CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
@@ -928,7 +934,12 @@ def q41_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = cal.m
         GROUP BY m
         """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionLevelLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionLevelLimit", prev)
 
 
 def salted_join(

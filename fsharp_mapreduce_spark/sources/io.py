@@ -266,9 +266,15 @@ def merge_upsert(
             "deduplicate the batch first (last-writer order is undefined)"
         )
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(target_path).where(
-        F.col(partition_col).isin(parts)
-    )
+    # NULL partition values need an explicit isNull branch: `isin`
+    # never matches NULL (three-valued logic), so without it the
+    # existing __HIVE_DEFAULT_PARTITION__ rows would not be read back
+    # while dynamic overwrite still replaces that directory — silently
+    # dropping them (ADVICE r5).
+    affected = F.col(partition_col).isin([p for p in parts if p is not None])
+    if any(p is None for p in parts):
+        affected = affected | F.col(partition_col).isNull()
+    existing = spark.read.parquet(target_path).where(affected)
     merged = existing.join(
         updates.select(*key_cols), key_cols, "left_anti"
     ).unionByName(updates)

@@ -744,3 +744,16 @@ def test_q55_twap_single_shuffle(spark):
     df = q("q55_time_weighted_avg", spark)
     assert exchange_count(df) == 1, formatted_plan(df)
     assert "SinglePartition" not in formatted_plan(df)
+
+
+def test_q41_does_not_leak_recursion_limit(spark):
+    """ADVICE r5: q41 must scope its cteRecursionLevelLimit=5000
+    override — the shared session's effective limit after the call
+    must equal whatever it was before (the result is eagerly
+    materialized inside the try/finally because the limit is consumed
+    at execution time)."""
+    key = "spark.sql.cteRecursionLevelLimit"
+    before = spark.conf.get(key, None)
+    df = q("q41_recursive_calendar", spark)
+    assert df.count() > 0  # already materialized; count is cheap
+    assert spark.conf.get(key, None) == before

@@ -406,6 +406,36 @@ def test_merge_upsert_refuses_duplicate_update_keys(spark, tmp_path):
         merge_upsert(spark, target, dup, ["k"], "p")
 
 
+def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """ADVICE r5: an update batch carrying a NULL partition value must
+    not lose the target's OTHER NULL-partition rows. `isin(parts)`
+    never matches NULL (three-valued logic), so without the explicit
+    isNull branch the existing __HIVE_DEFAULT_PARTITION__ rows are not
+    read back while dynamic overwrite still replaces that directory
+    with only the update rows."""
+    from fsharp_mapreduce_spark.sources.io import merge_upsert
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", None), (3, "c", None), (4, "d", 1)],
+        "k long, v string, p int",
+    )
+    base.write.partitionBy("p").parquet(target)
+    updates = spark.createDataFrame(
+        [(2, "UPDATED", None), (99, "NEW", None)], "k long, v string, p int"
+    )
+    n = merge_upsert(spark, target, updates, ["k"], "p")
+    assert n == 1  # only the NULL partition was touched
+
+    got = {r.k: (r.v, r.p) for r in spark.read.parquet(target).collect()}
+    # the untouched NULL-partition survivor is the regression subject
+    assert got[3] == ("c", None)
+    assert got[2] == ("UPDATED", None)
+    assert got[99] == ("NEW", None)
+    assert got[1] == ("a", 0) and got[4] == ("d", 1)
+    assert len(got) == 5
+
+
 def test_scd2_upsert_idempotent_and_noop_aware(spark):
     """scd2_upsert: a changed key closes v1 at the batch ts and opens
     a current v2; a NO-OP update (equal attributes) creates no
