@@ -746,6 +746,68 @@ def test_q55_twap_single_shuffle(spark):
     assert "SinglePartition" not in formatted_plan(df)
 
 
+def test_q56_bloom_stage_prunes_and_plan_shape(spark):
+    """q56 (the pin its docstring promises): the bloom stage's
+    survivor count sits strictly between the exact semi-join matches
+    and the full fact table (it pruned something, and it never drops
+    a true match), the probe side runs as BroadcastHashJoins (the
+    word-table lanes broadcast into the orders scan stage — no fat
+    row moves to be tested), the payload join is the pinned
+    ShuffledHashJoin, and the segment predicate reaches the customer
+    parquet scan."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.operators.relational import bloom_reduce
+    from fsharp_mapreduce_spark.registry import table
+
+    orders = table(spark, SF_SMOKE, "orders")
+    autos = table(spark, SF_SMOKE, "customer").where(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    )
+    n_full = orders.count()
+    n_exact = orders.join(
+        autos, orders["o_custkey"] == autos["c_custkey"], "left_semi"
+    ).count()
+    survivors = bloom_reduce(orders, autos, "o_custkey", "c_custkey")
+    n_surv = survivors.count()
+    assert n_exact <= n_surv < n_full, (n_exact, n_surv, n_full)
+
+    df = q("q56_bloom_join_pruning", spark)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # one per hash lane
+    assert "ShuffledHashJoin" in plan, plan  # the payload join
+    assert "AUTOMOBILE" in " ".join(pushed_filters(df)), pushed_filters(df)
+
+
+def test_bloom_reduce_false_positive_rate_and_exactness(spark):
+    """bloom_reduce property pin (VERDICT r5 #8): at the default
+    sizing (65 536 bits, 3 hashes) the measured false-positive rate
+    stays under 1% for key cardinalities well inside the ~6k design
+    point and degrades gracefully at 4x; and even with FORCED false
+    positives (a deliberately undersized 256-bit filter, FP rate
+    near 1) the downstream exact join keeps the final answer
+    identical to the plain join — the re-check contract the docstring
+    sells."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.operators.relational import bloom_reduce
+
+    fat = spark.range(20_000).select(F.col("id").alias("k"))
+    for n_keys, fp_budget in ((1_500, 0.01), (6_000, 0.02)):
+        # keys disjoint from most of the fat side: ids < n_keys match
+        keys = spark.range(n_keys).select(F.col("id").alias("kk"))
+        n_surv = bloom_reduce(fat, keys, "k", "kk").count()
+        fp = (n_surv - n_keys) / (20_000 - n_keys)
+        assert fp <= fp_budget, (n_keys, n_surv, fp)
+
+    # undersized filter: forced FPs must be repaired by the exact join
+    keys = spark.range(500).select(F.col("id").alias("kk"))
+    tiny = bloom_reduce(fat, keys, "k", "kk", n_bits=256, n_hashes=2)
+    assert tiny.count() > 500  # the filter really is passing FPs
+    repaired = tiny.join(keys, tiny["k"] == keys["kk"], "left_semi")
+    assert repaired.count() == 500
+
+
 def test_q41_does_not_leak_recursion_limit(spark):
     """ADVICE r5: q41 must scope its cteRecursionLevelLimit=5000
     override — the shared session's effective limit after the call
