@@ -156,14 +156,13 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
-    # fuzzy-match: t34 is the positional-q-gram-blocked edit-distance
-    # join — the t02/t25 capped-postings candidate shape with
-    # levenshtein verification (round-5 addition, pytest-only)
-    "t34_fuzzy_match": "t25_decontaminate",
-    # n-gram overlap family: t25 (decontamination probe) holds the
-    # slot this round; t02 is the exact Jaccard pair sibling (driver-
-    # green r1–r3), same capped-postings candidate shape
-    "t02_ngram_jaccard_pairs": "t25_decontaminate",
+    # n-gram membership / capped-postings family (r6 rotation): t34
+    # (positional-q-gram-blocked edit-distance join with levenshtein
+    # verification) takes the slot; t25 (decontamination probe,
+    # driver-green r4–r5) and t02 (exact Jaccard pairs, driver-green
+    # r1–r3) fold — same capped-postings candidate shape
+    "t25_decontaminate": "t34_fuzzy_match",
+    "t02_ngram_jaccard_pairs": "t34_fuzzy_match",
     # quality-scoring family: t20 (repetition rules) holds the slot;
     # t06 is the surface-ratio sibling (driver-green r1–r3)
     "t06_quality_score": "t20_repetition_filter",
@@ -177,11 +176,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # clustering slots; t33 consumes the same cluster labels for the
     # leakage-safe split audit (round-5 addition, pytest-only)
     "t33_leakage_safe_split": "t23_dedup_clusters_star",
-    # MinHash-band family: t03 (within-corpus LSH pairs) holds the
-    # slot; t30 is the batch-vs-corpus incremental-ingestion variant
-    # of the same banding + exact-verify pipeline (round-5 addition,
-    # pytest-only per the rotation cadence)
-    "t30_incremental_dedup": "t03_minhash_lsh_pairs",
+    # MinHash-band family (r6 rotation): t30 (batch-vs-corpus
+    # incremental-ingestion dedup — the production-ingest variant of
+    # the banding + exact-verify pipeline) takes the slot; t03
+    # (within-corpus LSH pairs, driver-green r1–r5) folds
+    "t03_minhash_lsh_pairs": "t30_incremental_dedup",
     # clustering family: t23 (star contraction) holds the slot; t12 is
     # the min-label sibling on the same edge set (driver-green r2–r3)
     "t12_dedup_clusters": "t23_dedup_clusters_star",
@@ -219,25 +218,26 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # vocabulary-grain count tables) is the batch-vs-corpus member of
     # the token-statistics family (round-5 addition, pytest-only)
     "t36_distribution_drift": "t19_tfidf_top_terms",
-    # n-gram membership family: t25 (decontamination) holds the slot;
-    # t37 inverts the same broadcast-gram-hash probe to measure what
-    # a batch ADDS (novelty rate; round-5 addition, pytest-only)
-    "t37_ngram_novelty": "t25_decontaminate",
-    # similarity family: s08 (int8 two-stage) holds the slot; s01 is
-    # the exact probe-broadcast sibling it re-ranks with
-    # (driver-green r1–r3; recall pin ties them)
-    "s01_knn_bruteforce": "s08_knn_quantized",
+    # n-gram membership family: t37 (novelty rate — t25's
+    # broadcast-gram-hash probe inverted) folds to t34, the r6
+    # slot-holder for the gram-blocked candidate family
+    "t37_ngram_novelty": "t34_fuzzy_match",
+    # quantized-ANN family (r6 rotation): s14 (product quantization —
+    # 4-bit codes, ADC candidate rank, exact re-rank; the 128× end of
+    # the compression ladder) takes the slot; s08 (int8 two-stage,
+    # driver-green r3–r5) and s01 (the exact probe-broadcast sibling,
+    # driver-green r1–r3) fold
+    "s01_knn_bruteforce": "s14_knn_pq",
     # filtered-ANN: s15 is s02's pipeline under a metadata predicate
     # (pre-filtered candidate corpus; round-5 addition, pytest-only)
     "s15_knn_filtered": "s02_knn_lsh",
-    # quantized-ANN family: s08 (int8 two-stage) holds the slot; s14
-    # is the product-quantization variant of the same candidate →
-    # exact-re-rank shape (round-5 addition, pytest-only per cadence)
-    "s14_knn_pq": "s08_knn_quantized",
+    # ...s08 is the int8 member of the same candidate → exact-re-rank
+    # shape (folds per the cadence after two driver-green rounds)...
+    "s08_knn_quantized": "s14_knn_pq",
     # ...and s18 is the binary end of the same quantization ladder:
     # sign-bit signatures, integer-exact bit_count(xor) hamming
     # candidates, exact re-rank (round-5 addition, pytest-only)
-    "s18_knn_binary_hamming": "s08_knn_quantized",
+    "s18_knn_binary_hamming": "s14_knn_pq",
     # kNN-join family: s07 (sub-quadratic LSH join) holds the slot;
     # s06 is its declared exact verifier twin (driver-green r2–r3)
     "s06_knn_join": "s07_knn_join_lsh",
@@ -274,49 +274,44 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # streaming-dedup family: st10 (TTL watermark dedup) holds the
     # slot; st02 is the unbounded-state sibling (driver-green r3)
     "st02_stream_dedup": "st10_dedup_within_watermark",
-    # streaming-aggregation family (r5 rotation): st12 (map-only
-    # quality-filtered stream + complete-mode audit aggregate) takes
-    # the slot; st06 (driver-green r2–r4) is the sliding-window
-    # sibling of the same micro-batch agg machinery
-    "st06_stream_sliding_window": "st12_stream_quality_filter",
-    # stream-stream join family: st05 (inner interval join) holds the
-    # slot; st13 is the watermark-closed LEFT OUTER variant (round-5
-    # addition, pytest-only this round per the rotation cadence)
-    "st13_stream_left_outer_join": "st05_stream_stream_join",
-    # streaming-quality family: st12 (quality-filtered stream) holds
-    # the slot; st16 streams t36's drift audit — per-micro-batch
-    # count partials accumulated st08-style, oracle literally t36's
-    # SQL (round-5 addition, pytest-only per the cadence)
-    "st16_stream_drift_audit": "st12_stream_quality_filter",
-    # stream-static join family: st07 (broadcast dim enrichment) holds
-    # the slot; st14 is the ANN-serving variant — micro-batched query
-    # vectors probing the materialized LSH index per batch (round-5
-    # addition, pytest-only per the cadence)
-    "st14_stream_ann_probe": "st07_stream_static_join",
-    # ...and st15 is the LEFT ANTI member of the same stream-static
-    # family (round-5 addition, pytest-only per the cadence)
-    "st15_stream_anti_join_dedup": "st07_stream_static_join",
-    # Arrow-decode family: m03 (mapInPandas frame sampler) holds the
-    # slot; m06 runs the REAL pure-stdlib BMP decode through the same
-    # batch shape (round-5 addition, pytest-only this round)
-    "m06_bmp_decode_stats": "m03_frame_sample",
-    # second real codec (audio): m07 runs the stdlib WAV round-trip
-    # through the same Arrow decode shape (round-5 addition,
-    # pytest-only per the cadence)
-    "m07_wav_decode_stats": "m03_frame_sample",
-    # third real codec (video container): m08 completes the RIFF
-    # trilogy through the same Arrow decode shape (round-5 addition,
-    # pytest-only per the cadence)
-    "m08_avi_decode_stats": "m03_frame_sample",
-    # fourth real codec and the first COMPRESSED one: m09 runs a
-    # genuine PNG (CRC chunk walk, zlib inflate, all-five-filter
-    # reconstruction) through the same Arrow decode shape (round-5
-    # addition, pytest-only per the cadence)
-    "m09_png_decode_stats": "m03_frame_sample",
-    # the m-family capstone: m10 decodes a heterogeneous table (all
-    # four real codecs, routed by magic bytes) in one Arrow pass
-    # (round-5 addition, pytest-only per the cadence)
-    "m10_codec_dispatch": "m03_frame_sample",
+    # streaming-aggregation family: st16 (the r6 slot-holder for the
+    # micro-batch aggregate machinery) represents st06, the
+    # sliding-window sibling (driver-green r2–r4)
+    "st06_stream_sliding_window": "st16_stream_drift_audit",
+    # stream-stream join family (r6 rotation): st13 (watermark-closed
+    # LEFT OUTER — the production-join semantics, VERDICT r5 #2) takes
+    # the slot; st05 (inner interval join, driver-green r2–r5) folds
+    "st05_stream_stream_join": "st13_stream_left_outer_join",
+    # ...and st17 (FULL OUTER — the last join-semantics cell: orphan
+    # rows on BOTH sides emitted at watermark close; round-6 addition,
+    # pytest-only per the cadence) folds to the same slot-holder
+    "st17_stream_full_outer_join": "st13_stream_left_outer_join",
+    # streaming-quality family (r6 rotation): st16 (streamed PSI/KL
+    # drift audit — per-micro-batch count partials, oracle literally
+    # t36's SQL) takes the slot; st12 (quality-filtered stream,
+    # driver-green r5) folds
+    "st12_stream_quality_filter": "st16_stream_drift_audit",
+    # stream-static join family (r6 rotation): st15 (LEFT ANTI
+    # ingestion dedup against a static corpus — broadcast anti join
+    # re-planned per trigger, no state store) takes the slot; st07
+    # (broadcast dim enrichment, driver-green r2–r5) and st14 (the
+    # ANN-serving variant probing the materialized LSH index per
+    # batch) fold
+    "st07_stream_static_join": "st15_stream_anti_join_dedup",
+    "st14_stream_ann_probe": "st15_stream_anti_join_dedup",
+    # Arrow-decode family (r6 rotation): m10 — the capstone that
+    # decodes a heterogeneous table through ALL FOUR real codecs
+    # (BMP/WAV/AVI/PNG) routed by magic bytes in one Arrow pass —
+    # takes the slot; every single-codec sibling and the stand-in
+    # frame sampler run the same mapInPandas batch shape and fold:
+    # m03 (stand-in frame sampler, driver-green r1–r5)
+    "m03_frame_sample": "m10_codec_dispatch",
+    # m06 BMP (driver-green r5), m07 WAV, m08 AVI, m09 PNG — each a
+    # single-codec member whose decode path m10 exercises end-to-end
+    "m06_bmp_decode_stats": "m10_codec_dispatch",
+    "m07_wav_decode_stats": "m10_codec_dispatch",
+    "m08_avi_decode_stats": "m10_codec_dispatch",
+    "m09_png_decode_stats": "m10_codec_dispatch",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
