@@ -859,3 +859,110 @@ def st16_stream_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_c")
     )
     return drift_from_counts(corpus_counts, batch_counts)
+
+
+@register(
+    "st17_stream_full_outer_join",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COUNT(*) FILTER (WHERE c.ts IS NOT NULL AND p.ts IS NOT NULL)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE p.ts IS NULL) AS BIGINT)
+             AS n_unmatched_clicks,
+           CAST(COUNT(*) FILTER (WHERE c.ts IS NULL) AS BIGINT)
+             AS n_orphan_purchases,
+           ROUND(COALESCE(SUM(CASE WHEN c.ts IS NOT NULL THEN p.value END), 0), 4)
+             AS attributed_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+    tags=("streaming", "stream_stream_join", "outer", "full_outer"),
+)
+def st17_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven FULL OUTER stream-stream join (VERDICT r5 #6)
+    — the last join-semantics cell after st05's inner and st13's left
+    outer: every click AND every purchase reaches the output. Matched
+    (click, purchase) pairs emit as soon as both sides arrive;
+    unmatched CLICKS emit with purchase-side nulls once the watermark
+    closes their 30-minute match window (st13's semantics); orphan
+    PURCHASES — purchases no click preceded within the window, the
+    rows a left join silently drops and a reconciliation report
+    cannot live without — emit with click-side nulls once the
+    watermark proves no on-time click can still claim them. State on
+    both sides stays watermark-bounded exactly as in st05/st13.
+
+    The bounded-replay flush discipline is st13's, with the full-outer
+    twist that BOTH sentinel rows now surface as unmatched output rows
+    (an unmatched click at user −1, an orphan purchase at user −2)
+    instead of silently never joining — the COALESCE'd user-id filter
+    drops them from the answer. Oracle = the identical batch FULL
+    JOIN; orphan-purchase emission timing is pinned by
+    tests/test_streaming.py::test_st17_orphan_purchase_emission."""
+    ev_batch = table(spark, sf_dir, "events")
+    max_ts = ev_batch.agg(F.max("ts")).first()[0]
+    uid_type = dict(ev_batch.dtypes)["user_id"]
+
+    def sentinel(event_type: str, uid: int) -> DataFrame:
+        overrides = {
+            "ts": (F.lit(max_ts) + F.expr("INTERVAL 240 HOURS")).cast("timestamp"),
+            "event_type": F.lit(event_type),
+            "user_id": F.lit(uid).cast(uid_type),
+        }
+        return ev_batch.limit(1).select(
+            [overrides.get(c, F.col(c)).alias(c) for c in ev_batch.columns]
+        )
+
+    staged = stage_as_chunked_files(
+        ev_batch.unionByName(sentinel("click", -1)).unionByName(
+            sentinel("purchase", -2)
+        ),
+        n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events-flush-sentinel"),
+    )
+    clicks = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    )
+    out = run_to_completion(joined, "st17_out", output_mode="append")
+    # sentinels exist only to advance both watermarks; in a FULL outer
+    # they DO surface (as unmatched rows on their own side) and are
+    # dropped here by their negative user ids
+    uid = F.coalesce(F.col("c_user"), F.col("p_user"))
+    out = out.where(uid >= 0)
+    matched = F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull()
+    return out.groupBy(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id")
+    ).agg(
+        F.sum(matched.cast("long")).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("p_ts").isNull().cast("long")).cast("bigint")
+        .alias("n_unmatched_clicks"),
+        F.sum(F.col("c_ts").isNull().cast("long")).cast("bigint")
+        .alias("n_orphan_purchases"),
+        F.round(
+            F.coalesce(F.sum(F.when(matched, F.col("p_value"))), F.lit(0.0)), 4
+        ).alias("attributed_value"),
+    )

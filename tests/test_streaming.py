@@ -520,3 +520,144 @@ def test_st16_stream_drift_equals_batch(spark):
     batch = QUERIES["t36_distribution_drift"].fn(spark, SF_SMOKE).collect()
     stream = QUERIES["st16_stream_drift_audit"].fn(spark, SF_SMOKE).collect()
     assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
+
+
+def test_st17_orphan_purchase_emission(spark):
+    """Pins the FULL OUTER stream-stream join's orphan-emission
+    timing on BOTH sides: a purchase no click can claim must NOT
+    appear while a preceding on-time click could still arrive, and
+    MUST appear — with click-side nulls — once the watermark proves
+    none can; unmatched clicks keep st13's null-emission behavior."""
+    import datetime as dt
+
+    from fsharp_mapreduce_spark.streaming.loader import (
+        read_pull_stream,
+        run_to_completion,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "click", 0.0),
+        (1, base + dt.timedelta(minutes=10), "purchase", 5.0),
+        (2, base + dt.timedelta(minutes=20), "click", 0.0),
+        (3, base + dt.timedelta(minutes=25), "purchase", 7.0),  # orphan
+    ]
+    schema = "user_id int, ts timestamp, event_type string, value double"
+
+    def run(with_sentinel: bool, name: str):
+        rws = list(rows)
+        if with_sentinel:
+            far = base + dt.timedelta(days=10)
+            rws += [(-1, far, "click", 0.0), (-2, far, "purchase", 0.0)]
+        staged = stage_as_chunked_files(
+            spark.createDataFrame(rws, schema), n_chunks=2, order_by=["ts"]
+        )
+        clicks = (
+            read_pull_stream(spark, staged)
+            .withWatermark("ts", "1 hour")
+            .where(F.col("event_type") == "click")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        )
+        purchases = (
+            read_pull_stream(spark, staged)
+            .withWatermark("ts", "1 hour")
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("value").alias("p_value"),
+            )
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        out = run_to_completion(joined, name, output_mode="append")
+        uid = F.coalesce(F.col("c_user"), F.col("p_user"))
+        return {
+            (r["uid"], r["c_ts"] is not None, r["p_ts"] is not None)
+            for r in out.where(uid >= 0)
+            .withColumn("uid", uid)
+            .select("uid", "c_ts", "p_ts")
+            .collect()
+        }
+
+    open_window = run(False, "st17_orphan_open")
+    assert (1, True, True) in open_window, "matched pair must emit immediately"
+    assert (3, False, True) not in open_window, (
+        "orphan purchase emitted while a preceding click could still arrive"
+    )
+    assert (2, True, False) not in open_window, (
+        "unmatched click emitted while its match window was still open"
+    )
+    closed = run(True, "st17_orphan_closed")
+    assert (1, True, True) in closed
+    assert (3, False, True) in closed, (
+        "watermark closed user 3's window but no orphan-purchase row emitted"
+    )
+    assert (2, True, False) in closed, (
+        "watermark closed user 2's window but no null click row emitted"
+    )
+    assert (1, True, False) not in closed and (1, False, True) not in closed, (
+        "matched rows must not also emit outer-null twins"
+    )
+
+
+def test_st17_stream_equals_batch_full_join(spark):
+    """Registered st17 vs its batch FULL JOIN twin on the smoke
+    fixture (the driver's parity check at the gate SF)."""
+    load_all_query_modules()
+    got = {
+        (
+            r.user_id,
+            r.n_pairs,
+            r.n_unmatched_clicks,
+            r.n_orphan_purchases,
+            r.attributed_value,
+        )
+        for r in QUERIES["st17_stream_full_outer_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    matched = F.col("c_ts").isNotNull() & F.col("p_ts").isNotNull()
+    batch = (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "full_outer",
+        )
+        .groupBy(F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"))
+        .agg(
+            F.sum(matched.cast("long")).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("p_ts").isNull().cast("long")).cast("bigint")
+            .alias("n_unmatched_clicks"),
+            F.sum(F.col("c_ts").isNull().cast("long")).cast("bigint")
+            .alias("n_orphan_purchases"),
+            F.round(
+                F.coalesce(F.sum(F.when(matched, F.col("p_value"))), F.lit(0.0)), 4
+            ).alias("attributed_value"),
+        )
+    )
+    want = {
+        (
+            r.user_id,
+            r.n_pairs,
+            r.n_unmatched_clicks,
+            r.n_orphan_purchases,
+            r.attributed_value,
+        )
+        for r in batch.collect()
+    }
+    assert got == want
