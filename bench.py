@@ -63,6 +63,9 @@ HEADLINE = [
     "q41_recursive_calendar",
     "q56_bloom_join_pruning",
     "q57_cohort_retention",
+    "q58_merge_upsert_lifecycle",
+    "q59_zorder_lifecycle",
+    "q60_schema_evolution_read",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

@@ -312,6 +312,15 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m07_wav_decode_stats": "m10_codec_dispatch",
     "m08_avi_decode_stats": "m10_codec_dispatch",
     "m09_png_decode_stats": "m10_codec_dispatch",
+    # simhash family (r6, making room for the q58-q60 lifecycle
+    # queries): t11 (the banded pair join, driver-green r2–r5) keeps
+    # the slot; t04, which emits the signatures t11 pairs on
+    # (driver-green r1–r5), folds
+    "t04_simhash": "t11_simhash_neardup_pairs",
+    # embedding-neardup family (r6, same reason): t10 — the
+    # hyperplane-LSH scale path — keeps the slot; t09, its exact
+    # blocked-GEMM verifier twin (driver-green r1–r5), folds
+    "t09_embedding_neardup": "t10_embedding_neardup_lsh",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
@@ -329,6 +338,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         "q15_window_lag_lead",
         "q16_window_ranks",
         "q18_union",
+        # intersect (r6 rotation): q19 (driver-green r1–r5) folds with
+        # its set-op siblings to make room for the lifecycle queries
+        "q19_intersect",
         "q20_except",
         "q21_distinct",
         "q22_scalar_functions",
@@ -494,5 +506,6 @@ def load_all_query_modules() -> None:
     import fsharp_mapreduce_spark.operators.relational  # noqa: F401
     import fsharp_mapreduce_spark.operators.windows  # noqa: F401
     import fsharp_mapreduce_spark.operators.temporal  # noqa: F401
+    import fsharp_mapreduce_spark.sources.lifecycle  # noqa: F401
     import fsharp_mapreduce_spark.sources.pull_source  # noqa: F401
     import fsharp_mapreduce_spark.streaming.queries  # noqa: F401

@@ -808,6 +808,29 @@ def test_bloom_reduce_false_positive_rate_and_exactness(spark):
     assert repaired.count() == 500
 
 
+def test_q59_zorder_readback_pushes_both_range_predicates(spark):
+    """q59: the two-dimensional slice over the z-ordered files must
+    reach the parquet scan as pushed filters on BOTH curve dimensions
+    — that is the whole point of the layout (footer min/max skipping
+    needs the predicate at the scan, not above it)."""
+    df = q("q59_zorder_lifecycle", spark)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_size" in pushed and "p_retailprice" in pushed, pushed
+
+
+def test_q60_evolved_read_backfills_and_prunes(spark):
+    """q60: the merged-schema read surfaces the late column as NULL
+    for pre-evolution files (value-checked here on the smoke fixture)
+    and the scan still reads only the three referenced columns."""
+    df = q("q60_schema_evolution_read", spark)
+    row = df.collect()[0]
+    # both generations present: some files predate the column, some
+    # carry it — NULL back-fill must count only the former
+    assert 0 < row.n_pre_evolution < row.n_total, row
+    cols = {c for s in read_schema_columns(df) for c in s}
+    assert cols <= {"c_custkey", "c_name", "acctbal"}, cols
+
+
 def test_q41_does_not_leak_recursion_limit(spark):
     """ADVICE r5: q41 must scope its cteRecursionLevelLimit=5000
     override — the shared session's effective limit after the call
