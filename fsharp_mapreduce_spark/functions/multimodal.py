@@ -4,12 +4,17 @@ feature-extract / resize / frame-sample stages.
 
 The container has no heavy codec libraries (JPEG/MP3/H.264 remain
 documented ``NotImplementedError`` environment gates), but the family
-is no longer stub-only: three REAL pure-stdlib codecs run end-to-end
-through the Arrow decode shape and are value-verified by analytic
-oracles — m06 8-bit BMP (image), m07 RIFF/PCM WAV (audio), m08
-uncompressed AVI (video). Everything Spark-side is real and tested:
-the schema, the Arrow batch shapes, the UDF signatures, and the
-partition-parallel execution (tests/test_multimodal.py).
+runs on REAL wire formats end-to-end: four pure-stdlib codecs — m06
+8-bit BMP (image), m07 RIFF/PCM WAV (audio), m08 uncompressed AVI
+(video), m09 compressed PNG (CRC chunk walk + inflate + all-five-
+filter reconstruction) — plus m10's magic-byte dispatch over all
+four. Since round 6 the composite m01-m05 family (metadata / feature
+/ frame / resize / kNN) also runs on real container bytes: the
+fixture (`documents_as_real_media`) encodes every document into a
+genuine container by doc_id % 4, and every stage measures its output
+on the PARSED result of the real decoders — the former text-bytes
+stand-in is retired. Oracles stay fully analytic because decoded
+units are digest-tile arithmetic.
 
 At 100 TB the pattern is: payloads stay in parquet binary columns,
 transformations run as mapInPandas over Arrow batches (one Python
@@ -146,283 +151,6 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return palette[rows]
 
 
-def fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
-    """Deterministic stand-in feature extractor: sha256-seeded pseudo
-    embedding. Lets the full distributed plumbing (Arrow batches,
-    schema, partitioning) run and be asserted without codecs."""
-    digest = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer((digest * ((dim * 4) // len(digest) + 1))[: dim * 4], dtype="<u4")
-    return (raw.astype(np.float64) / np.iinfo("uint32").max).astype(np.float32)
-
-
-FEATURE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("byte_len", T.LongType(), True),
-        T.StructField("features", T.ArrayType(T.FloatType()), True),
-    ]
-)
-
-
-def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
-    """mapInPandas feature extraction: Arrow-batched, per-partition,
-    no shuffle. This is the template the real decode/resize/
-    frame-sample stages drop into."""
-
-    from fsharp_mapreduce_spark.session import ensure_package_shipped
-
-    ensure_package_shipped(media.sparkSession)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "byte_len": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "features": pdf["payload"].map(lambda b: fake_features(b, dim).tolist()),
-                }
-            )
-
-    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
-
-
-@register(
-    "m01_multimodal_meta",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           sha256(text) AS digest
-    FROM documents
-    """,
-    tags=("multimodal", "binary"),
-)
-def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata pass: payload byte length + content
-    digest, computed JVM-side (no Python) — the dedup/integrity scan
-    every multimodal ingest runs before decode."""
-    media = documents_as_media(spark, sf_dir)
-    return media.select(
-        "media_id",
-        F.length("payload").cast("bigint").alias("byte_len"),
-        F.sha2("payload", 256).alias("digest"),
-    )
-
-
-def _feature_words_ctes() -> str:
-    """Shared DuckDB fragment reconstructing `fake_features`' uint32
-    words from the sha256 hex digest: CTEs h (digest) / w (word index)
-    / words (doc_id, wi, word). ONE definition of the per-byte hex
-    parse — m02's per-dim stats and m05's per-doc arrays both build on
-    it, so a digest-parsing fix cannot silently apply to only one
-    oracle (code-review r4)."""
-    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
-    word = " + ".join(
-        f"({hv.format(p=f'8*wi + {2 * j + 1}')} * 16 + {hv.format(p=f'8*wi + {2 * j + 2}')}) * {256 ** j}"
-        for j in range(4)
-    )
-    return f"""h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
-    w(wi) AS (SELECT unnest(generate_series(0, 7))),
-    words AS (
-      SELECT doc_id, wi, {word} AS word
-      FROM h CROSS JOIN w
-    )"""
-
-
-def _m02_oracle() -> str:
-    """DuckDB replica of the sha256-seeded fake feature extractor
-    (`fake_features`): word w of the feature vector is the w-th
-    little-endian uint32 of the digest (cycled once: dim 8..15 repeat
-    0..7), scaled by 1/(2³²−1) and cast through float32 — all of which
-    DuckDB replays exactly from the hex digest (per-byte hex parse;
-    ::REAL is the same IEEE round-to-nearest float32 numpy applies).
-    min/max pick one exactly-representable value; avg sums in double
-    on both engines with round-4 far above summation-order noise."""
-    return f"""
-    WITH {_feature_words_ctes()},
-    feats AS (
-      SELECT CAST(wi + k.o AS INTEGER) AS dim,
-             ((word / 4294967295.0)::REAL)::DOUBLE AS v
-      FROM words CROSS JOIN (SELECT unnest([0, 8]) AS o) k
-    )
-    SELECT dim, COUNT(*) AS n,
-           ROUND(AVG(v), 4) AS avg_v,
-           ROUND(MIN(v), 4) AS min_v,
-           ROUND(MAX(v), 4) AS max_v
-    FROM feats GROUP BY dim
-"""
-
-
-@register("m02_feature_extract", oracle=_m02_oracle(), tags=("multimodal", "mapInPandas"))
-def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads
-    (mapInPandas, zero shuffle): per-payload 16-dim pseudo-embedding +
-    an aggregate per feature dimension so the result is small and
-    stable. The decode stub is deterministic (sha256-seeded), which is
-    what makes the full-value DuckDB oracle possible — the oracle
-    recomputes the identical float32 features from the hex digest.
-    End-to-end pipeline also asserted in tests/test_multimodal.py."""
-    media = documents_as_media(spark, sf_dir)
-    feats = extract_features(media)
-    return (
-        feats.select("media_id", F.posexplode("features").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("v"), 4).alias("avg_v"),
-            F.round(F.min("v").cast("double"), 4).alias("min_v"),
-            F.round(F.max("v").cast("double"), 4).alias("max_v"),
-        )
-    )
-
-
-FRAME_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("frame_no", T.IntegerType(), False),
-        T.StructField("frame_digest", T.StringType(), True),
-    ]
-)
-
-FRAME_STRIDE = 256  # bytes per fake "frame"
-
-
-def sample_frames(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame, via
-    mapInPandas (a row-multiplying Arrow transform — the shape a real
-    video frame-sampler has). Frames are STUB-decoded as fixed-stride
-    byte windows; a real codec drops into `window_bytes` untouched."""
-    from fsharp_mapreduce_spark.session import ensure_package_shipped
-
-    ensure_package_shipped(media.sparkSession)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            ids, nos, digests = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                body = payload or b""
-                for i in range(0, max(len(body), 1), stride):
-                    window_bytes = body[i : i + stride]
-                    ids.append(mid)
-                    nos.append(i // stride)
-                    digests.append(hashlib.sha256(window_bytes).hexdigest())
-            yield pd.DataFrame(
-                {"media_id": ids, "frame_no": pd.array(nos, dtype="int32"),
-                 "frame_digest": digests}
-            )
-
-    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
-
-
-RESIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("out_w", T.IntegerType(), False),
-        T.StructField("out_h", T.IntegerType(), False),
-        T.StructField("out_bytes", T.LongType(), False),
-        T.StructField("resized", T.BinaryType(), True),
-    ]
-)
-
-
-def resize_media(media: DataFrame, target: int = 8) -> DataFrame:
-    """Resize plumbing (image-thumbnail shape): decode STUB treats the
-    payload as a square grayscale bitmap of side floor(sqrt(len));
-     'resize' is nearest-neighbor sampling down to ``target``×``target``
-    (or the source side, if smaller). The sampled buffer is a real
-    binary column — a codec-backed decode/resize drops in without
-    touching the Spark plan (mapInPandas, Arrow-batched, zero
-    shuffle)."""
-    from fsharp_mapreduce_spark.session import ensure_package_shipped
-
-    ensure_package_shipped(media.sparkSession)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            ids, ws, hs, nb, bufs = [], [], [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                body = payload or b""
-                side = int(len(body) ** 0.5)
-                out = min(target, side)
-                if out == 0:
-                    buf = b""
-                else:
-                    arr = np.frombuffer(body[: side * side], dtype=np.uint8)
-                    arr = arr.reshape(side, side)
-                    idx = (np.arange(out) * side) // out
-                    buf = arr[np.ix_(idx, idx)].tobytes()
-                ids.append(mid)
-                ws.append(out)
-                hs.append(out)
-                nb.append(len(buf))
-                bufs.append(buf)
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "out_w": pd.array(ws, dtype="int32"),
-                    "out_h": pd.array(hs, dtype="int32"),
-                    "out_bytes": pd.array(nb, dtype="int64"),
-                    "resized": bufs,
-                }
-            )
-
-    return media.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
-
-
-@register(
-    "m04_resize",
-    oracle="""
-    SELECT doc_id AS media_id,
-           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
-             AS INTEGER) AS out_w,
-           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
-             AS INTEGER) AS out_h,
-           CAST(LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
-             * LEAST(8, CAST(FLOOR(SQRT(octet_length(encode(text)))) AS INTEGER))
-             AS BIGINT) AS out_bytes
-    FROM documents
-    """,
-    tags=("multimodal", "resize"),
-)
-def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize/thumbnail a binary column: the UDF materializes the
-    actual downsampled buffer; the registered projection reports its
-    measured dimensions/size, which the oracle recomputes analytically
-    from byte lengths — so the Arrow plumbing is verified end-to-end
-    even though the stub decode is not a real codec (the buffer's
-    content is pinned in tests/test_multimodal.py)."""
-    media = documents_as_media(spark, sf_dir)
-    resized = resize_media(media)
-    return resized.select("media_id", "out_w", "out_h", "out_bytes")
-
-
-@register(
-    "m03_frame_sample",
-    oracle="""
-    WITH frames AS (
-      SELECT doc_id AS media_id,
-             CAST(UNNEST(generate_series(0, GREATEST(octet_length(encode(text)) - 1, 0) // 256))
-               AS INTEGER) AS frame_no
-      FROM documents
-    )
-    SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-           CAST(MAX(frame_no) AS BIGINT) AS last_frame
-    FROM frames GROUP BY media_id
-    """,
-    tags=("multimodal", "frame_sample"),
-)
-def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample a binary column (video frame-extraction shape):
-    mapInPandas multiplies each payload into fixed-stride frames; the
-    aggregate (frames per media) is SQL-checkable from byte lengths
-    even though the stub 'decode' itself is not."""
-    media = documents_as_media(spark, sf_dir)
-    frames = sample_frames(media)
-    return frames.groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
-        F.max("frame_no").cast("bigint").alias("last_frame"),
-    )
-
-
 BMP_SIDE = 18  # 18 % 4 = 2 → two padding bytes per row: the decoder's
 # stride handling is actually exercised, not vacuously satisfied
 DECODE_SCHEMA = T.StructType(
@@ -529,87 +257,6 @@ def m06_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     media = documents_as_media(spark, sf_dir)
     return bmp_roundtrip_stats(media)
-
-
-M05_TOP_K = 5
-M05_N_QUERIES = 5
-
-
-def _m05_oracle() -> str:
-    """DuckDB replica of the composed pipeline: m02's exact float32
-    feature reconstruction (see _m02_oracle) assembled into ordered
-    per-document arrays, then s01's brute-force fold-cosine top-k."""
-    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
-
-    return f"""
-    WITH {_feature_words_ctes()},
-    dims AS (
-      SELECT doc_id, wi + k.o AS dim,
-             ((word / 4294967295.0)::REAL)::DOUBLE AS v
-      FROM words CROSS JOIN (SELECT unnest([0, 8]) AS o) k
-    ),
-    farr AS (
-      SELECT doc_id, list(v ORDER BY dim) AS fe FROM dims GROUP BY doc_id
-    ),
-    q AS (SELECT doc_id AS query_id, fe AS qe FROM farr
-          WHERE doc_id < {M05_N_QUERIES}),
-    scored AS (
-      SELECT q.query_id, f.doc_id AS neighbor_id,
-             {_cosine_sql('q.qe', 'f.fe')} AS sim
-      FROM q JOIN farr f ON f.doc_id <> q.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
-             ) AS BIGINT) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
-    FROM ranked WHERE rank <= {M05_TOP_K}
-"""
-
-
-@register(
-    "m05_visual_knn", oracle=_m05_oracle(), tags=("multimodal", "similarity", "knn")
-)
-def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed multimodal retrieval pipeline: binary payloads →
-    Arrow-batched feature extraction (m02's mapInPandas stage, decode
-    stubbed deterministically) → brute-force cosine top-{5} in feature
-    space (s01's broadcast-probe shape). This is the end-to-end
-    image-similarity skeleton a real corpus runs with a real decoder
-    dropped into `fake_features`'s slot; every Spark-side mechanism —
-    binary columns, Arrow batching, broadcast probes, window top-k —
-    is the production one, and the DuckDB oracle replays the exact
-    float32 features from the sha256 digest, so even the composed
-    scores value-hash-match. At 100 TB the brute-force stage swaps
-    for s02's LSH index probe over the same feature column."""
-    from pyspark.sql import Window as W
-
-    from fsharp_mapreduce_spark.functions.similarity import cosine
-
-    media = documents_as_media(spark, sf_dir)
-    # persist: the feature table feeds both the probe side and the
-    # corpus side of the join; without it the Arrow extraction stage
-    # runs twice.
-    feats = scoped_persist(extract_features(media).select("media_id", "features"))
-    q = feats.where(F.col("media_id") < M05_N_QUERIES).select(
-        F.col("media_id").alias("query_id"), F.col("features").alias("qe")
-    )
-    scored = feats.join(
-        F.broadcast(q), F.col("media_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        F.col("media_id").alias("neighbor_id"),
-        cosine(F.col("qe"), F.col("features")).alias("sim"),
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= M05_TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
-    )
 
 
 # --- m07: REAL WAV (RIFF/PCM) decode — the audio twin of m06's BMP ---
@@ -1330,43 +977,16 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(media.sparkSession)
-    n_bmp = BMP_SIDE * BMP_SIDE
-    n_png = PNG_SIDE * PNG_SIDE
-    n_wav_bytes = WAV_SAMPLES * 2
-    n_avi = AVI_FRAMES * AVI_H * AVI_W
-
-    def tile(digest: bytes, n: int) -> bytes:
-        return (digest * (n // len(digest) + 1))[:n]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             ids, codecs, nu, sums = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                digest = hashlib.sha256(payload or b"").digest()
                 codec = _CODECS[int(mid) % 4]
-                if codec == "bmp":
-                    enc = encode_bmp_gray(
-                        np.frombuffer(tile(digest, n_bmp), dtype=np.uint8).reshape(
-                            BMP_SIDE, BMP_SIDE
-                        )
-                    )
-                elif codec == "wav":
-                    enc = encode_wav_pcm16(
-                        np.frombuffer(tile(digest, n_wav_bytes), dtype="<i2")
-                    )
-                elif codec == "avi":
-                    enc = encode_avi_gray(
-                        np.frombuffer(tile(digest, n_avi), dtype=np.uint8).reshape(
-                            AVI_FRAMES, AVI_H, AVI_W
-                        )
-                    )
-                else:
-                    enc = encode_png_gray(
-                        np.frombuffer(tile(digest, n_png), dtype=np.uint8).reshape(
-                            PNG_SIDE, PNG_SIDE
-                        )
-                    )
-                kind = sniff_codec(enc)
+                # shared with the m01-m05 real-media fixture (one
+                # definition of the residue → container scheme)
+                enc = encode_real_media(mid, bytes(payload or b""))
+                kind, units = decode_real_units(enc)
                 # the bytes, not the metadata, decide — and the check
                 # must survive `python -O` (ADVICE r5: a bare assert
                 # is stripped, silently routing a mis-sniffed payload
@@ -1376,14 +996,6 @@ def codec_dispatch_stats(media: DataFrame) -> DataFrame:
                         f"m10 dispatch: sniffed {kind!r} for a payload "
                         f"encoded as {codec!r} (media_id={mid})"
                     )
-                if kind == "bmp":
-                    units = decode_bmp(enc).astype(np.int64).ravel()
-                elif kind == "png":
-                    units = decode_png(enc).astype(np.int64).ravel()
-                elif kind == "wav":
-                    units = decode_wav(enc)[0].astype(np.int64)
-                else:
-                    units = decode_avi(enc)[0].astype(np.int64).ravel()
                 ids.append(mid)
                 codecs.append(kind)
                 nu.append(len(units))
@@ -1469,3 +1081,552 @@ def m10_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed-image decode plus the dispatch itself."""
     media = documents_as_media(spark, sf_dir)
     return codec_dispatch_stats(media)
+
+
+# --- m01-m05: the composite family over REAL container bytes --------
+#
+# Round 6 (VERDICT r5 #5): the metadata/feature/frame/resize/kNN
+# family no longer runs on stand-in text payloads — the fixture
+# encodes every document into a REAL container (doc_id % 4 →
+# BMP / WAV / AVI / PNG, the m10 residue scheme) and every stage
+# measures its output on the PARSED result of the pure-stdlib
+# decoders. The oracles stay fully analytic because the decoded
+# units are the sha256 digest bytes tiled to each format's unit
+# count — the m06-m10 arithmetic, now composed.
+
+# Per-codec decoded-unit counts (images/video: pixels; audio: int16
+# samples) and per-frame unit counts for the frame sampler.
+_N_UNITS = {
+    "bmp": BMP_SIDE * BMP_SIDE,           # 324
+    "wav": WAV_SAMPLES,                   # 500
+    "avi": AVI_FRAMES * AVI_H * AVI_W,    # 320
+    "png": PNG_SIDE * PNG_SIDE,           # 324
+}
+_FRAME_UNITS = {
+    "bmp": BMP_SIDE * BMP_SIDE,   # a still image is one frame
+    "wav": WAV_SAMPLES // 4,      # 125-sample audio windows
+    "avi": AVI_H * AVI_W,         # real container frames
+    "png": PNG_SIDE * PNG_SIDE,
+}
+# Container byte lengths are format arithmetic for the uncompressed
+# codecs (verified against the encoders in
+# tests/test_multimodal.py::test_container_constants_match_encoders);
+# PNG is deflate-dependent → no analytic byte length.
+_CONTAINER_BYTES = {"bmp": 1438, "wav": 1044, "avi": 1664, "png": None}
+_META_BY_CODEC = {
+    "bmp": ("image", BMP_SIDE, BMP_SIDE, None),
+    "wav": ("audio", None, None, WAV_SAMPLES * 1000 // WAV_RATE),
+    "avi": ("video", AVI_W, AVI_H, AVI_FRAMES * 1000 // AVI_FPS),
+    "png": ("image", PNG_SIDE, PNG_SIDE, None),
+}
+FEATURE_DIMS = 16
+RESIZE_TARGET = 8
+M05_TOP_K = 5
+M05_N_QUERIES = 5
+
+
+def _tile(digest: bytes, n: int) -> bytes:
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def encode_real_media(media_id: int, content: bytes) -> bytes:
+    """ONE real container per row: sha256(content) tiled to the
+    format's unit count, encoded by the residue-selected pure-stdlib
+    encoder. This is the encode branch of m10's dispatch pass,
+    shared so the fixture and the dispatch query cannot drift."""
+    digest = hashlib.sha256(content or b"").digest()
+    codec = _CODECS[int(media_id) % 4]
+    if codec == "bmp":
+        return encode_bmp_gray(
+            np.frombuffer(_tile(digest, _N_UNITS["bmp"]), dtype=np.uint8).reshape(
+                BMP_SIDE, BMP_SIDE
+            )
+        )
+    if codec == "wav":
+        return encode_wav_pcm16(
+            np.frombuffer(_tile(digest, _N_UNITS["wav"] * 2), dtype="<i2")
+        )
+    if codec == "avi":
+        return encode_avi_gray(
+            np.frombuffer(_tile(digest, _N_UNITS["avi"]), dtype=np.uint8).reshape(
+                AVI_FRAMES, AVI_H, AVI_W
+            )
+        )
+    return encode_png_gray(
+        np.frombuffer(_tile(digest, _N_UNITS["png"]), dtype=np.uint8).reshape(
+            PNG_SIDE, PNG_SIDE
+        )
+    )
+
+
+def decode_real_units(payload: bytes) -> tuple[str, "np.ndarray"]:
+    """Magic-byte dispatch to the right pure-stdlib decoder; returns
+    (codec, flat int64 unit array) — pixels for images/video in
+    row-major tile order, int16 samples for audio. The inverse of
+    `encode_real_media` through REAL wire formats."""
+    kind = sniff_codec(payload)
+    if kind == "bmp":
+        return kind, decode_bmp(payload).astype(np.int64).ravel()
+    if kind == "png":
+        return kind, decode_png(payload).astype(np.int64).ravel()
+    if kind == "wav":
+        return kind, decode_wav(payload)[0].astype(np.int64)
+    return kind, decode_avi(payload)[0].astype(np.int64).ravel()
+
+
+def documents_as_real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL media fixture (VERDICT r5 #5, retiring the stand-in
+    text-bytes adapter for m01-m05): each document becomes one genuine
+    container file — BMP image, PCM WAV, uncompressed AVI, or
+    compressed PNG by doc_id % 4 — with typed metadata declared from
+    the encode parameters. Payloads are opaque binary; every
+    downstream stage decodes them back through the magic-byte
+    dispatch, so the whole family runs encode → wire bytes → parse
+    end-to-end on every row."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ensure_package_shipped(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                codec = _CODECS[int(did) % 4]
+                mt, w, h, dur = _META_BY_CODEC[codec]
+                ids.append(did)
+                payloads.append(
+                    encode_real_media(did, (text or "").encode("utf-8"))
+                )
+                metas.append(
+                    {
+                        "media_type": mt,
+                        "format": codec,
+                        "width": w,
+                        "height": h,
+                        "duration_ms": dur,
+                    }
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def _bytes_cte() -> str:
+    """Shared DuckDB fragment: per-document digest bytes as an ordered
+    32-element list `bl` plus the residue class `rc` — the single
+    definition every composite-family oracle builds on (a hex-parse
+    fix cannot silently apply to only one oracle)."""
+    hv = "(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1)"
+    byte = f"({hv.format(p='2*bi + 1')} * 16 + {hv.format(p='2*bi + 2')})"
+    return f"""h AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS rc,
+                sha256(text) AS hx FROM documents),
+    b(bi) AS (SELECT unnest(generate_series(0, 31))),
+    bytes AS (SELECT doc_id, rc, bi, {byte} AS byte FROM h CROSS JOIN b),
+    blist AS (SELECT doc_id, rc, list(byte ORDER BY bi) AS bl
+              FROM bytes GROUP BY doc_id, rc)"""
+
+
+def _units_cte() -> str:
+    """…and the decoded-unit table on top of `_bytes_cte`: unit i of a
+    document is digest byte i%32 (pixels) or the little-endian SIGNED
+    int16 at digest bytes (2i)%32,(2i+1)%32 (audio samples) — exactly
+    what the real decoders recover from the container bytes."""
+    n_max = max(_N_UNITS.values()) - 1
+    n_case = (
+        f"CASE rc WHEN 1 THEN {_N_UNITS['wav']} WHEN 2 THEN {_N_UNITS['avi']} "
+        f"ELSE {_N_UNITS['bmp']} END"
+    )
+    i16 = "(bl[(2*i) % 32 + 1] + 256 * bl[(2*i + 1) % 32 + 1])"
+    return f"""{_bytes_cte()},
+    ix(i) AS (SELECT unnest(generate_series(0, {n_max}))),
+    units AS (
+      SELECT doc_id, rc, i,
+             CASE WHEN rc = 1 THEN
+               CASE WHEN {i16} >= 32768 THEN {i16} - 65536 ELSE {i16} END
+             ELSE bl[i % 32 + 1] END AS unit
+      FROM blist CROSS JOIN ix
+      WHERE i < {n_case}
+    )"""
+
+
+def _m01_oracle() -> str:
+    return f"""
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+             WHEN 2 THEN 'avi' ELSE 'png' END AS codec,
+           CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             WHEN 2 THEN 'video' ELSE 'image' END AS media_type,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN {BMP_SIDE} WHEN 2 THEN {AVI_W}
+             WHEN 3 THEN {PNG_SIDE} END AS INTEGER) AS width,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN {BMP_SIDE} WHEN 2 THEN {AVI_H}
+             WHEN 3 THEN {PNG_SIDE} END AS INTEGER) AS height,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 1 THEN {WAV_SAMPLES * 1000 // WAV_RATE}
+             WHEN 2 THEN {AVI_FRAMES * 1000 // AVI_FPS} END AS BIGINT)
+             AS duration_ms,
+           CAST(CASE CAST(doc_id % 4 AS INTEGER)
+             WHEN 0 THEN {_CONTAINER_BYTES['bmp']}
+             WHEN 1 THEN {_CONTAINER_BYTES['wav']}
+             WHEN 2 THEN {_CONTAINER_BYTES['avi']} END AS BIGINT) AS byte_len
+    FROM documents
+"""
+
+
+@register("m01_multimodal_meta", oracle=_m01_oracle(), tags=("multimodal", "binary"))
+def m01_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pass over REAL container bytes, JVM-side: the codec is
+    sniffed from the payload's MAGIC BYTES with binary substring
+    expressions (no Python — the `sniff_codec` contract as Catalyst
+    codegen), dimensions/duration ride the typed meta column, and
+    byte_len is the measured payload length — analytic container
+    arithmetic for the three uncompressed formats, NULL for PNG whose
+    deflate stream has no closed-form size. The oracle derives every
+    column from the residue class alone, so a mis-encoded container,
+    a wrong magic, or a header/metadata mismatch all break the hash."""
+    media = documents_as_real_media(spark, sf_dir)
+    sig4 = F.substring("payload", 1, 4)
+    codec = (
+        F.when(F.substring("payload", 1, 2) == F.lit(b"BM"), F.lit("bmp"))
+        .when(F.substring("payload", 1, 4) == F.lit(b"\x89PNG"), F.lit("png"))
+        .when(
+            (sig4 == F.lit(b"RIFF"))
+            & (F.substring("payload", 9, 4) == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(
+            (sig4 == F.lit(b"RIFF"))
+            & (F.substring("payload", 9, 4) == F.lit(b"AVI ")),
+            F.lit("avi"),
+        )
+    )
+    return media.select(
+        "media_id",
+        codec.alias("codec"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.when(codec != "png", F.length("payload").cast("bigint")).alias("byte_len"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def extract_real_features(media: DataFrame) -> DataFrame:
+    """Feature extraction MEASURED ON DECODED OUTPUT: payload → magic
+    dispatch → pure-stdlib decode → {FEATURE_DIMS}-dim vector of
+    residue-class means (dim w = mean of decoded units at positions
+    ≡ w mod {FEATURE_DIMS}). Exact rationals in float64 on both
+    engines (integer sums / counts), so the composed kNN scores in
+    m05 stay value-hash comparable. mapInPandas, Arrow-batched, zero
+    shuffle — the slot a learned embedding model drops into."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, codecs, feats = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, units = decode_real_units(bytes(payload))
+                f = [
+                    float(units[w::FEATURE_DIMS].mean())
+                    for w in range(FEATURE_DIMS)
+                ]
+                ids.append(mid)
+                codecs.append(kind)
+                feats.append(f)
+            yield pd.DataFrame(
+                {"media_id": ids, "codec": codecs, "features": feats}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _feats_cte() -> str:
+    return f"""{_units_cte()},
+    feats AS (
+      SELECT doc_id, CAST(i % {FEATURE_DIMS} AS INTEGER) AS dim,
+             CAST(SUM(unit) AS DOUBLE) / COUNT(*) AS v
+      FROM units GROUP BY doc_id, i % {FEATURE_DIMS}
+    )"""
+
+
+def _m02_oracle() -> str:
+    return f"""
+    WITH {_feats_cte()}
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(v), 4) AS avg_v,
+           ROUND(MIN(v), 4) AS min_v,
+           ROUND(MAX(v), 4) AS max_v
+    FROM feats GROUP BY dim
+"""
+
+
+@register("m02_feature_extract", oracle=_m02_oracle(), tags=("multimodal", "mapInPandas"))
+def m02_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over REAL container bytes:
+    every payload is magic-dispatched to its pure-stdlib decoder and
+    the {FEATURE_DIMS}-dim feature vector is computed from the PARSED
+    units (residue-class means), then aggregated per dimension. The
+    oracle rebuilds the identical features from the digest arithmetic
+    the encoders tiled in — any defect in any of the four decode
+    paths, or in the feature fold itself, breaks the value hash."""
+    media = documents_as_real_media(spark, sf_dir)
+    feats = extract_real_features(media)
+    return (
+        feats.select("media_id", F.posexplode("features").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("v"), 4).alias("avg_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("n_units", T.LongType(), False),
+        T.StructField("frame_sum", T.LongType(), False),
+    ]
+)
+
+
+def sample_real_frames(media: DataFrame) -> DataFrame:
+    """Row-multiplying frame extraction on DECODED media: AVI payloads
+    yield their real container frames (H×W pixel planes), still
+    images yield one frame, audio yields fixed {WAV_SAMPLES // 4}-
+    sample windows. Each output row carries measured per-frame stats;
+    mapInPandas, map-only."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, nus, sums = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, units = decode_real_units(bytes(payload))
+                fsize = _FRAME_UNITS[kind]
+                for fno in range(0, len(units), fsize):
+                    window = units[fno : fno + fsize]
+                    ids.append(mid)
+                    nos.append(fno // fsize)
+                    nus.append(len(window))
+                    sums.append(int(window.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": pd.array(nos, dtype="int32"),
+                    "n_units": pd.array(nus, dtype="int64"),
+                    "frame_sum": pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def _m03_oracle() -> str:
+    f_case = (
+        f"CASE rc WHEN 1 THEN {_FRAME_UNITS['wav']} WHEN 2 THEN "
+        f"{_FRAME_UNITS['avi']} ELSE {_FRAME_UNITS['bmp']} END"
+    )
+    return f"""
+    WITH {_units_cte()}
+    SELECT doc_id AS media_id,
+           CAST(i // {f_case} AS INTEGER) AS frame_no,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(unit) AS BIGINT) AS frame_sum
+    FROM units GROUP BY 1, 2
+"""
+
+
+@register("m03_frame_sample", oracle=_m03_oracle(), tags=("multimodal", "frame_sample"))
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample REAL containers: the AVI rows produce their actual
+    movi frames (multi-frame chunk walk → one output row per frame),
+    images one frame, audio fixed windows — per-frame sums measured on
+    the decoded planes and value-verified analytically per residue
+    class. The row-multiplying Arrow shape of a production video
+    frame-sampler, now fed by a real container parser."""
+    media = documents_as_real_media(spark, sf_dir)
+    return sample_real_frames(media)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized_sum", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_real_images(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Thumbnail the IMAGE rows (BMP + PNG residues) of a mixed media
+    table: decode to the real pixel grid, nearest-neighbor sample down
+    to target×target, emit the real downsampled buffer plus measured
+    stats. Non-image rows are filtered out JVM-side BEFORE the Python
+    stage (predicate on the meta column — decode work is never spent
+    on rows the stage won't use)."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums, bufs = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                kind, units = decode_real_units(bytes(payload))
+                side = BMP_SIDE if kind == "bmp" else PNG_SIDE
+                arr = units.reshape(side, side)
+                idx = (np.arange(target) * side) // target
+                sampled = arr[np.ix_(idx, idx)]
+                ids.append(mid)
+                ws.append(target)
+                hs.append(target)
+                sums.append(int(sampled.sum()))
+                bufs.append(sampled.astype(np.uint8).tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": pd.array(ws, dtype="int32"),
+                    "out_h": pd.array(hs, dtype="int32"),
+                    "resized_sum": pd.array(sums, dtype="int64"),
+                    "resized": bufs,
+                }
+            )
+
+    return (
+        media.where(F.col("meta.media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, RESIZE_SCHEMA)
+    )
+
+
+def _m04_oracle(side: int = BMP_SIDE, target: int = RESIZE_TARGET) -> str:
+    return f"""
+    WITH {_bytes_cte()},
+    r8(k) AS (SELECT unnest(generate_series(0, {target - 1}))),
+    pos AS (
+      SELECT ((a.k * {side}) // {target}) * {side}
+             + (b.k * {side}) // {target} AS p
+      FROM r8 a CROSS JOIN r8 b
+    )
+    SELECT doc_id AS media_id,
+           CAST({target} AS INTEGER) AS out_w,
+           CAST({target} AS INTEGER) AS out_h,
+           CAST(SUM(bl[p % 32 + 1]) AS BIGINT) AS resized_sum
+    FROM blist CROSS JOIN pos
+    WHERE rc IN (0, 3)
+    GROUP BY doc_id
+"""
+
+
+@register("m04_resize", oracle=_m04_oracle(), tags=("multimodal", "resize"))
+def m04_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize REAL images: BMP and PNG rows decode through their
+    actual parsers (palette/stride walk; CRC chunk walk + inflate +
+    filter reconstruction) and the nearest-neighbor thumbnail's pixel
+    sum is measured on the sampled grid — the oracle recomputes it
+    from the digest-tile positions the sampler must hit, so an
+    off-by-one in the index map or any decoder defect breaks the
+    hash. The actual downsampled buffer is also materialized
+    (content pinned in tests/test_multimodal.py)."""
+    media = documents_as_real_media(spark, sf_dir)
+    return resize_real_images(media).select(
+        "media_id", "out_w", "out_h", "resized_sum"
+    )
+
+
+def _m05_oracle() -> str:
+    """The composed retrieval oracle: real-decode features (exact
+    rationals — see `extract_real_features`) assembled into ordered
+    per-document arrays, then s01's brute-force fold-cosine top-k."""
+    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql
+
+    return f"""
+    WITH {_feats_cte()},
+    farr AS (
+      SELECT doc_id, list(v ORDER BY dim) AS fe FROM feats GROUP BY doc_id
+    ),
+    q AS (SELECT doc_id AS query_id, fe AS qe FROM farr
+          WHERE doc_id < {M05_N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, f.doc_id AS neighbor_id,
+             {_cosine_sql('q.qe', 'f.fe')} AS sim
+      FROM q JOIN farr f ON f.doc_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {M05_TOP_K}
+"""
+
+
+@register(
+    "m05_visual_knn", oracle=_m05_oracle(), tags=("multimodal", "similarity", "knn")
+)
+def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal retrieval pipeline on REAL bytes:
+    container payloads → magic-dispatched pure-stdlib decode →
+    measured feature vectors (m02's stage) → brute-force cosine
+    top-{M05_TOP_K} in feature space (s01's broadcast-probe shape).
+    Every Spark-side mechanism — binary columns, Arrow batching,
+    broadcast probes, window top-k — is the production one, and the
+    oracle replays the decoded-unit features and the sequential-fold
+    cosines value-for-value, so the composed scores hash-match across
+    engines. At 100 TB the brute-force stage swaps for s02's LSH
+    index probe over the same feature column."""
+    from pyspark.sql import Window as W
+
+    from fsharp_mapreduce_spark.functions.similarity import cosine
+
+    media = documents_as_real_media(spark, sf_dir)
+    # persist: the feature table feeds both the probe side and the
+    # corpus side of the join; without it the Arrow decode stage runs
+    # twice.
+    feats = scoped_persist(
+        extract_real_features(media).select("media_id", "features")
+    )
+    q = feats.where(F.col("media_id") < M05_N_QUERIES).select(
+        F.col("media_id").alias("query_id"), F.col("features").alias("qe")
+    )
+    scored = feats.join(
+        F.broadcast(q), F.col("media_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("media_id").alias("neighbor_id"),
+        cosine(F.col("qe"), F.col("features")).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= M05_TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )

@@ -11,12 +11,8 @@ import math
 import pytest
 
 from fsharp_mapreduce_spark.functions.multimodal import (
-    FRAME_STRIDE,
     decode_image,
     documents_as_media,
-    extract_features,
-    fake_features,
-    sample_frames,
 )
 from tests.conftest import SF_SMOKE
 
@@ -40,48 +36,138 @@ def test_media_schema(spark):
     }
 
 
-def test_feature_extraction_matches_local_stub(spark):
-    """The distributed mapInPandas path must agree byte-for-byte with
-    a driver-local call of the same stub on the same payloads."""
-    media = documents_as_media(spark, SF_SMOKE).limit(20)
-    local = {
-        r.media_id: fake_features(bytes(r.payload)).tolist()
-        for r in media.collect()
-    }
-    dist = {r.media_id: r.features for r in extract_features(media).collect()}
+def test_real_media_fixture_schema_and_formats(spark):
+    """The real-media fixture: schema matches MEDIA_SCHEMA, every
+    payload's magic bytes agree with the residue-assigned format, and
+    the meta column carries the encoder's declared dimensions."""
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        _CODECS,
+        documents_as_real_media,
+        sniff_codec,
+    )
+
+    media = documents_as_real_media(spark, SF_SMOKE)
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    rows = media.limit(40).collect()
+    assert rows
+    for r in rows:
+        codec = _CODECS[r.media_id % 4]
+        assert sniff_codec(bytes(r.payload)) == codec
+        assert r.meta.format == codec
+
+
+def test_container_constants_match_encoders():
+    """_CONTAINER_BYTES/_N_UNITS are format arithmetic used by the m01
+    oracle — pin them to the actual encoder output so a header change
+    cannot silently desynchronize the oracle."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        _CONTAINER_BYTES,
+        _N_UNITS,
+        AVI_FRAMES,
+        AVI_H,
+        AVI_W,
+        WAV_SAMPLES,
+        encode_avi_gray,
+        encode_bmp_gray,
+        encode_wav_pcm16,
+        BMP_SIDE,
+    )
+
+    assert _CONTAINER_BYTES["bmp"] == len(
+        encode_bmp_gray(np.zeros((BMP_SIDE, BMP_SIDE), dtype=np.uint8))
+    )
+    assert _CONTAINER_BYTES["wav"] == len(
+        encode_wav_pcm16(np.zeros(WAV_SAMPLES, dtype="<i2"))
+    )
+    assert _CONTAINER_BYTES["avi"] == len(
+        encode_avi_gray(np.zeros((AVI_FRAMES, AVI_H, AVI_W), dtype=np.uint8))
+    )
+    assert _N_UNITS["wav"] == WAV_SAMPLES
+    assert _N_UNITS["avi"] == AVI_FRAMES * AVI_H * AVI_W
+
+
+def test_real_feature_extraction_matches_local_decode(spark):
+    """The distributed mapInPandas feature path must agree with a
+    driver-local decode of the same container bytes — and the decoded
+    features must differ from what the RAW payload bytes would give
+    (i.e. the decoders are really in the loop)."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        FEATURE_DIMS,
+        decode_real_units,
+        documents_as_real_media,
+        extract_real_features,
+    )
+
+    media = documents_as_real_media(spark, SF_SMOKE).limit(20)
+    local = {}
+    for r in media.collect():
+        _, units = decode_real_units(bytes(r.payload))
+        local[r.media_id] = [
+            float(units[w::FEATURE_DIMS].mean()) for w in range(FEATURE_DIMS)
+        ]
+    dist = {r.media_id: r.features for r in extract_real_features(media).collect()}
     assert set(dist) == set(local)
     for mid in local:
-        assert len(dist[mid]) == 16
-        assert all(
-            math.isclose(a, b, rel_tol=1e-6) for a, b in zip(dist[mid], local[mid])
-        )
-        assert all(0.0 <= v <= 1.0 for v in dist[mid])
+        assert len(dist[mid]) == FEATURE_DIMS
+        assert dist[mid] == local[mid]  # exact rationals, no tolerance
 
 
-def test_feature_extraction_partition_invariant(spark):
-    """Same answer at 1 and 8 partitions — no per-partition state leaks
-    through the Arrow batch boundary."""
-    media = documents_as_media(spark, SF_SMOKE)
-    one = {r.media_id: r.byte_len for r in extract_features(media.coalesce(1)).collect()}
-    many = {r.media_id: r.byte_len for r in extract_features(media.repartition(8)).collect()}
+def test_real_feature_extraction_partition_invariant(spark):
+    """Same answer at 1 and 8 partitions — no per-partition state
+    leaks through the Arrow batch boundary."""
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        documents_as_real_media,
+        extract_real_features,
+    )
+
+    media = documents_as_real_media(spark, SF_SMOKE)
+    one = {
+        r.media_id: r.features
+        for r in extract_real_features(media.coalesce(1)).collect()
+    }
+    many = {
+        r.media_id: r.features
+        for r in extract_real_features(media.repartition(8)).collect()
+    }
     assert one == many
 
 
-def test_frame_sampling_counts_and_digests(spark):
-    """Row-multiplying mapInPandas: n_frames = ceil(len/stride); each
-    frame digest equals a locally computed sha256 of that byte window."""
-    media = documents_as_media(spark, SF_SMOKE).limit(5)
+def test_real_frame_sampling_shapes(spark):
+    """Row-multiplying frame extraction on decoded media: AVI rows
+    yield AVI_FRAMES real container frames of H*W pixels, images one
+    full-grid frame, audio four fixed windows — and per-frame sums
+    match a local decode."""
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        _FRAME_UNITS,
+        AVI_FRAMES,
+        decode_real_units,
+        documents_as_real_media,
+        sample_real_frames,
+    )
+
+    media = documents_as_real_media(spark, SF_SMOKE).limit(12)
     payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
-    frames = sample_frames(media).collect()
+    frames = sample_real_frames(media).collect()
     by_media = {}
     for fr in frames:
-        by_media.setdefault(fr.media_id, {})[fr.frame_no] = fr.frame_digest
+        by_media.setdefault(fr.media_id, {})[fr.frame_no] = (
+            fr.n_units,
+            fr.frame_sum,
+        )
     for mid, body in payloads.items():
-        want_n = max(1, math.ceil(len(body) / FRAME_STRIDE))
+        kind, units = decode_real_units(body)
+        fsize = _FRAME_UNITS[kind]
+        want_n = (len(units) + fsize - 1) // fsize
         assert len(by_media[mid]) == want_n
-        for i in range(0, max(len(body), 1), FRAME_STRIDE):
-            want = hashlib.sha256(body[i : i + FRAME_STRIDE]).hexdigest()
-            assert by_media[mid][i // FRAME_STRIDE] == want
+        if kind == "avi":
+            assert want_n == AVI_FRAMES
+        for fno in range(want_n):
+            window = units[fno * fsize : (fno + 1) * fsize]
+            assert by_media[mid][fno] == (len(window), int(window.sum()))
 
 
 def test_metadata_scan_prunes_payload(spark):
@@ -91,39 +177,68 @@ def test_metadata_scan_prunes_payload(spark):
     """
     import tempfile
 
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        documents_as_real_media,
+    )
+
     d = tempfile.mkdtemp(prefix="fsmr_media_")
-    documents_as_media(spark, SF_SMOKE).write.mode("overwrite").parquet(d)
+    documents_as_real_media(spark, SF_SMOKE).write.mode("overwrite").parquet(d)
     df = spark.read.parquet(d).select("media_id", "meta.media_type")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, plan
 
 
-def test_resize_matches_local_stub(spark):
+def test_real_resize_matches_local_decode(spark):
     """The distributed resize path must agree byte-for-byte with a
-    driver-local nearest-neighbor downsample of the same payloads."""
+    driver-local decode + nearest-neighbor downsample, only image
+    rows (BMP/PNG residues) reach the Python stage, and the emitted
+    buffer is the actual sampled pixel grid."""
     import numpy as np
 
-    from fsharp_mapreduce_spark.functions.multimodal import resize_media
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        BMP_SIDE,
+        PNG_SIDE,
+        RESIZE_TARGET,
+        decode_real_units,
+        documents_as_real_media,
+        resize_real_images,
+    )
 
-    media = documents_as_media(spark, SF_SMOKE).limit(20)
-
-    def local_resize(body: bytes, target: int = 8) -> tuple[int, bytes]:
-        side = int(len(body) ** 0.5)
-        out = min(target, side)
-        if out == 0:
-            return 0, b""
-        arr = np.frombuffer(body[: side * side], dtype=np.uint8).reshape(side, side)
-        idx = (np.arange(out) * side) // out
-        return out, arr[np.ix_(idx, idx)].tobytes()
-
-    local = {r.media_id: local_resize(bytes(r.payload)) for r in media.collect()}
-    dist = {r.media_id: r for r in resize_media(media).collect()}
-    assert set(dist) == set(local)
-    for mid, (out, buf) in local.items():
+    media = documents_as_real_media(spark, SF_SMOKE).limit(20)
+    local = {}
+    for r in media.collect():
+        if r.media_id % 4 not in (0, 3):
+            continue
+        kind, units = decode_real_units(bytes(r.payload))
+        side = BMP_SIDE if kind == "bmp" else PNG_SIDE
+        arr = units.reshape(side, side)
+        idx = (np.arange(RESIZE_TARGET) * side) // RESIZE_TARGET
+        sampled = arr[np.ix_(idx, idx)]
+        local[r.media_id] = (int(sampled.sum()), sampled.astype(np.uint8).tobytes())
+    dist = {r.media_id: r for r in resize_real_images(media).collect()}
+    assert set(dist) == set(local)  # non-image rows filtered out
+    for mid, (s, buf) in local.items():
         row = dist[mid]
-        assert (row.out_w, row.out_h) == (out, out)
-        assert row.out_bytes == len(buf) == out * out
+        assert (row.out_w, row.out_h) == (RESIZE_TARGET, RESIZE_TARGET)
+        assert row.resized_sum == s
         assert bytes(row.resized) == buf
+
+
+def test_m01_sniffs_codec_jvm_side(spark):
+    """m01's codec column is computed from the payload MAGIC BYTES by
+    JVM expressions (no Python stage after the fixture encode) and
+    always agrees with the residue assignment."""
+    from fsharp_mapreduce_spark.functions.multimodal import _CODECS
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["m01_multimodal_meta"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.codec == _CODECS[r.media_id % 4]
+        if r.codec == "png":
+            assert r.byte_len is None  # deflate-dependent, no closed form
+        else:
+            assert r.byte_len is not None
 
 
 # --- real BMP codec path (m06, VERDICT r4 #6) -----------------------
