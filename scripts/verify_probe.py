@@ -39,13 +39,22 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # The gate contract is the VANILLA session (default 1g heap) — do
+    # not set memory unless asked. Decade-up sweeps (sf0.5+) need a
+    # JVM sized for the data: exact-percentile object-agg state (q29,
+    # by design the bounded-memory q37's unbounded twin) measurably
+    # OOMs a 1g heap at sf0.5 — an executor-sizing property, not a
+    # correctness one.
+    mem = os.environ.get("SPARK_GRAFT_PROBE_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     # overridable for cross-SF sweeps (SURVEY §9 pattern): e.g.
