@@ -409,6 +409,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # cohort retention matrix (round-5 addition, q-family fold;
         # q01 keeps the aggregation-family slot)
         "q57_cohort_retention",
+        # snapshot diff / CDC delta (round-6 addition, q-family fold;
+        # q58's merge lifecycle keeps the CDC-family slot)
+        "q61_snapshot_diff",
     }
 )
 

@@ -192,3 +192,135 @@ def q60_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_pre_evolution"),
         _rnd(F.sum(F.coalesce(F.col("acctbal"), F.lit(0.0)))).alias("total_bal"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Diff two snapshots of a keyed table — the change-data feed a
+    downstream consumer derives when the upstream has no CDC log:
+    one FULL OUTER join on the keys classifies every key as
+    ``added`` / ``deleted`` / ``changed`` / ``unchanged`` (attribute
+    compare via eqNullSafe, so NULL→NULL is unchanged and NULL→value
+    is a change). Returns key columns + status + each compared
+    column's old/new pair (``old_<c>``, ``new_<c>``).
+
+    At 100 TB: the join carries only keys + compared columns (callers
+    project first), both sides shuffle once on the key — or zero
+    times when the snapshots are bucketed by key (`write_bucketed`),
+    which is how a nightly diff over versioned snapshots should be
+    laid out. Duplicate keys in either snapshot are refused loudly
+    (a diff at key grain is meaningless under duplicates — same
+    discipline as merge_upsert/scd2_upsert)."""
+    for side, df in (("old", old), ("new", new)):
+        dup = df.groupBy(*key_cols).count().where(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(
+                f"snapshot_diff: {side} snapshot has duplicate keys on "
+                f"{key_cols} — diff at key grain is undefined"
+            )
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k) for k in key_cols
+    ]
+    pairs = [c for cc in compare_cols for c in (f"old_{cc}", f"new_{cc}")]
+    return joined.select(*keys, status.alias("status"), *pairs)
+
+
+@register(
+    "q61_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey AS k, ROUND(c_acctbal, 2) AS bal FROM customer
+    ),
+    new AS (
+      SELECT k,
+             CASE WHEN k % 13 = 0 THEN ROUND(bal + 50, 2) ELSE bal END AS bal
+      FROM old WHERE k % 17 <> 0
+      UNION ALL
+      SELECT k + 10000000, 42.42 FROM old WHERE k % 19 = 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'added'
+                  WHEN n.k IS NULL THEN 'deleted'
+                  WHEN o.bal = n.bal THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             o.bal AS old_bal, n.bal AS new_bal
+      FROM old o FULL JOIN new n ON o.k = n.k
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(COALESCE(new_bal, old_bal)), 4) AS total_bal,
+           ROUND(SUM(CASE WHEN status = 'changed'
+                          THEN new_bal - old_bal ELSE 0 END), 4) AS net_delta
+    FROM diff GROUP BY status
+    """,
+    tags=("lifecycle", "cdc", "diff", "snapshot"),
+)
+def q61_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`snapshot_diff` on two deterministic versions of the customer
+    dimension (every 17th key deleted, every 13th survivor's balance
+    +50, a 42.42-balance insert per 19th key): the per-status audit a
+    nightly diff job emits — counts, balance totals, and the net
+    changed-row delta. The oracle restates both snapshots and the
+    FULL JOIN classification directly, so the hash proves the diff
+    semantics (added/deleted/changed/unchanged partitioning AND the
+    old/new value pairing), not just counts."""
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    )
+    new = (
+        base.where(F.col("k") % 17 != 0)
+        .select(
+            "k",
+            F.when(F.col("k") % 13 == 0, F.round(F.col("bal") + 50, 2))
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            base.where(F.col("k") % 19 == 0).select(
+                (F.col("k") + 10_000_000).alias("k"), F.lit(42.42).alias("bal")
+            )
+        )
+    )
+    diff = snapshot_diff(base, new, ["k"], ["bal"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _rnd(F.sum(F.coalesce("new_bal", "old_bal"))).alias("total_bal"),
+        _rnd(
+            F.sum(
+                F.when(
+                    F.col("status") == "changed",
+                    F.col("new_bal") - F.col("old_bal"),
+                ).otherwise(F.lit(0.0))
+            )
+        ).alias("net_delta"),
+    )

@@ -532,3 +532,36 @@ def test_read_evolved_unions_schemas_and_keeps_pushdown(spark, tmp_path):
     filtered = df.where(F.col("id") > 2).select("id", "b")
     assert "id" in " ".join(pushed_filters(filtered))
     assert {r["id"] for r in filtered.collect()} == {3, 4}
+
+
+def test_snapshot_diff_semantics_and_guards(spark):
+    """snapshot_diff: full added/deleted/changed/unchanged partition,
+    eqNullSafe attribute compare (NULL→NULL unchanged, NULL→value
+    changed), old/new value pairing, duplicate-key refusal."""
+    import pytest
+
+    from fsharp_mapreduce_spark.sources.lifecycle import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k long, v string"
+    )
+    got = {r.k: (r.status, r.old_v, r.new_v) for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got[1] == ("unchanged", "a", "a")
+    assert got[2] == ("changed", "b", "B")
+    assert got[3] == ("unchanged", None, None)  # NULL == NULL under eqNullSafe
+    assert got[4] == ("deleted", "d", None)
+    assert got[5] == ("added", None, "e")
+
+    # NULL -> value must be 'changed', not 'unchanged'
+    new2 = spark.createDataFrame([(3, "now-set")], "k long, v string")
+    got2 = {r.k: r.status for r in
+            snapshot_diff(old.where("k = 3"), new2, ["k"], ["v"]).collect()}
+    assert got2[3] == "changed"
+
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snapshot_diff(dup, new, ["k"], ["v"])
