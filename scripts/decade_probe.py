@@ -42,6 +42,12 @@ DEFAULT = [
 def main() -> None:
     sf5_dir = sys.argv[1]
     names = sys.argv[2:] or DEFAULT
+    # data ratio vs the sf0.1 base, parsed from a trailing sfX.Y in
+    # the dir name (gen_sf.py convention); default 5x (sf0.5)
+    import re
+
+    m = re.search(r"sf(\d+(?:\.\d+)?)$", sf5_dir.rstrip("/"))
+    data_x = (float(m.group(1)) / 0.1) if m else 5.0
 
     from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
     from fsharp_mapreduce_spark.session import get_spark
@@ -52,7 +58,7 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name].fn
         out = {"query": name}
-        for label, sf_dir in (("sf0.1_sec", BASE), ("sf0.5_sec", sf5_dir)):
+        for label, sf_dir in (("sf0.1_sec", BASE), ("sf0.5_sec", sf5_dir)):  # label kept stable; data_x says the real ratio
             # one warm-up (JIT), then median of 3 cold runs
             spark.catalog.clearCache()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -63,8 +69,9 @@ def main() -> None:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 samples.append(time.time() - t0)
             out[label] = round(sorted(samples)[1], 4)
+        out["data_x"] = data_x
         out["time_x"] = round(out["sf0.5_sec"] / out["sf0.1_sec"], 2)
-        out["per_row_x"] = round(out["time_x"] / 5.0, 2)
+        out["per_row_x"] = round(out["time_x"] / data_x, 2)
         print(json.dumps(out), flush=True)
 
 

@@ -183,11 +183,21 @@ def main() -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    # embeddings: 10 gaussian clusters in 64-dim (label = cluster)
+    # embeddings: ISOTROPIC gaussian vectors with label as a random
+    # tag — matching the driver fixture's measured geometry
+    # (within-label cosine ~0.0; an earlier clustered draft with
+    # within-cluster cosine 0.76 made every LSH bucket capture a
+    # whole O(n)-sized cluster and skewed s07's decade curve) — plus
+    # ~2% planted near-duplicates (copy + small noise) so the
+    # embedding-dedup family has genuine positives
     n_vec = n_of(2_000)
-    centers = rng.normal(0, 0.15, (10, 64))
     labels = rng.integers(0, 10, n_vec)
-    vecs = (centers[labels] + rng.normal(0, 0.08, (n_vec, 64))).astype(np.float32)
+    vecs = rng.normal(0, 0.12, (n_vec, 64))
+    n_dup = n_vec // 50
+    dup_src = rng.integers(0, n_vec, n_dup)
+    dup_dst = rng.integers(0, n_vec, n_dup)
+    vecs[dup_dst] = vecs[dup_src] + rng.normal(0, 0.005, (n_dup, 64))
+    vecs = vecs.astype(np.float32)
     write(out_dir, "embeddings", pa.table({
         "vec_id": pa.array(np.arange(n_vec), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
