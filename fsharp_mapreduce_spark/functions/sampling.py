@@ -264,3 +264,84 @@ def t38_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-pass permutation equals the single-node sort."""
     docs = table(spark, sf_dir, "documents")
     return deterministic_shuffle(docs)
+
+
+# t39: deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES) —
+# the quality-weighted complement to t13/t14's uniform hash-bernoulli:
+# row i gets key u_i^(1/w_i) (equivalently ln(u_i)/w_i, monotone) with
+# u_i a pure hash-uniform in (0,1], and the sample is the top-k keys.
+# Inclusion probability is proportional to weight WITHOUT replacement
+# (the A-ES guarantee) yet the sample stays a pure function of the row
+# key — rerun/engine/partitioning-invariant like every sampler here.
+WEIGHTED_SAMPLE_K = 200
+WEIGHTED_SEED = 7
+
+
+def weighted_sample(
+    df: DataFrame, key, weight, k: int = WEIGHTED_SAMPLE_K, seed: int = WEIGHTED_SEED
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted reservoir sampling as a DataFrame
+    op: score = ln(u)/w with u = (md5_hash(seed‖key)+1)/M31 ∈ (0,1],
+    take the k largest scores. Deterministic (no RNG state) and
+    distributed as TakeOrderedAndProject — per-partition heaps of k,
+    driver merge, no global sort. Scores are ranked ROUNDED to 12 dp
+    (house membership-stability rule: Spark's Math.log and DuckDB's
+    libm ln may differ in the last ulp — ~1e-15 relative — so ranking
+    raw doubles could flip the k-boundary across engines; the 1e-12
+    grain is far above ulp noise and far below score spacing), with
+    the key as tiebreak. At 100 TB this is the quality-weighted
+    corpus-selection primitive: weights come from a scoring pass
+    (t06/t20/t21) and the sample is auditable row by row."""
+    h = md5_int_hash(F.concat_ws("|", F.lit(str(seed)), key.cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(M31))
+    w = F.greatest(weight.cast("double"), F.lit(1.0))
+    # + 0.0 normalizes IEEE negative zero (a tiny negative score
+    # rounds to -0.0 in DuckDB but 0.0 in Spark — the %.9g canonical
+    # form renders them differently, and a total-order sort could
+    # even rank them apart); -0.0 + 0.0 == +0.0 exactly
+    score = F.round(F.log(u) / w, 12) + F.lit(0.0)
+    return (
+        df.withColumn("_ws_score", score)
+        .orderBy(F.col("_ws_score").desc(), key)
+        .limit(k)
+    )
+
+
+@register(
+    "t39_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, GREATEST(n_chars, 1) AS w,
+             ROUND(
+               ln((('0x' || substr(md5('{WEIGHTED_SEED}' || '|' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                    % {M31} + 1) / {M31}.0)
+               / GREATEST(n_chars, 1), 12) + 0 AS s
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, lang, w, s FROM scored
+      ORDER BY s DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}
+    )
+    SELECT doc_id, lang,
+           CAST(w AS BIGINT) AS weight,
+           ROUND(s, 6) + 0 AS score
+    FROM top
+    """,
+    tags=("sampling", "weighted", "training"),
+)
+def t39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`weighted_sample` over documents with n_chars as the weight —
+    longer (higher-value) documents are proportionally likelier to be
+    selected, without replacement, yet membership is a pure hash
+    function of doc_id. The oracle replays u, ln(u)/w and the rounded
+    ranking value-for-value, so the hash match pins the exact sample
+    MEMBERSHIP, not just its size. Emitted score is display-rounded
+    to 6 dp on both engines."""
+    docs = table(spark, sf_dir, "documents")
+    top = weighted_sample(docs, F.col("doc_id"), F.col("n_chars"))
+    return top.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint").alias("weight"),
+        (F.round("_ws_score", 6) + F.lit(0.0)).alias("score"),
+    )

@@ -312,6 +312,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m07_wav_decode_stats": "m10_codec_dispatch",
     "m08_avi_decode_stats": "m10_codec_dispatch",
     "m09_png_decode_stats": "m10_codec_dispatch",
+    # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
+    # weighted reservoir — the quality-weighted member of the
+    # deterministic sampling family; round-6 addition, pytest-only
+    # per the cadence); t27 holds the sampling-family slot
+    "t39_weighted_sample": "t27_mixture_rebalance",
     # simhash family (r6, making room for the q58-q60 lifecycle
     # queries): t11 (the banded pair join, driver-green r2–r5) keeps
     # the slot; t04, which emits the signatures t11 pairs on

@@ -983,3 +983,42 @@ def test_deterministic_shuffle_is_seeded_permutation(spark):
     }
     assert sorted(c.values()) == list(range(1, n + 1))
     assert c != a
+
+
+def test_t39_weighted_sample_bias_and_determinism(spark):
+    """weighted_sample (Efraimidis-Spirakis): selection probability
+    must track the weight — rows with 20x the weight of their peers
+    should be strongly overrepresented vs their population share —
+    and membership must be a pure function of the key (identical at 1
+    and 8 partitions, identical across calls)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions.sampling import weighted_sample
+
+    # 2000 rows: 10% heavy (w=200), 90% light (w=10)
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(200)).otherwise(F.lit(10)).alias("w"),
+    )
+    top = weighted_sample(df, F.col("id"), F.col("w"), k=200)
+    heavy = top.where(F.col("w") == 200).count()
+    # heavy rows hold 200*200/(200*200+1800*10) ≈ 69% of total weight
+    # but only 10% of rows; A-ES inclusion should land far above the
+    # uniform 10% share (loose floor at 35% to stay flake-proof)
+    assert heavy > 70, heavy
+
+    one = {r.id for r in weighted_sample(df.coalesce(1), F.col("id"), F.col("w"), k=200).collect()}
+    many = {r.id for r in weighted_sample(df.repartition(8), F.col("id"), F.col("w"), k=200).collect()}
+    again = {r.id for r in top.collect()}
+    assert one == many == again
+
+
+def test_t39_plan_is_takeordered(spark):
+    """The k-selection must plan as TakeOrderedAndProject (partition
+    heaps + driver merge) — no global sort, no single-partition
+    exchange."""
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    df = QUERIES["t39_weighted_sample"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
