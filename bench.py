@@ -66,6 +66,7 @@ HEADLINE = [
     "q58_merge_upsert_lifecycle",
     "q59_zorder_lifecycle",
     "q60_schema_evolution_read",
+    "q62_sole_late_supplier",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
@@ -94,6 +95,7 @@ HEADLINE = [
     "t30_incremental_dedup",
     "t33_leakage_safe_split",
     "t34_fuzzy_match",
+    "t40_bpe_merges",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -120,6 +122,7 @@ HEADLINE = [
     "m06_bmp_decode_stats",
     "m09_png_decode_stats",
     "m10_codec_dispatch",
+    "m11_scene_cut_detection",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -1630,3 +1630,148 @@ def m05_visual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= M05_TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
+
+
+# --- m11: temporal video analysis — scene-cut detection on real AVI bytes --
+
+# Per-frame pixel count is 80; adjacent independent-digest frames
+# differ by ~E|U−U'| ≈ 85 per pixel ⇒ E[frame diff] ≈ 6800. The
+# threshold sits at that expectation so the fixture exercises BOTH
+# branches (cut / no-cut) across documents AND within one video.
+# Frame f's pixels tile sha256(payload ‖ str(f)) — per-frame digests,
+# NOT one tiled stream: with the m06/m08 single-digest tiling, 80 ≡ 16
+# (mod 32) and |d[(j+16)%32]−d[j]|'s 16-periodicity make every
+# adjacent-frame energy IDENTICAL within a video, collapsing the
+# cut/no-cut decision to one bit per doc.
+SCENE_CUT_THRESHOLD = 6800
+
+M11_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("n_cuts", T.IntegerType(), False),
+        T.StructField("total_motion", T.LongType(), False),
+        T.StructField("max_frame_diff", T.LongType(), False),
+    ]
+)
+
+
+def scene_cut_stats(
+    media: DataFrame, threshold: int = SCENE_CUT_THRESHOLD
+) -> DataFrame:
+    """Temporal video analysis over REAL container bytes (mapInPandas,
+    map-only, zero shuffle): each payload is encoded as a genuine
+    multi-frame AVI ({AVI_FRAMES}×{AVI_H}×{AVI_W}, the m08 geometry),
+    parsed back by `decode_avi` (RIFF walk, stride + bottom-up undo),
+    and the per-adjacent-frame motion energy Σ|frame[f+1] − frame[f]|
+    is measured on the PARSED frames — a scene cut is a frame
+    transition whose energy exceeds ``threshold``. This is the
+    frame-differencing primitive of a video-curation pipeline
+    (shot-boundary detection, static-clip filtering) running where the
+    data lives instead of collecting payloads to a driver. Any defect
+    in the container walk, row order, or stride padding shifts the
+    energy and breaks the analytic oracle."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nc, tm, mx = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hw = AVI_H * AVI_W
+                stacked = np.stack(
+                    [
+                        np.frombuffer(
+                            (
+                                hashlib.sha256(
+                                    (payload or b"") + str(f).encode()
+                                ).digest()
+                                * (hw // 32 + 1)
+                            )[:hw],
+                            dtype=np.uint8,
+                        ).reshape(AVI_H, AVI_W)
+                        for f in range(AVI_FRAMES)
+                    ]
+                )
+                avi = encode_avi_gray(stacked)
+                frames, _fps = decode_avi(avi)
+                d = np.abs(
+                    frames[1:].astype(np.int64) - frames[:-1].astype(np.int64)
+                ).sum(axis=(1, 2))
+                ids.append(mid)
+                nf.append(frames.shape[0])
+                nc.append(int((d > threshold).sum()))
+                tm.append(int(d.sum()))
+                mx.append(int(d.max()) if d.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": pd.array(nf, dtype="int32"),
+                    "n_cuts": pd.array(nc, dtype="int32"),
+                    "total_motion": pd.array(tm, dtype="int64"),
+                    "max_frame_diff": pd.array(mx, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, M11_SCHEMA)
+
+
+def _m11_oracle() -> str:
+    """Analytic replica: frame f's pixels tile sha256(text ‖ str(f)),
+    so each (doc, frame) digest — and from it every adjacent-frame
+    energy — is reconstructed from hex arithmetic alone, independently
+    of the AVI container layer the Spark side must round-trip."""
+    hw = AVI_H * AVI_W
+
+    def byte_at(hx: str, idx: str) -> str:
+        hv = f"(strpos('0123456789abcdef', substr({hx}, {{p}}, 1)) - 1)"
+        pos_hi = f"2*(({idx}) % 32) + 1"
+        pos_lo = f"2*(({idx}) % 32) + 2"
+        return f"({hv.format(p=pos_hi)} * 16 + {hv.format(p=pos_lo)})"
+
+    return f"""
+    WITH fr(f) AS (SELECT unnest(generate_series(0, {AVI_FRAMES - 1}))),
+    frames AS (
+      SELECT doc_id, f, sha256(text || CAST(f AS VARCHAR)) AS hx
+      FROM documents CROSS JOIN fr
+    ),
+    px(p) AS (SELECT unnest(generate_series(0, {hw - 1}))),
+    cells AS (
+      SELECT a.doc_id, a.f,
+             ABS({byte_at("b.hx", "p")} - {byte_at("a.hx", "p")}) AS d
+      FROM frames a
+      JOIN frames b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+      CROSS JOIN px
+    ),
+    diffs AS (
+      SELECT doc_id, f, SUM(d) AS energy FROM cells GROUP BY 1, 2
+    )
+    SELECT doc_id AS media_id,
+           CAST({AVI_FRAMES} AS INTEGER) AS n_frames,
+           CAST(SUM(CASE WHEN energy > {SCENE_CUT_THRESHOLD} THEN 1 ELSE 0 END) AS INTEGER) AS n_cuts,
+           CAST(SUM(energy) AS BIGINT) AS total_motion,
+           CAST(MAX(energy) AS BIGINT) AS max_frame_diff
+    FROM diffs GROUP BY 1
+"""
+
+
+@register(
+    "m11_scene_cut_detection",
+    oracle=_m11_oracle(),
+    tags=("multimodal", "avi", "video", "temporal", "decode"),
+)
+def m11_scene_cut_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the AVI fixture: the m-family's
+    first TEMPORAL analysis — where m08 verifies the container
+    round-trip and m03 samples frames, m11 computes a cross-frame
+    signal (adjacent-frame motion energy and cuts above
+    {SCENE_CUT_THRESHOLD}) on the decoder's output. Map-only plan:
+    one Arrow projection per split, no exchanges beyond the fixture
+    fan_out; at 100 TB of video the work scales with payload bytes
+    and parallelizes per file with zero shuffle. The oracle rebuilds
+    every frame's pixels from the sha256 digest arithmetic and
+    replays the energy sums, so a hash match pins the full
+    encode→parse→diff pipeline value-for-value."""
+    media = documents_as_media(spark, sf_dir)
+    return scene_cut_stats(media)

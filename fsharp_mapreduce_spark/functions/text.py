@@ -1950,3 +1950,166 @@ def t37_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % NOVELTY_BATCH_MOD == 0)
     reference = docs.where(F.col("doc_id") % NOVELTY_BATCH_MOD != 0)
     return ngram_novelty(reference, batch)
+
+
+# ---------------------------------------------------------------------------
+# t40: BPE merge induction — tokenizer TRAINING as a distributed op
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+
+
+def _bpe_merge_expr(s: Column, lft: str, rgt: str) -> Column:
+    """Apply one BPE merge (lft, rgt) → lft+rgt to a space-joined
+    symbol string with the double-space trick, which makes leftmost
+    non-overlapping string replacement EXACTLY equal to greedy
+    left-to-right pairwise symbol merging (property-tested against a
+    symbol-list reference in tests/test_dedup.py): doubling every
+    delimiter gives each adjacency a private space on both sides, so
+    consecutive merges in a run ('a a a a' → 'aa aa') don't starve
+    each other the way single-space patterns do. Same replace
+    semantics (leftmost, non-overlapping) in Spark, DuckDB, and
+    Python — the oracle replays the identical algebra."""
+    doubled = F.replace(F.concat(F.lit(" "), s, F.lit(" ")), F.lit(" "), F.lit("  "))
+    merged = F.replace(
+        doubled,
+        F.lit(f" {lft}  {rgt} "),
+        F.lit(f" {lft}{rgt} "),
+    )
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch
+    2016, ACL — "Neural Machine Translation of Rare Words with Subword
+    Units") as a distributed pipeline. The corpus-scale work happens
+    ONCE: explode to whitespace words and hash-aggregate to a
+    (word, count) table — the only fact-sized shuffle. Every merge
+    round then runs on the DISTINCT-WORD table (≈10⁷ rows at web
+    scale, independent of corpus size — the property that makes BPE
+    trainable on 100 TB at all): count adjacent symbol pairs weighted
+    by word frequency (slice+zip_with, JVM-side), pick the argmax with
+    a deterministic (count DESC, pair ASC) tie-break — a 1-row bounded
+    collect per round, the same audited scalar-collect pattern as the
+    sketch audits — and rewrite the symbol strings with
+    `_bpe_merge_expr` (a narrow map; no shuffle per round). No
+    end-of-word marker (the documented variant): merges never cross
+    word boundaries because each row IS one word.
+
+    Returns the trained merge table — (round_id, left_sym, right_sym,
+    merged, pair_count), ``rounds`` rows — i.e. the tokenizer itself,
+    in merge-priority order."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            F.array_join(
+                F.filter(F.split("w", ""), lambda x: x != F.lit("")), " "
+            ).alias("s"),
+            "cnt",
+        )
+    )
+    words = scoped_persist(words)
+    out_rows: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    for r in range(1, rounds + 1):
+        pairs = cur.select(
+            F.expr(
+                "explode(zip_with("
+                "  slice(split(s, ' '), 1, size(split(s, ' ')) - 1),"
+                "  slice(split(s, ' '), 2, size(split(s, ' ')) - 1),"
+                "  (x, y) -> struct(x AS lft, y AS rgt)))"
+            ).alias("p"),
+            "cnt",
+        ).select("p.lft", "p.rgt", "cnt")
+        best = (
+            pairs.groupBy("lft", "rgt")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.col("pc").desc(), "lft", "rgt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lft, rgt, pc = best[0]["lft"], best[0]["rgt"], int(best[0]["pc"])
+        out_rows.append((r, lft, rgt, lft + rgt, pc))
+        cur = cur.select(_bpe_merge_expr(F.col("s"), lft, rgt).alias("s"), "cnt")
+    return spark.createDataFrame(
+        out_rows,
+        "round_id bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _t40_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled replica: one chained CTE block per merge round —
+    DuckDB replays pair counting, the deterministic argmax, and the
+    double-space merge algebra on its own engine, so the value-hash
+    match covers every intermediate vocabulary state. Every CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and with words{{r}}
+    referenced twice per round the inlined chain re-evaluates the
+    corpus scan 2^rounds times (measured: >120 s at sf0.01 vs ~0.1 s
+    materialized)."""
+    parts = [
+        """
+    WITH words0 AS MATERIALIZED (
+      SELECT array_to_string(list_filter(string_split(w, ''), x -> x <> ''), ' ') AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    , pairs{r} AS MATERIALIZED (
+      SELECT l[i] AS lft, l[i + 1] AS rgt, SUM(cnt) AS pc
+      FROM (SELECT string_split(s, ' ') AS l, cnt FROM words{p})
+      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE i <= len(l) - 1
+      GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (
+      SELECT lft, rgt, pc FROM pairs{r} ORDER BY pc DESC, lft, rgt LIMIT 1
+    ),
+    words{r} AS MATERIALIZED (
+      SELECT trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+               (SELECT ' ' || lft || '  ' || rgt || ' ' FROM best{r}),
+               (SELECT ' ' || lft || rgt || ' ' FROM best{r})),
+             '  ', ' ')) AS s, cnt
+      FROM words{p}
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round_id, lft, rgt, pc FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(round_id AS BIGINT) AS round_id,
+           lft AS left_sym, rgt AS right_sym,
+           lft || rgt AS merged,
+           CAST(pc AS BIGINT) AS pair_count
+    FROM ({union})
+    ORDER BY round_id""")
+    return "".join(parts)
+
+
+@register(
+    "t40_bpe_merges",
+    oracle=_t40_oracle(),
+    tags=("text", "tokenizer", "bpe", "training"),
+)
+def t40_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_train` over the documents corpus: {BPE_ROUNDS} BPE merge
+    rounds, emitting the learned merge table in priority order — the
+    missing TRAINING half of the tokenizer story (t16/q35 apply
+    tokenizers; t40 learns one from corpus statistics). Deterministic
+    end to end: pair counts are exact integers and ties break
+    lexicographically, so Spark and the unrolled DuckDB replica must
+    agree on every round's argmax AND every intermediate vocabulary
+    rewrite — one wrong merge anywhere cascades into a different
+    round r+1 pair table and a hash mismatch."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return bpe_train(docs)

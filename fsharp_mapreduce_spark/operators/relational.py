@@ -1743,3 +1743,156 @@ def q57_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("month_offset"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q62: sole-late-supplier audit (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+Q62_LATE_DAYS = 365
+Q62_TOP_K = 25
+
+
+def sole_late_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    late_days: int = Q62_LATE_DAYS,
+    k: int = Q62_TOP_K,
+) -> DataFrame:
+    """TPC-H Q21 ("suppliers who kept orders waiting") re-expressed
+    without its classic double self-join. The textbook form correlates
+    lineitem against itself twice (EXISTS a co-supplier / NOT EXISTS a
+    late co-supplier) — two extra shuffles of the FACT table plus
+    per-row subquery semantics. Here both correlations collapse into
+    ONE per-order aggregate over the same join we already need:
+
+      n_supp = count(*)            over per-(order, supplier) rows  (≥2 ⇒ co-supplier)
+      n_late = count_if(late)      over the same rows               (=1 ⇒ sole late)
+
+    The fact table is read and shuffled ONCE: a per-(orderkey,
+    suppkey) pre-aggregate (map-side partial combine) collapses the
+    fact to supplier-participation grain, is scoped_persist'd, and
+    BOTH correlation consumers — the per-order qualifier and the
+    late-pair extraction — read that staged table instead of
+    re-scanning lineitem (a naive two-consumer lineage executes the
+    fact join twice; plan-pinned). Using plain count(*) on the
+    pre-aggregated grain also avoids countDistinct's Expand plan.
+    The final name lookup happens AFTER TakeOrderedAndProject: the
+    k-row result broadcasts against supplier/nation, never the
+    reverse — at TPC-H sf100k supplier is 1B rows and must not be
+    broadcast, while k stays 25.
+
+    The oracle is deliberately the OTHER formulation (EXISTS / NOT
+    EXISTS in DuckDB), so a hash match is evidence the aggregate
+    rewrite is semantics-preserving, not just self-consistent.
+    Reference contract: the generic fold kernel (Common.fs:23-45)
+    would need three chained map/reduce jobs for this shape.
+    """
+    o = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("is_late"),
+    )
+    from fsharp_mapreduce_spark.registry import scoped_persist
+
+    grp = scoped_persist(
+        j.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("is_late").alias("late")
+        )
+    )
+    per_order = (
+        grp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("late").cast("int")).alias("n_late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey")
+    )
+    late_pairs = grp.where("late").select("l_orderkey", "l_suppkey")
+    waits = (
+        late_pairs.join(per_order, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(k)
+    )
+    named = (
+        F.broadcast(waits)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return named.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        "n_name",
+        "numwait",
+    ).orderBy(F.col("numwait").desc(), "s_suppkey")
+
+
+@register(
+    "q62_sole_late_supplier",
+    oracle=f"""
+    WITH f AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL {Q62_LATE_DAYS} DAY AS is_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    w AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM f l1
+      WHERE l1.is_late
+        AND EXISTS (
+          SELECT 1 FROM f l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM f l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.is_late
+        )
+    ),
+    top AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      FROM w GROUP BY 1
+      ORDER BY numwait DESC, l_suppkey LIMIT {Q62_TOP_K}
+    )
+    SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, n.n_name, t.numwait
+    FROM top t
+    JOIN supplier s ON t.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY t.numwait DESC, s.s_suppkey
+    """,
+    tags=("join", "semi", "anti", "aggregate", "tpch"),
+)
+def q62_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sole_late_supplier` over the fixture: finished ('F') orders
+    where exactly one of ≥2 participating suppliers shipped >
+    {Q62_LATE_DAYS} days after the order date — that supplier "kept
+    the order waiting". Top-{Q62_TOP_K} suppliers by blocked-order
+    count, suppkey tiebreak (unique ordering; counts are integer-exact
+    so no rounding rules apply). The Spark plan aggregates the
+    correlation away (one fact shuffle); the oracle keeps TPC-H's
+    textbook EXISTS/NOT-EXISTS form — a value-hash match validates
+    the rewrite itself."""
+    return sole_late_supplier(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"),
+    )

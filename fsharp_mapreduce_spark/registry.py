@@ -222,6 +222,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # broadcast-gram-hash probe inverted) folds to t34, the r6
     # slot-holder for the gram-blocked candidate family
     "t37_ngram_novelty": "t34_fuzzy_match",
+    # ...and t40 (BPE merge induction — tokenizer training: the same
+    # explode→hash-agg corpus-statistics shape iterated on the
+    # distinct-word table; round-6 addition, pytest-only per the
+    # cadence) folds to the token-statistics slot-holder
+    "t40_bpe_merges": "t19_tfidf_top_terms",
     # quantized-ANN family (r6 rotation): s14 (product quantization —
     # 4-bit codes, ADC candidate rank, exact re-rank; the 128× end of
     # the compression ladder) takes the slot; s08 (int8 two-stage,
@@ -312,6 +317,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m07_wav_decode_stats": "m10_codec_dispatch",
     "m08_avi_decode_stats": "m10_codec_dispatch",
     "m09_png_decode_stats": "m10_codec_dispatch",
+    # ...and m11 (scene-cut detection: adjacent-frame motion energy on
+    # the parsed AVI frames — the family's first temporal analysis;
+    # round-6 addition, pytest-only per the cadence) runs the same
+    # map-only Arrow batch shape through the m08 decoder
+    "m11_scene_cut_detection": "m10_codec_dispatch",
     # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
     # weighted reservoir — the quality-weighted member of the
     # deterministic sampling family; round-6 addition, pytest-only
@@ -417,6 +427,11 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # snapshot diff / CDC delta (round-6 addition, q-family fold;
         # q58's merge lifecycle keeps the CDC-family slot)
         "q61_snapshot_diff",
+        # sole-late-supplier / TPC-H Q21 shape (round-6 addition,
+        # q-family fold; q03/q50 keep the join-family slots). The
+        # EXISTS + NOT-EXISTS double correlation rewritten as one
+        # per-order aggregate — oracle keeps the textbook form.
+        "q62_sole_late_supplier",
     }
 )
 

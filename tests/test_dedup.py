@@ -1022,3 +1022,111 @@ def test_t39_plan_is_takeordered(spark):
     df = QUERIES["t39_weighted_sample"].fn(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def _ref_list_merge(syms, a, b):
+    """Greedy left-to-right BPE pair merge on a symbol LIST — the
+    textbook definition the string algebra must reproduce."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _formula_merge(s, a, b):
+    """The double-space replace algebra of `_bpe_merge_expr`, in
+    Python (str.replace shares leftmost-non-overlapping semantics
+    with Spark's replace() and DuckDB's replace())."""
+    doubled = (" " + s + " ").replace(" ", "  ")
+    merged = doubled.replace(f" {a}  {b} ", f" {a}{b} ")
+    return merged.replace("  ", " ").strip()
+
+
+def test_bpe_merge_formula_equals_list_merge(spark):
+    """Property: the double-space string algebra == greedy pairwise
+    list merge for every sequence — including runs ('a a a a' must
+    merge to 'aa aa', the case the single-space pattern gets wrong by
+    consuming the shared delimiter) — exhaustively over all symbol
+    sequences of length ≤ 6 from a 2-symbol alphabet plus multi-char
+    symbol cases, then spot-checked THROUGH Spark's replace() to pin
+    engine semantics, not just Python's."""
+    from itertools import product
+
+    from fsharp_mapreduce_spark.functions.text import _bpe_merge_expr
+
+    cases = []
+    for n in range(1, 7):
+        for seq in product(["a", "b"], repeat=n):
+            cases.append((list(seq), "a", "b"))
+            cases.append((list(seq), "a", "a"))
+            cases.append((list(seq), "b", "a"))
+    cases += [
+        (["ab", "a", "b", "ab"], "a", "b"),
+        (["ab", "ab", "ab"], "ab", "ab"),
+        (["x", "ab", "ab", "y"], "ab", "ab"),
+    ]
+    for syms, a, b in cases:
+        want = " ".join(_ref_list_merge(syms, a, b))
+        got = _formula_merge(" ".join(syms), a, b)
+        assert got == want, (syms, a, b, got, want)
+
+    # Same algebra THROUGH Spark's replace(): one column per distinct
+    # merge pair, all cases in a single job.
+    spot = [(" ".join(s), a, b) for s, a, b in cases]
+    df = spark.createDataFrame([(s,) for s, _, _ in spot], "s string")
+    for a, b in sorted({(a, b) for _, a, b in spot}):
+        sub = sorted({s for s, aa, bb in spot if (aa, bb) == (a, b)})
+        got_rows = (
+            spark.createDataFrame([(s,) for s in sub], "s string")
+            .select("s", _bpe_merge_expr(F.col("s"), a, b).alias("m"))
+            .collect()
+        )
+        for r in got_rows:
+            assert r["m"] == _formula_merge(r["s"], a, b), (r["s"], a, b, r["m"])
+
+
+def test_t40_bpe_matches_pure_python_reference(spark):
+    """bpe_train on a planted corpus == a from-scratch Python BPE
+    (Sennrich-style word-frequency training with the same
+    (count DESC, pair ASC) tie-break). The reference builds its pair
+    counts from symbol LISTS — fully independent of the string
+    algebra and of SQL — so agreement pins the distributed pipeline's
+    semantics, not its implementation."""
+    from collections import Counter
+
+    from fsharp_mapreduce_spark.functions.text import bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest wide wider widest",
+        "low newer low wider newest lowest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    expected = []
+    for r in range(1, 6):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((r, a, b, a + b, n))
+        vocab = {w: _ref_list_merge(s, a, b) for w, s in vocab.items()}
+
+    got = [
+        (r["round_id"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, rounds=5).orderBy("round_id").collect()
+    ]
+    assert got == expected, (got, expected)

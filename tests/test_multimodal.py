@@ -653,3 +653,27 @@ def test_sniff_codec_identifies_all_four_and_rejects_unknown():
     )
     with pytest.raises(ValueError, match="unrecognized"):
         sniff_codec(b"GIF89a not supported")
+
+
+def test_m11_cuts_vary_within_and_across_videos(spark):
+    """m11: per-frame digests must make adjacent-frame energies
+    genuinely independent — across the fixture the cut count takes
+    BOTH extremes and interior values (the single-digest tiling this
+    replaced collapsed every video to all-or-nothing cuts: 80 ≡ 16
+    (mod 32) makes |d[(j+16)%32]−d[j]| 16-periodic, so all three
+    energies coincide), and max_frame_diff ≥ total_motion/3 holds
+    row-wise (sanity of the per-frame split)."""
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rows = (
+        QUERIES["m11_scene_cut_detection"]
+        .fn(spark, SF_SMOKE)
+        .limit(300)
+        .collect()
+    )
+    cuts = {r["n_cuts"] for r in rows}
+    assert cuts & {1, 2}, cuts  # interior values exist
+    assert len(cuts) >= 3, cuts
+    for r in rows:
+        assert r["n_frames"] == 4
+        assert r["max_frame_diff"] * 3 >= r["total_motion"], r

@@ -842,3 +842,35 @@ def test_q41_does_not_leak_recursion_limit(spark):
     df = q("q41_recursive_calendar", spark)
     assert df.count() > 0  # already materialized; count is cheap
     assert spark.conf.get(key, None) == before
+
+
+def test_q62_single_fact_pass_and_takeordered(spark):
+    """q62 (TPC-H Q21 shape): the aggregate rewrite must read the
+    lineitem⋈orders join ONCE — both correlation consumers (per-order
+    qualifier, late-pair extraction) come off the persisted
+    supplier-participation grain, not a second fact scan — the top-k
+    is TakeOrderedAndProject (per-partition heaps, no global sort of
+    the aggregate), and the k-row result broadcasts against
+    supplier/nation (never the reverse: supplier is 1B rows at TPC-H
+    sf100k). No Expand (countDistinct was aggregated away) and no
+    SinglePartition anywhere."""
+    df = q("q62_sole_late_supplier", spark)
+    p = formatted_plan(df)
+    # both correlation consumers read the persisted participation
+    # grain — the fact join materializes once, at cache fill
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert has_broadcast_join(df), p
+    assert "Expand" not in p, p
+    assert "SinglePartition" not in p, p
+    assert exchange_count(df) <= 6, p
+
+
+def test_m11_scene_cut_is_map_only(spark):
+    """m11 (temporal scene cuts): cross-FRAME analysis stays inside
+    one Arrow projection per split — frames of one video never span
+    partitions, so the adjacent-frame diff needs no shuffle. Same
+    map-only contract as the codec queries (≤1 exchange: the fixture
+    fan_out)."""
+    df = q("m11_scene_cut_detection", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
