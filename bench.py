@@ -117,6 +117,7 @@ HEADLINE = [
     "st13_stream_left_outer_join",
     "st15_stream_anti_join_dedup",
     "st16_stream_drift_audit",
+    "st18_stream_decayed_activity",
     "m01_multimodal_meta",
     "m03_frame_sample",
     "m06_bmp_decode_stats",

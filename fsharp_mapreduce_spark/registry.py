@@ -296,6 +296,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # t36's SQL) takes the slot; st12 (quality-filtered stream,
     # driver-green r5) folds
     "st12_stream_quality_filter": "st16_stream_drift_audit",
+    # arbitrary-stateful family: st04 (the applyInPandasWithState
+    # slot-holder) represents st18, the time-decayed activity fold —
+    # same keyed pandas state contract, with re-anchoring algebra
+    # instead of running totals (round-6 addition, pytest-only per
+    # the cadence)
+    "st18_stream_decayed_activity": "st04_stream_stateful_running_max",
     # stream-static join family (r6 rotation): st15 (LEFT ANTI
     # ingestion dedup against a static corpus — broadcast anti join
     # re-planned per trigger, no state store) takes the slot; st07

@@ -966,3 +966,109 @@ def st17_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(F.when(matched, F.col("p_value"))), F.lit(0.0)), 4
         ).alias("attributed_value"),
     )
+
+
+# --- st18: time-decayed activity scores (stateful decay fold) -------------
+
+DECAY_HALF_LIFE_US = 6 * 3600 * 1_000_000  # 6-hour half-life
+
+
+@register(
+    "st18_stream_decayed_activity",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(POWER(0.5,
+             ((SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) FROM events)
+              - epoch_us(CAST(ts AS TIMESTAMP))) / {DECAY_HALF_LIFE_US}.0)), 4)
+             AS decayed_activity
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "decay", "applyInPandasWithState"),
+)
+def st18_stream_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user activity — the freshness
+    signal behind trending/engagement scoring — folded ACROSS
+    micro-batches with applyInPandasWithState. State per user is three
+    scalars (decayed sum, its anchor timestamp, event count) no matter
+    how many billions of events the user emits: each batch is reduced
+    vectorized in numpy (exp2 over the batch's microsecond deltas) and
+    combined with the carried sum by re-anchoring both to the newer
+    anchor — algebra that is ORDER-INDEPENDENT (re-anchoring an
+    older-than-state batch multiplies by a factor > 1, still exact),
+    so no replay-order contract is needed, unlike the watermark
+    queries. The final emission per user (highest n, selected via
+    struct-max like st04) is re-anchored once more to the global max
+    event time, which is exactly the batch definition the oracle
+    states: Σ 0.5^((T_end − t_i)/half-life). Stream/batch parity with
+    a 6-hour half-life; doubles rounded 4 dp both sides."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev_batch = table(spark, sf_dir, "events")
+    t_end_us = ev_batch.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).first()[0]
+
+    staged = stage_as_chunked_files(
+        ev_batch, n_chunks=4, order_by=["ts"], memo_key=(sf_dir, "events-ordered")
+    )
+    ev = read_pull_stream(spark, staged)
+
+    out_schema = "user_id bigint, n_events bigint, sm double, anchor_us bigint"
+    state_schema = "sm double, anchor_us bigint, n bigint"
+
+    def fold(key, pdfs, state: GroupState):
+        import numpy as np
+
+        sm, anchor, n = state.get if state.exists else (0.0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            t = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            tmax = int(t.max())
+            contrib = float(
+                np.exp2(-(tmax - t).astype("float64") / DECAY_HALF_LIFE_US).sum()
+            )
+            if n == 0:
+                sm, anchor = contrib, tmax
+            else:
+                new_anchor = max(anchor, tmax)
+                sm = sm * 2.0 ** (-(new_anchor - anchor) / DECAY_HALF_LIFE_US) + (
+                    contrib * 2.0 ** (-(new_anchor - tmax) / DECAY_HALF_LIFE_US)
+                )
+                anchor = new_anchor
+            n += len(pdf)
+        state.update((sm, anchor, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sm": [sm],
+                "anchor_us": [anchor],
+            }
+        )
+
+    folded = ev.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = run_to_completion(folded, "st18_out", output_mode="update")
+    last = F.max(F.struct("n_events", "sm", "anchor_us")).alias("s")
+    return (
+        out.groupBy("user_id")
+        .agg(last)
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(
+                F.col("s.sm")
+                * F.pow(
+                    F.lit(0.5),
+                    (F.lit(t_end_us) - F.col("s.anchor_us"))
+                    / F.lit(float(DECAY_HALF_LIFE_US)),
+                ),
+                4,
+            ).alias("decayed_activity"),
+        )
+    )

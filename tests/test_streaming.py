@@ -661,3 +661,43 @@ def test_st17_stream_equals_batch_full_join(spark):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_st18_decay_fold_is_order_independent():
+    """st18's re-anchoring algebra: folding batches in ANY order gives
+    the same decayed sum as the direct Σ 0.5^((T_end − t_i)/H)
+    definition — including a batch OLDER than the carried anchor
+    (factor > 1 path). This is the property that frees st18 from the
+    replay-order contract the watermark queries need."""
+    import itertools
+
+    import numpy as np
+
+    from fsharp_mapreduce_spark.streaming.queries import DECAY_HALF_LIFE_US as H
+
+    rng = np.random.default_rng(7)
+    ts = np.sort(rng.integers(0, 48 * 3600 * 1_000_000, size=30))
+    t_end = int(ts.max()) + 3600 * 1_000_000
+    direct = float(np.exp2(-(t_end - ts).astype("float64") / H).sum())
+
+    batches = [ts[:10], ts[10:20], ts[20:]]
+
+    def fold_batches(order):
+        sm, anchor, n = 0.0, 0, 0
+        for b in order:
+            tmax = int(b.max())
+            contrib = float(np.exp2(-(tmax - b).astype("float64") / H).sum())
+            if n == 0:
+                sm, anchor = contrib, tmax
+            else:
+                na = max(anchor, tmax)
+                sm = sm * 2.0 ** (-(na - anchor) / H) + contrib * 2.0 ** (
+                    -(na - tmax) / H
+                )
+                anchor = na
+            n += len(b)
+        return sm * 2.0 ** (-(t_end - anchor) / H)
+
+    for perm in itertools.permutations(batches):
+        got = fold_batches(perm)
+        assert abs(got - direct) < 1e-9 * max(1.0, direct), (got, direct)
