@@ -108,6 +108,7 @@ HEADLINE = [
     "s10_label_cohesion",
     "s11_knn_ivf_index_probe",
     "s14_knn_pq",
+    "s19_knn_ivf_pq",
     "st01_stream_tumbling_agg",
     "st04_stream_stateful_running_max",
     "st05_stream_stream_join",

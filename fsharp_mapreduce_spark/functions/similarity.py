@@ -2193,3 +2193,188 @@ def s18_knn_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "ham", F.round("sim", 6).alias("sim"))
     )
+
+
+# --- s19: IVF-PQ — coarse cell pruning + ADC candidate rank ----------------
+
+S19_CAND = 50  # ADC candidates per probe handed to the exact re-rank
+
+
+def _s19_oracle_for(sf_dir: str) -> str | None:
+    """DuckDB replica of the COMPOSED pipeline: both fits replayed
+    from the deterministic md5-ordered sample (centroid literals from
+    `_replay_centroid_fit`, codebook literals from `_replay_pq_fit`),
+    then cell assignment (argmax fold-cosine, tie → lower cell),
+    probe selection, PQ assignment via the bit-identical sequential
+    subspace fold, ADC scoring of ONLY the probed cells' members, the
+    {S19_CAND}-candidate window, and the exact fold-cosine re-rank —
+    value-for-value with the Spark pipeline."""
+    cents = _replay_centroid_fit(sf_dir)
+    cb = _replay_pq_fit(sf_dir)
+    cent_rows = ", ".join(
+        "({}, [{}], {})".format(
+            i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))
+        )
+        for i, c in enumerate(cents)
+    )
+    cb_rows = ", ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            m, k, ", ".join(repr(float(v)) for v in cb[m, k])
+        )
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    sq = (
+        "list_reduce(list_prepend(0.0, "
+        "[ (s.sv[i]::DOUBLE - cb.ce[i]) * (s.sv[i]::DOUBLE - cb.ce[i]) "
+        f"for i in generate_series(1, {PQ_SUB})]), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH cents(cell_id, ce, cn) AS (VALUES {cent_rows}),
+    cb(m, k, ce) AS (VALUES {cb_rows}),
+    en AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS en
+      FROM embeddings
+    ),
+    scored_cells AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding, c.cell_id,
+             ({_DOT_SQL.format(a='e.embedding', b='c.ce')} / (e.en * c.cn)) AS csim
+      FROM en e CROSS JOIN cents c
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT vec_id, embedding, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cell_id
+               ) AS r
+        FROM scored_cells) WHERE r = 1
+    ),
+    probes AS MATERIALIZED (
+      SELECT vec_id AS query_id, embedding AS qe, cell_id FROM (
+        SELECT vec_id, embedding, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cell_id
+               ) AS r
+        FROM scored_cells WHERE vec_id < {N_QUERIES}) WHERE r <= {N_PROBE}
+    ),
+    ms AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+    sub AS MATERIALIZED (
+      SELECT vec_id, ms.m AS m,
+             list_slice(embedding, ms.m * {PQ_SUB} + 1, ms.m * {PQ_SUB} + {PQ_SUB}) AS sv
+      FROM embeddings, ms
+    ),
+    dist AS MATERIALIZED (
+      SELECT s.vec_id, s.m, cb.k, cb.ce, {sq} AS d
+      FROM sub s JOIN cb ON cb.m = s.m
+    ),
+    pq_assigned AS MATERIALIZED (
+      SELECT vec_id, m, ce FROM (
+        SELECT vec_id, m, ce,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, m ORDER BY d ASC, k ASC) AS r
+        FROM dist) WHERE r = 1
+    ),
+    recon AS MATERIALIZED (
+      SELECT vec_id, flatten(list(ce ORDER BY m)) AS rv
+      FROM pq_assigned GROUP BY vec_id
+    ),
+    approx AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, p.qe,
+             {_DOT_SQL.format(a='p.qe', b='r.rv')} AS ascore
+      FROM probes p
+      JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+      JOIN recon r ON r.vec_id = a.vec_id
+    ),
+    cands AS (
+      SELECT query_id, neighbor_id, qe FROM (
+        SELECT query_id, neighbor_id, qe,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS cr
+        FROM approx) WHERE cr <= {S19_CAND}
+    ),
+    rescored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cosine_sql('c.qe', 'e.embedding')} AS sim
+      FROM cands c JOIN embeddings e ON e.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM rescored
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "s19_knn_ivf_pq",
+    oracle_factory=_s19_oracle_for,
+    tags=("similarity", "ivf", "pq", "ann"),
+)
+def s19_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the two quantizers COMPOSED, the architecture serving
+    virtually every billion-vector deployment (Jégou, Douze & Schmid
+    2011, "Product Quantization for Nearest Neighbor Search"; the
+    FAISS IVFPQ layout, here in its by_residual=False variant —
+    codebooks quantize raw subvectors, exactness restored by the
+    float re-rank): the coarse quantizer (s04's {N_CELLS}-cell
+    spherical k-means) prunes the search to {N_PROBE}/{N_CELLS} of
+    the corpus BEFORE any distance work, and within the probed cells
+    candidates are ranked by ADC against 2-byte PQ codes (s14's
+    {PQ_M}×{PQ_K} codebooks) instead of raw floats. At 100 TB the
+    multiplicative effect is the whole point: the candidate stage
+    touches nprobe/ncells of a corpus that is itself 128× smaller in
+    code form — memory-resident where raw embeddings never fit — and
+    the exact float re-rank reads only Q×{S19_CAND} full vectors.
+
+    Both fits are driver-side on the SAME deterministic md5-ordered
+    sample (one scan each, closure-shipped); cell assignment and PQ
+    encoding are ONE fused map-only Arrow projection over the corpus
+    (zero corpus-keyed exchanges, plan-pinned); probes broadcast into
+    the cell-pruned candidate join exactly as s04. The oracle replays
+    BOTH quantizers as literals and every stage's scores via the
+    shared sequential folds — bit-identical assignments (s14's
+    sequential-fold discipline) make the composition value-exact
+    despite two layers of approximation. Recall vs the exact s01
+    baseline pinned in tests/test_similarity.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_mat = _kmeans_centroids(emb, N_CELLS)
+    cb = _pq_codebooks(emb)
+    enc = _pq_encode_udf(cb)
+    coded = _assign_cells(emb, cent_mat).select(
+        "vec_id", "cell_id", enc(F.col("embedding")).alias("recon")
+    )
+    qbase = emb.where(F.col("vec_id") < N_QUERIES).select(
+        "vec_id",
+        "embedding",
+        _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
+    )
+    probes = _probe_cells(qbase, N_PROBE)
+    approx = coded.join(
+        F.broadcast(probes),
+        (coded.cell_id == probes.cell_id)
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "qe",
+        _dot(F.col("qe"), F.col("recon")).alias("ascore"),
+    )
+    cw = W.partitionBy("query_id").orderBy(F.col("ascore").desc(), "neighbor_id")
+    cands = (
+        approx.withColumn("cr", F.row_number().over(cw))
+        .where(F.col("cr") <= S19_CAND)
+        .select("query_id", "neighbor_id", "qe")
+    )
+    rescored = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    ).withColumn("sim_raw", cosine(F.col("qe"), F.col("embedding")))
+    w = W.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), "neighbor_id")
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
+    )

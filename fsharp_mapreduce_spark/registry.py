@@ -260,6 +260,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # (equivalence-tested result identity, shared oracle factory) —
     # takes the slot; s04 (driver-green r3–r4) folds
     "s04_knn_ivf": "s11_knn_ivf_index_probe",
+    # ...and s19 (IVF-PQ: the two quantizers composed — coarse cell
+    # pruning before ADC candidate rank, the FAISS billion-vector
+    # layout; round-6 addition, pytest-only per the cadence) is the
+    # composition member of the IVF family
+    "s19_knn_ivf_pq": "s11_knn_ivf_index_probe",
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
