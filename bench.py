@@ -67,6 +67,8 @@ HEADLINE = [
     "q59_zorder_lifecycle",
     "q60_schema_evolution_read",
     "q62_sole_late_supplier",
+    "q63_running_distinct",
+    "q64_incremental_join",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
@@ -96,6 +98,8 @@ HEADLINE = [
     "t33_leakage_safe_split",
     "t34_fuzzy_match",
     "t40_bpe_merges",
+    "t41_bpe_encode",
+    "t42_source_overlap",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -119,12 +123,14 @@ HEADLINE = [
     "st15_stream_anti_join_dedup",
     "st16_stream_drift_audit",
     "st18_stream_decayed_activity",
+    "st19_stream_semi_join",
     "m01_multimodal_meta",
     "m03_frame_sample",
     "m06_bmp_decode_stats",
     "m09_png_decode_stats",
     "m10_codec_dispatch",
     "m11_scene_cut_detection",
+    "m12_audio_silence_segmentation",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -1775,3 +1775,198 @@ def m11_scene_cut_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→parse→diff pipeline value-for-value."""
     media = documents_as_media(spark, sf_dir)
     return scene_cut_stats(media)
+
+
+# --- m12: audio silence/energy segmentation (temporal, real WAV) -----------
+
+M12_WINDOWS = 16  # analysis windows per clip
+M12_WIN_SAMPLES = 64  # samples per window (1024-sample clip)
+
+M12_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), False),
+        T.StructField("n_silent", T.IntegerType(), False),
+        T.StructField("longest_silence_run", T.IntegerType(), False),
+        T.StructField("n_onsets", T.IntegerType(), False),
+        T.StructField("total_energy", T.LongType(), False),
+        T.StructField("peak_window_energy", T.LongType(), False),
+    ]
+)
+
+
+def energy_profile_stats(e: "np.ndarray") -> tuple[int, int, int]:
+    """(n_silent, longest_silence_run, n_onsets) of a per-window
+    energy profile: silence is an exactly-zero window, an onset is a
+    silent→loud transition. Factored out so the run/transition logic
+    is unit-testable on crafted profiles independent of the codec."""
+    silent = e == 0
+    best = cur = 0
+    for s in silent:
+        cur = cur + 1 if s else 0
+        best = max(best, cur)
+    onsets = int(((e[1:] > 0) & (e[:-1] == 0)).sum()) if e.size > 1 else 0
+    return int(silent.sum()), best, onsets
+
+
+def audio_silence_stats(media: DataFrame) -> DataFrame:
+    """Temporal audio analysis over REAL container bytes (mapInPandas,
+    map-only, zero shuffle) — the audio twin of m11's scene cuts: each
+    payload becomes a genuine {M12_WINDOWS}×{M12_WIN_SAMPLES}-sample
+    mono PCM16 WAV whose window w carries samples
+    (digest_byte − 128) · gain_w with gain_w = sha256(payload‖'gain')
+    byte w mod 4 — so ~a quarter of the windows are true digital
+    silence. The file is round-tripped through `encode_wav_pcm16` /
+    `decode_wav` and every statistic is measured on the PARSED
+    samples: per-window energy Σ|v|, silent-window count, the longest
+    consecutive silence run, and silent→loud onset transitions. This
+    is the segmentation primitive of an audio-curation pipeline
+    (dead-air trimming, speech-activity gating) running where the
+    data lives; a defect in the RIFF walk or int16 framing shifts the
+    energies and breaks the analytic oracle."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, nw, ns, lr, no, te, pk = [], [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                gains = (
+                    np.frombuffer(
+                        hashlib.sha256(raw + b"gain").digest(), dtype=np.uint8
+                    )[:M12_WINDOWS]
+                    % 4
+                )
+                parts = []
+                for w in range(M12_WINDOWS):
+                    d = hashlib.sha256(raw + b"pcm" + str(w).encode()).digest()
+                    b = np.frombuffer(
+                        (d * (M12_WIN_SAMPLES // 32 + 1))[:M12_WIN_SAMPLES],
+                        dtype=np.uint8,
+                    )
+                    parts.append(
+                        (b.astype(np.int16) - 128) * np.int16(gains[w])
+                    )
+                wav = encode_wav_pcm16(np.concatenate(parts).astype("<i2"))
+                dec, _rate = decode_wav(wav)
+                e = (
+                    np.abs(dec.astype(np.int64))
+                    .reshape(-1, M12_WIN_SAMPLES)
+                    .sum(axis=1)
+                )
+                n_silent, longest, onsets = energy_profile_stats(e)
+                ids.append(mid)
+                nw.append(dec.size // M12_WIN_SAMPLES)
+                ns.append(n_silent)
+                lr.append(longest)
+                no.append(onsets)
+                te.append(int(e.sum()))
+                pk.append(int(e.max()) if e.size else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_windows": pd.array(nw, dtype="int32"),
+                    "n_silent": pd.array(ns, dtype="int32"),
+                    "longest_silence_run": pd.array(lr, dtype="int32"),
+                    "n_onsets": pd.array(no, dtype="int32"),
+                    "total_energy": pd.array(te, dtype="int64"),
+                    "peak_window_energy": pd.array(pk, dtype="int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, M12_SCHEMA)
+
+
+def _m12_oracle() -> str:
+    """Analytic replica: window w's samples are bytes of
+    sha256(text‖'pcm'‖w) tiled to {M12_WIN_SAMPLES}, shifted by −128
+    and scaled by gain_w = sha256(text‖'gain') byte w mod 4, so every
+    window energy — and from it the silence runs (gaps-and-islands)
+    and onset transitions — is reconstructed from hex arithmetic
+    alone, independent of the WAV container layer the Spark side must
+    round-trip."""
+
+    def byte_at(hx: str, idx: str) -> str:
+        hv = f"(strpos('0123456789abcdef', substr({hx}, {{p}}, 1)) - 1)"
+        pos_hi = f"2*(({idx}) % 32) + 1"
+        pos_lo = f"2*(({idx}) % 32) + 2"
+        return f"({hv.format(p=pos_hi)} * 16 + {hv.format(p=pos_lo)})"
+
+    return f"""
+    WITH wn(w) AS (SELECT unnest(generate_series(0, {M12_WINDOWS - 1}))),
+    si(i) AS (SELECT unnest(generate_series(0, {M12_WIN_SAMPLES - 1}))),
+    gw AS (
+      SELECT doc_id, w.w AS w,
+             {byte_at("sha256(documents.text || 'gain')", "w.w")} % 4 AS gain
+      FROM documents CROSS JOIN wn w
+    ),
+    hxs AS (
+      SELECT doc_id, w.w AS w,
+             sha256(documents.text || 'pcm' || CAST(w.w AS VARCHAR)) AS hx
+      FROM documents CROSS JOIN wn w
+    ),
+    e AS (
+      SELECT h.doc_id, h.w,
+             g.gain * SUM(ABS({byte_at("h.hx", "i")} - 128)) AS energy
+      FROM hxs h
+      JOIN gw g ON g.doc_id = h.doc_id AND g.w = h.w
+      CROSS JOIN si
+      GROUP BY h.doc_id, h.w, g.gain
+    ),
+    flags AS (
+      SELECT doc_id, w, energy,
+             CASE WHEN energy = 0 THEN 1 ELSE 0 END AS silent,
+             LAG(energy) OVER (PARTITION BY doc_id ORDER BY w) AS prev
+      FROM e
+    ),
+    runs AS (
+      SELECT doc_id,
+             w - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      FROM flags WHERE silent = 1
+    ),
+    run_len AS (
+      SELECT doc_id, MAX(cnt) AS longest FROM (
+        SELECT doc_id, grp, COUNT(*) AS cnt FROM runs GROUP BY doc_id, grp
+      ) GROUP BY doc_id
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(silent) AS n_silent,
+             SUM(CASE WHEN prev IS NOT NULL AND prev = 0 AND energy > 0
+                 THEN 1 ELSE 0 END) AS n_onsets,
+             SUM(energy) AS total_energy,
+             MAX(energy) AS peak
+      FROM flags GROUP BY doc_id
+    )
+    SELECT a.doc_id AS media_id,
+           CAST({M12_WINDOWS} AS INTEGER) AS n_windows,
+           CAST(a.n_silent AS INTEGER) AS n_silent,
+           CAST(COALESCE(r.longest, 0) AS INTEGER) AS longest_silence_run,
+           CAST(a.n_onsets AS INTEGER) AS n_onsets,
+           CAST(a.total_energy AS BIGINT) AS total_energy,
+           CAST(a.peak AS BIGINT) AS peak_window_energy
+    FROM agg a LEFT JOIN run_len r USING (doc_id)
+"""
+
+
+@register(
+    "m12_audio_silence_segmentation",
+    oracle=_m12_oracle(),
+    tags=("multimodal", "wav", "audio", "temporal", "decode"),
+)
+def m12_audio_silence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/energy segmentation over the WAV fixture: the m-family's
+    second TEMPORAL analysis (m11 = video scene cuts, m12 = audio
+    dead-air structure) — per-window energies measured on the parsed
+    output of a real RIFF/PCM16 round-trip, then silent-window count,
+    longest consecutive silence run, and silent→loud onsets. Map-only
+    plan: one Arrow projection per split, no exchanges beyond the
+    fixture fan_out; at 100 TB of audio the work scales with payload
+    bytes and parallelizes per file with zero shuffle. The oracle
+    rebuilds every sample from sha256 digest arithmetic and replays
+    the energies plus the run/onset windowing, so a hash match pins
+    the full encode→parse→segment pipeline value-for-value."""
+    media = documents_as_media(spark, sf_dir)
+    return audio_silence_stats(media)

@@ -2113,3 +2113,250 @@ def t40_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     round r+1 pair table and a hash mismatch."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return bpe_train(docs)
+
+
+# ---------------------------------------------------------------------------
+# t41: BPE encode — APPLY the trained tokenizer corpus-wide
+# ---------------------------------------------------------------------------
+
+BPE_SEP = "§"  # word-boundary symbol: outside the corpus alphabet, so no
+# trained merge can ever contain it — cross-word pairs (x, §)/(§, y)
+# match nothing and merges stay word-internal without exploding to words
+
+
+def _doc_symbol_string(text: Column) -> Column:
+    """lower(text) → per-word space-joined characters, words joined by
+    the {BPE_SEP} boundary symbol — the whole document as ONE symbol
+    string, so the merge algebra runs as a narrow projection instead
+    of a corpus-sized word explode."""
+    words = F.filter(F.split(F.lower(text), " "), lambda w: w != F.lit(""))
+    sym_words = F.transform(
+        words,
+        lambda w: F.array_join(
+            F.filter(F.split(w, ""), lambda c: c != F.lit("")), " "
+        ),
+    )
+    return F.array_join(sym_words, f" {BPE_SEP} ")
+
+
+def bpe_encode(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of t40's training: learn
+    the merge table once (`bpe_train`, ``rounds`` bounded 1-row
+    collects), then encode EVERY document by replaying the merges in
+    priority order as a chain of ``rounds`` narrow `_bpe_merge_expr`
+    projections over the doc-level symbol string. No explode, no
+    shuffle: at 100 TB the encode pass is embarrassingly parallel map
+    work whose cost is ``rounds`` string replaces per document — the
+    shape of every production tokenizer job (the trained table is
+    driver-side by definition: a tokenizer IS a small artifact).
+    Emits per-document symbol counts before/after plus an md5 slice
+    of the encoded string, so a single wrong merge anywhere in
+    training OR application shifts a digest and breaks the oracle."""
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_train(docs, rounds).orderBy("round_id").collect()
+    ]
+    s = _doc_symbol_string(F.col("text"))
+    pre = s
+    for lft, rgt in merges:
+        s = _bpe_merge_expr(s, lft, rgt)
+
+    def n_syms(col: Column) -> Column:
+        toks = F.filter(
+            F.split(col, " "),
+            lambda t: (t != F.lit("")) & (t != F.lit(BPE_SEP)),
+        )
+        return F.size(toks).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        n_syms(pre).alias("n_sym_chars"),
+        n_syms(s).alias("n_tokens_bpe"),
+        F.substring(F.md5(s), 1, 16).alias("enc_digest"),
+    )
+
+
+def _t41_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """t40's unrolled training chain, extended with one MATERIALIZED
+    doc-level CTE per round that replays the identical double-space
+    merge algebra over every document's symbol string — the value
+    hash pins training AND application, down to the md5 of each
+    encoded document."""
+    train = _t40_oracle(rounds)
+    train_ctes = train[: train.rindex("SELECT CAST(round_id")]
+    sym = (
+        "array_to_string(list_transform("
+        "  list_filter(string_split(lower(text), ' '), w -> w <> ''),"
+        "  w -> array_to_string("
+        "    list_filter(string_split(w, ''), x -> x <> ''), ' ')), "
+        f"' {BPE_SEP} ')"
+    )
+    parts = [train_ctes]
+    parts.append(f"""
+    , docs0 AS MATERIALIZED (
+      SELECT doc_id, {sym} AS s FROM documents
+    )""")
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    , docs{r} AS MATERIALIZED (
+      SELECT doc_id, trim(replace(replace(replace(' ' || s || ' ', ' ', '  '),
+               (SELECT ' ' || lft || '  ' || rgt || ' ' FROM best{r}),
+               (SELECT ' ' || lft || rgt || ' ' FROM best{r})),
+             '  ', ' ')) AS s
+      FROM docs{p}
+    )""")
+    count = (
+        "CAST(len(list_filter(string_split({col}, ' '), "
+        f"t -> t <> '' AND t <> '{BPE_SEP}')) AS BIGINT)"
+    )
+    parts.append(f"""
+    SELECT d0.doc_id,
+           {count.format(col='d0.s')} AS n_sym_chars,
+           {count.format(col=f'd{rounds}.s')} AS n_tokens_bpe,
+           substr(md5(d{rounds}.s), 1, 16) AS enc_digest
+    FROM docs0 d0 JOIN docs{rounds} d{rounds} USING (doc_id)
+""")
+    return "".join(parts)
+
+
+@register(
+    "t41_bpe_encode",
+    oracle=_t41_oracle(),
+    tags=("text", "tokenizer", "bpe", "encode"),
+)
+def t41_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_encode` over the documents corpus: train {BPE_ROUNDS}
+    merges (t40), then tokenize every document with them — the
+    complete train→apply tokenizer lifecycle a data pipeline runs
+    before packing (t29 consumes exactly these token counts at real
+    scale). Per-document before/after symbol counts plus an encoded
+    md5 slice make the oracle sensitive to any divergence in either
+    phase; the encode itself is plan-pinned map-only (≤1 exchange:
+    the fixture fan_out)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return bpe_encode(docs)
+
+
+# ---------------------------------------------------------------------------
+# t42: pairwise source-overlap matrix — the mixture-design audit
+# ---------------------------------------------------------------------------
+
+OVERLAP_NGRAM = 3
+
+
+def source_overlap_matrix(docs: DataFrame, n: int = OVERLAP_NGRAM) -> DataFrame:
+    """Jaccard overlap between every pair of corpus SOURCES over
+    distinct {n}-gram hashes — the audit run before designing a
+    training mixture (t27 rebalances sources; this measures how
+    redundant they are with each other first, t25/t37 generalized
+    from corpus-vs-eval to all source pairs). 100 TB shape: the only
+    corpus-sized object is the distinct (source, gram-hash) table —
+    one gram-grain exchange — and the intersection self-join
+    co-partitions on the hash, where each gram meets at most
+    S·(S−1)/2 source pairs (S = #sources, a catalog-sized constant),
+    so candidate volume is linear in distinct grams. The S×S result
+    frame itself is built from a broadcast cross of the tiny source
+    list, so zero-overlap pairs still emit (deterministic full
+    matrix, COALESCE 0)."""
+    gh = decontamination_gram_hashes(docs, n=n)
+    sg = (
+        gh.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "h")
+        .distinct()
+    )
+    sg = scoped_persist(sg)
+    sizes = sg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    inter = (
+        sg.alias("a")
+        .join(
+            sg.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    srcs = sizes.select(F.col("source"), "n_grams")
+    pairs = (
+        srcs.select(
+            F.col("source").alias("source_a"), F.col("n_grams").alias("n_grams_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                srcs.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("n_grams_b"),
+                )
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    out = pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+    nc = F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_grams_a",
+        "n_grams_b",
+        nc.alias("n_common"),
+        F.round(
+            nc * F.lit(1.0)
+            / (F.col("n_grams_a") + F.col("n_grams_b") - nc),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@register(
+    "t42_source_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest(CASE WHEN len(ws) >= {OVERLAP_NGRAM} THEN
+               [list_aggregate(ws[i : i + {OVERLAP_NGRAM - 1}], 'string_agg', ' ')
+                for i in generate_series(1, len(ws) - {OVERLAP_NGRAM} + 1)]
+             ELSE [] END) AS gram
+      FROM w
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(gram), 1, 12))::BIGINT % 2147483647 AS h
+      FROM g
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM sg GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(COALESCE(i.n_common, 0) * 1.0 /
+                 (sa.n_grams + sb.n_grams - COALESCE(i.n_common, 0)), 6) AS jaccard
+    FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+    """,
+    tags=("text", "ngram", "overlap", "mixture"),
+)
+def t42_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`source_overlap_matrix` over the documents corpus: the full
+    S×S/2 Jaccard matrix between sources on {OVERLAP_NGRAM}-gram
+    hashes — which feeds duplicate each other and by how much, the
+    question answered before t27's mixture weights are chosen.
+    Zero-overlap pairs emit with jaccard 0 (full deterministic
+    matrix). Oracle replays the identical md5-slice gram hashing and
+    set algebra."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return source_overlap_matrix(docs)

@@ -443,3 +443,51 @@ def q44_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("reading", 4).alias("reading"),
         F.round(F.last("reading", ignorenulls=True).over(w), 4).alias("filled"),
     )
+
+
+@register(
+    "q63_running_distinct",
+    oracle="""
+    SELECT user_id, n_types, MIN(ts) AS first_reached
+    FROM (
+      SELECT user_id, ts,
+             CAST(COUNT(DISTINCT event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS n_types
+      FROM events
+    )
+    GROUP BY user_id, n_types
+    """,
+    tags=("window", "distinct", "rewrite"),
+)
+def q63_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT cardinality per key — the window-DISTINCT
+    aggregate Spark does not support (`COUNT(DISTINCT ...) OVER`
+    raises ANALYSIS error "Distinct window functions are not
+    supported"), expressed as the standard first-occurrence rewrite:
+    mark each (user, event_type)'s earliest row with a
+    row_number()==1 flag, then a RANGE-framed running SUM of flags is
+    exactly the running distinct count (ties in ts get equal totals —
+    the same RANGE semantics the textbook form has). The timeline is
+    compacted to one row per (user, count) with the moment the count
+    was first reached — the "when did this user's behavioral
+    repertoire widen" question session analytics asks. The DuckDB
+    oracle deliberately keeps the NATIVE DISTINCT window aggregate,
+    so the hash match proves the rewrite ≡ the textbook operator.
+    Scale: both windows key on user_id (keys grow with data — the
+    q31 rule, no SinglePartition); exactly TWO keyed exchanges —
+    (user, event_type) for the flag window, then user_id, which the
+    running window AND the final aggregate both ride (user_id
+    partitioning co-locates every (user, count) group) — plan-pinned
+    in tests/test_plans.py."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    first_w = W.partitionBy("user_id", "event_type").orderBy("ts")
+    run_w = W.partitionBy("user_id").orderBy("ts")  # default RANGE frame
+    flagged = ev.withColumn(
+        "is_first", (F.row_number().over(first_w) == 1).cast("long")
+    )
+    running = flagged.withColumn(
+        "n_types", F.sum("is_first").over(run_w).cast("bigint")
+    )
+    return running.groupBy("user_id", "n_types").agg(
+        F.min("ts").alias("first_reached")
+    )

@@ -227,6 +227,15 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # distinct-word table; round-6 addition, pytest-only per the
     # cadence) folds to the token-statistics slot-holder
     "t40_bpe_merges": "t19_tfidf_top_terms",
+    # ...and t41 (BPE ENCODE — the apply half of t40's train: the
+    # merge chain replayed corpus-wide as a narrow map; round-6
+    # addition, pytest-only per the cadence) rides the same family
+    "t41_bpe_encode": "t19_tfidf_top_terms",
+    # ...and t42 (pairwise source-overlap Jaccard matrix — t25/t37's
+    # gram-hash machinery generalized to all source pairs; round-6
+    # addition, pytest-only per the cadence). t25 holds the
+    # gram-probe exposure via its family rep.
+    "t42_source_overlap": "t19_tfidf_top_terms",
     # quantized-ANN family (r6 rotation): s14 (product quantization —
     # 4-bit codes, ADC candidate rank, exact re-rank; the 128× end of
     # the compression ladder) takes the slot; s08 (int8 two-stage,
@@ -296,6 +305,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # rows on BOTH sides emitted at watermark close; round-6 addition,
     # pytest-only per the cadence) folds to the same slot-holder
     "st17_stream_full_outer_join": "st13_stream_left_outer_join",
+    # ...and st19 (LEFT SEMI — the membership cell: converted clicks
+    # emit once, eagerly, with no fan-out; round-6 addition,
+    # pytest-only per the cadence) completes the join matrix
+    "st19_stream_semi_join": "st13_stream_left_outer_join",
     # streaming-quality family (r6 rotation): st16 (streamed PSI/KL
     # drift audit — per-micro-batch count partials, oracle literally
     # t36's SQL) takes the slot; st12 (quality-filtered stream,
@@ -333,6 +346,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # round-6 addition, pytest-only per the cadence) runs the same
     # map-only Arrow batch shape through the m08 decoder
     "m11_scene_cut_detection": "m10_codec_dispatch",
+    # ...and m12 (audio silence segmentation: per-window energies,
+    # silence runs and onsets measured on a real WAV round-trip — the
+    # audio twin of m11's temporal analysis; round-6 addition,
+    # pytest-only per the cadence) rides the same decode family
+    "m12_audio_silence_segmentation": "m10_codec_dispatch",
     # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
     # weighted reservoir — the quality-weighted member of the
     # deterministic sampling family; round-6 addition, pytest-only
@@ -443,6 +461,16 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # EXISTS + NOT-EXISTS double correlation rewritten as one
         # per-order aggregate — oracle keeps the textbook form.
         "q62_sole_late_supplier",
+        # running distinct cardinality (round-6 addition, q-family
+        # fold; q13-q16/q31 keep the window-family slots). The
+        # window-DISTINCT aggregate Spark lacks, via the
+        # first-occurrence rewrite — oracle keeps the native form.
+        "q63_running_distinct",
+        # incremental JOIN-view maintenance (round-6 addition,
+        # q-family fold; q58's lifecycle row keeps the state-on-disk
+        # slot, q49 is the aggregate sibling). Delta rule, oracle =
+        # full re-join recompute.
+        "q64_incremental_join",
     }
 )
 

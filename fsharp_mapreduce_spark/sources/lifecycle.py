@@ -324,3 +324,73 @@ def q61_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("net_delta"),
     )
+
+
+@register(
+    "q64_incremental_join",
+    oracle="""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    tags=("join", "incremental", "materialized_view", "lifecycle"),
+)
+def q64_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance — q49's delta discipline
+    applied to a materialized join J = orders ⋈ lineitem. History
+    (o_orderkey % 89 ≠ 0 on the build side, l_orderkey % 97 ≠ 0 on
+    the probe side — deliberately DIFFERENT mods so the batch pairs
+    exercise all three delta terms) is joined ONCE and persisted to
+    parquet state; absorbing the batch is the textbook view-delta
+    rule  ΔJ = (ΔR ⋈ S_old) ∪ (R_old ⋈ ΔS) ∪ (ΔR ⋈ ΔS)  — the three
+    terms are exhaustive and disjoint over (old/new × old/new) pairs,
+    so  J_new = J_old ∪ ΔJ  with NO history-history re-join. Every
+    delta term broadcasts the small Δ side: the maintenance plan
+    contains zero shuffle joins (no SortMergeJoin — plan-pinned;
+    J_old enters as a plain parquet scan), only history SCANS probed
+    by broadcast hashes, which is the 100 TB shape (with the history
+    bucketed by key even the scans prune; deltas stay
+    broadcast-sized by definition of a batch). The ORACLE is the
+    full recompute over all rows — the value-hash match IS the proof
+    that delta-maintain ≡ re-join, the q49/t30 asymmetry for joins.
+    State lands in a fresh mkdtemp per invocation (the st08 sink
+    discipline)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    d_r = F.col("o_orderkey") % 89 == 0
+    d_s = F.col("l_orderkey") % 97 == 0
+    r_old, dr = o.where(~d_r), o.where(d_r)
+    s_old, ds = l.where(~d_s), l.where(d_s)
+
+    cond = F.col("l_orderkey") == F.col("o_orderkey")
+
+    def j(r: DataFrame, s: DataFrame) -> DataFrame:
+        return r.join(s, cond).select(
+            "o_orderpriority", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+
+    state_path = tempfile.mkdtemp(prefix="fsmr_joinstate_")
+    j(r_old, s_old).write.mode("overwrite").parquet(state_path)
+    j_old = spark.read.parquet(state_path)
+
+    delta = (
+        j(F.broadcast(dr), s_old)
+        .unionByName(j(r_old, F.broadcast(ds)))
+        .unionByName(j(F.broadcast(dr), ds))
+    )
+    return (
+        j_old.unionByName(delta)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+    )

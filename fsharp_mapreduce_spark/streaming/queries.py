@@ -1072,3 +1072,73 @@ def st18_stream_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_activity"),
         )
     )
+
+
+# --- st19: stream-stream LEFT SEMI join (converted-clicks filter) ----------
+
+
+@register(
+    "st19_stream_semi_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_converted_clicks,
+           MIN(c.ts) AS first_converted,
+           MAX(c.ts) AS last_converted
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    GROUP BY 1
+    """,
+    tags=("streaming", "stream_stream_join", "semi"),
+)
+def st19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — the membership cell of the join
+    matrix (st05 inner, st13 left outer, st17 full outer): keep each
+    click that a purchase within 30 minutes CONFIRMS, emitting the
+    click row itself exactly once, with no purchase columns and no
+    row multiplication when several purchases match. This is the
+    streaming form of the conversion FILTER a feedback pipeline runs
+    before enrichment (only converted impressions proceed), where an
+    inner join would fan out per matching purchase and force a
+    dedup. Matched clicks emit as soon as their first match arrives
+    (no watermark wait — pinned by
+    tests/test_streaming.py::test_st19_semi_emission_and_uniqueness);
+    unmatched clicks and all purchase-side state are evicted by the
+    event-time bound once the watermark passes, exactly st05's state
+    discipline. Oracle = the identical batch EXISTS (semi ≡ EXISTS,
+    so the hash match also pins the at-most-once emission — any
+    double emission doubles COUNT(*))."""
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "events"), n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events"),
+    )
+    clicks = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    out = run_to_completion(joined, "st19_out", output_mode="append")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted_clicks"),
+        F.min("c_ts").alias("first_converted"),
+        F.max("c_ts").alias("last_converted"),
+    )

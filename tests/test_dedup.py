@@ -1130,3 +1130,57 @@ def test_t40_bpe_matches_pure_python_reference(spark):
         for r in bpe_train(docs, rounds=5).orderBy("round_id").collect()
     ]
     assert got == expected, (got, expected)
+
+
+def test_t41_bpe_encode_matches_pure_python_reference(spark):
+    """bpe_encode on the planted corpus == tokenizing each document
+    with a from-scratch Python BPE (train with the same tie-break,
+    then greedy list-merge each word in priority order). Pins that
+    the doc-level symbol string + boundary-symbol trick tokenizes
+    EXACTLY like per-word application — merges never leak across
+    word boundaries."""
+    from collections import Counter
+
+    from fsharp_mapreduce_spark.functions.text import bpe_encode
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest wide wider widest",
+        "low newer low wider newest lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: [c for c in w] for w in words}
+    merges = []
+    for _r in range(5):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (a, b), _n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        vocab = {w: _ref_list_merge(s, a, b) for w, s in vocab.items()}
+
+    def encode_word(w):
+        syms = [c for c in w]
+        for a, b in merges:
+            syms = _ref_list_merge(syms, a, b)
+        return syms
+
+    expected = {
+        i: sum(len(encode_word(w)) for w in t.split())
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_encode(docs, rounds=5).collect()
+    }
+    assert got == expected, (got, expected)

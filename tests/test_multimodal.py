@@ -677,3 +677,50 @@ def test_m11_cuts_vary_within_and_across_videos(spark):
     for r in rows:
         assert r["n_frames"] == 4
         assert r["max_frame_diff"] * 3 >= r["total_motion"], r
+
+
+def test_m12_energy_profile_stats_on_crafted_profiles():
+    """The run/onset logic on hand-built profiles, independent of any
+    codec: runs at the edges, interior runs, all-silent, no-silent."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import energy_profile_stats
+
+    cases = [
+        # profile                      n_silent, longest, onsets
+        ([5, 3, 9], (0, 0, 0)),
+        ([0, 0, 0], (3, 3, 0)),
+        ([0, 5, 0, 0, 7, 0], (4, 2, 2)),
+        ([3, 0, 0, 0, 2], (3, 3, 1)),
+        ([0], (1, 1, 0)),
+        ([0, 4], (1, 1, 1)),
+        ([4, 0], (1, 1, 0)),
+    ]
+    for profile, want in cases:
+        got = energy_profile_stats(np.array(profile, dtype=np.int64))
+        assert got == want, (profile, got, want)
+
+
+def test_m12_silence_structure_varies_across_fixture(spark):
+    """m12: the gain-byte envelope must produce genuine temporal
+    structure — across the fixture the corpus has silent AND loud
+    windows, multiple distinct run lengths, and onset counts; and
+    per-row accounting holds (silent + loud = 16, run ≤ silent,
+    peak·16 ≥ total)."""
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rows = (
+        QUERIES["m12_audio_silence_segmentation"]
+        .fn(spark, SF_SMOKE)
+        .limit(300)
+        .collect()
+    )
+    assert {r["n_silent"] for r in rows} - {0, 16}, "no interior silence counts"
+    assert len({r["longest_silence_run"] for r in rows}) >= 3
+    assert any(r["n_onsets"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_windows"] == 16, r
+        assert r["longest_silence_run"] <= r["n_silent"] <= 16, r
+        assert r["n_onsets"] <= r["n_silent"], r
+        assert r["peak_window_energy"] * 16 >= r["total_energy"], r
+        assert (r["n_silent"] == 16) == (r["total_energy"] == 0), r

@@ -874,3 +874,48 @@ def test_m11_scene_cut_is_map_only(spark):
     fan_out)."""
     df = q("m11_scene_cut_detection", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_m12_audio_segmentation_is_map_only(spark):
+    """m12 (temporal audio segmentation): cross-WINDOW analysis stays
+    inside one Arrow projection per split — all windows of one clip
+    live in one payload row, so runs/onsets need no shuffle. Same
+    map-only contract as m11 (≤1 exchange: the fixture fan_out)."""
+    df = q("m12_audio_silence_segmentation", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_q63_running_distinct_two_keyed_exchanges(spark):
+    """q63 (running distinct rewrite): exactly two keyed exchanges —
+    (user_id, event_type) for the first-occurrence flag, then user_id
+    which the running window AND the final (user, count) aggregate
+    both ride (partitioning on a subset of the grouping keys
+    co-locates every group). No SinglePartition anywhere (the q31
+    rule)."""
+    df = q("q63_running_distinct", spark)
+    p = formatted_plan(df)
+    assert exchange_count(df) == 2, p
+    assert "SinglePartition" not in p, p
+
+
+def test_q64_maintenance_plan_has_no_shuffle_join(spark):
+    """q64 (incremental join maintenance): J_old enters as a plain
+    parquet scan and every delta term broadcasts its Δ side — the
+    maintenance plan must contain NO shuffle join (SortMergeJoin /
+    ShuffledHashJoin); history is only ever SCANNED and probed by
+    broadcast hashes. Exactly ≥3 broadcast joins (the three delta
+    terms)."""
+    df = q("q64_incremental_join", spark)
+    p = formatted_plan(df)
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_t41_encode_stage_is_map_only(spark):
+    """t41 (BPE encode): after training collects its 8 merge rows, the
+    corpus-wide APPLY must be a narrow projection — ≤1 exchange (the
+    fixture fan_out), no explode, no join; at 100 TB this is the
+    stage that touches every document."""
+    df = q("t41_bpe_encode", spark)
+    assert exchange_count(df) <= 1, formatted_plan(df)

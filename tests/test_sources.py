@@ -565,3 +565,21 @@ def test_snapshot_diff_semantics_and_guards(spark):
     dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
     with pytest.raises(ValueError, match="duplicate keys"):
         snapshot_diff(dup, new, ["k"], ["v"])
+
+
+def test_q64_all_three_delta_terms_nonvacuous(spark):
+    """q64's different-mod split must leave real rows in EACH delta
+    term on the fixture — (ΔR ⋈ S_old), (R_old ⋈ ΔS), (ΔR ⋈ ΔS) —
+    otherwise the recompute-equivalence oracle silently stops
+    covering the delta rule's union."""
+    from tests.conftest import SF_SMOKE
+
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").selectExpr(
+        "o_orderkey AS k", "o_orderkey % 89 = 0 AS dr"
+    )
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").selectExpr(
+        "l_orderkey AS k", "l_orderkey % 97 = 0 AS ds"
+    )
+    pairs = o.join(l, "k").groupBy("dr", "ds").count().collect()
+    got = {(r.dr, r.ds) for r in pairs}
+    assert {(True, False), (False, True), (True, True)} <= got, got

@@ -701,3 +701,59 @@ def test_st18_decay_fold_is_order_independent():
     for perm in itertools.permutations(batches):
         got = fold_batches(perm)
         assert abs(got - direct) < 1e-9 * max(1.0, direct), (got, direct)
+
+
+def test_st19_semi_emission_and_uniqueness(spark):
+    """Pins the LEFT SEMI stream-stream join's two load-bearing
+    semantics: (a) EAGER emission — a click whose purchase has
+    arrived emits without any watermark advancement (no sentinel in
+    this fixture, watermark never passes the data), in contrast to
+    the outer joins' null rows; (b) AT-MOST-ONCE — a click matched by
+    THREE purchases emits exactly one row (an inner join would emit
+    three); (c) membership — an unconverted click never emits."""
+    import datetime as dt
+
+    from fsharp_mapreduce_spark.streaming.loader import (
+        read_pull_stream,
+        run_to_completion,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, base, "click", 0.0),
+        (1, base + dt.timedelta(minutes=5), "purchase", 5.0),
+        (1, base + dt.timedelta(minutes=10), "purchase", 6.0),
+        (1, base + dt.timedelta(minutes=15), "purchase", 7.0),
+        (2, base + dt.timedelta(minutes=20), "click", 0.0),  # unconverted
+        # purchase BEFORE its click in event time never matches
+        (3, base + dt.timedelta(minutes=1), "purchase", 9.0),
+        (3, base + dt.timedelta(minutes=2), "click", 0.0),
+    ]
+    schema = "user_id int, ts timestamp, event_type string, value double"
+    staged = stage_as_chunked_files(
+        spark.createDataFrame(rows, schema), n_chunks=2, order_by=["ts"]
+    )
+    clicks = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_semi",
+    )
+    out = run_to_completion(joined, "st19_semi_pin", output_mode="append")
+    got = [(r["c_user"],) for r in out.collect()]
+    assert got.count((1,)) == 1, got  # one row despite three matches
+    assert (2,) not in got, got  # unconverted click filtered
+    assert (3,) not in got, got  # purchase-before-click never confirms

@@ -80,3 +80,42 @@ def test_q31_ranks_survive_cache_release_between_build_and_action(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_q63_rewrite_matches_brute_force_and_tie_semantics(spark):
+    """q63's first-occurrence rewrite against a brute-force python
+    recomputation on a crafted frame with the hazards named: ts TIES
+    where a NEW type appears (both tied rows must read the post-tie
+    count — RANGE semantics), a repeated type (count must not move),
+    and interleaved users."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=0), "a"),
+        (1, base + dt.timedelta(minutes=1), "a"),  # repeat: no move
+        (1, base + dt.timedelta(minutes=2), "b"),
+        (1, base + dt.timedelta(minutes=2), "c"),  # tie introducing 'c'
+        (1, base + dt.timedelta(minutes=3), "b"),
+        (2, base + dt.timedelta(minutes=0), "z"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.parquet(f"{d}/events.parquet")
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    got = {
+        (r.user_id, r.n_types): r.first_reached
+        for r in QUERIES["q63_running_distinct"].fn(spark, d).collect()
+    }
+    # brute force: per row, distinct types over all rows with ts <= row.ts
+    per_row = {}
+    for u, ts, _et in rows:
+        seen = {e for (u2, t2, e) in rows if u2 == u and t2 <= ts}
+        k = (u, len(seen))
+        per_row[k] = min(per_row.get(k, ts), ts)
+    assert got == per_row, (got, per_row)
+    # the tie at minute 2 must read 3 for user 1 (RANGE semantics)
+    assert (1, 3) in got and got[(1, 3)] == base + dt.timedelta(minutes=2)
