@@ -69,6 +69,7 @@ HEADLINE = [
     "q62_sole_late_supplier",
     "q63_running_distinct",
     "q64_incremental_join",
+    "q65_value_concentration",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
@@ -113,6 +114,7 @@ HEADLINE = [
     "s11_knn_ivf_index_probe",
     "s14_knn_pq",
     "s19_knn_ivf_pq",
+    "s20_ivf_index_delete",
     "st01_stream_tumbling_agg",
     "st04_stream_stateful_running_max",
     "st05_stream_stream_join",

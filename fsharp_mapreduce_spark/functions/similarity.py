@@ -529,12 +529,14 @@ def _s04_oracle_for(sf_dir: str) -> str | None:
     return _ivf_probe_sql(_replay_centroid_fit(sf_dir))
 
 
-def _ivf_probe_sql(cents: np.ndarray) -> str:
+def _ivf_probe_sql(cents: np.ndarray, corpus_where: str = "TRUE") -> str:
     """The IVF assignment+probe+top-k SQL for a given centroid matrix
-    (inlined as literals). Shared by s04 (full-corpus fit) and s13
-    (base-only fit): given the same centroids, assigning base and
+    (inlined as literals). Shared by s04 (full-corpus fit), s13
+    (base-only fit) and s20 (post-delete corpus via ``corpus_where``,
+    which restricts vectors AND queries — a deleted query row no
+    longer probes): given the same centroids, assigning base and
     batch separately then probing the union ≡ assigning everything —
-    so the two oracles differ ONLY in the fit sample."""
+    so the oracles differ ONLY in fit sample / corpus slice."""
     cent_rows = ", ".join(
         "({}, [{}], {})".format(
             i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))
@@ -549,7 +551,7 @@ def _ivf_probe_sql(cents: np.ndarray) -> str:
     en AS (
       SELECT vec_id, embedding,
              sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS en
-      FROM embeddings
+      FROM embeddings WHERE {corpus_where}
     ),
     scored_cells AS (
       SELECT e.vec_id, e.embedding, c.cell_id,
@@ -2378,3 +2380,114 @@ def s19_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", F.round("sim_raw", 6).alias("sim"))
     )
+
+
+# --- s20: IVF index DELETE — O(affected cells) vector removal --------------
+
+DELETE_MOD, DELETE_REMAINDER = 10, 3  # ~10% of vectors deleted
+
+
+def delete_from_ivf_index(
+    spark: SparkSession, index_path: str, delete_ids: DataFrame
+) -> int:
+    """Remove vectors from a materialized `build_ivf_index` layout at
+    O(affected cells), not O(index) — the right-to-erasure operation
+    every production vector store needs (completing the lifecycle:
+    build s11 → append s13 → DELETE):
+
+    1. LOCATE: one scan of the index pruned to (vec_id, cell_id) —
+       parquet column pruning never reads the embedding payloads
+       (ReadSchema-pinned) — probed by the broadcast delete-id set;
+       the affected cell list collects bounded by n_cells.
+    2. REWRITE: only the affected cell partitions are read in full,
+       anti-joined against the broadcast ids, localCheckpoint-ed
+       (self-overwrite hazard — the merge_upsert discipline) and
+       written back with DYNAMIC partition overwrite, so untouched
+       cells keep their files byte-for-byte.
+    3. EMPTIED CELLS: a cell whose every vector was deleted is
+       ABSENT from the rewrite output, and dynamic overwrite leaves
+       absent partitions alone — without an explicit sweep the stale
+       directory would resurrect every deleted row (the NULL-
+       partition merge_upsert bug's twin). Such directories are
+       removed explicitly (local FS here; the Hadoop FileSystem API
+       on a real cluster).
+
+    Readers see the survivors on their next file listing; the probe
+    path (`knn_ivf_probe`) is unchanged. Returns the number of cell
+    partitions rewritten or removed."""
+    import os
+    import shutil
+
+    ids = F.broadcast(delete_ids.select("vec_id"))
+    located = (
+        spark.read.parquet(index_path)
+        .select("vec_id", "cell_id")
+        .join(ids, "vec_id")
+        .select("cell_id")
+        .distinct()
+    )
+    affected = sorted(r.cell_id for r in located.collect())
+    if not affected:
+        return 0
+    survivors = (
+        spark.read.parquet(index_path)
+        .where(F.col("cell_id").isin(affected))
+        .join(ids, "vec_id", "left_anti")
+    ).localCheckpoint(eager=True)
+    kept_cells = {
+        r.cell_id for r in survivors.select("cell_id").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell_id").parquet(
+            index_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for cell in set(affected) - kept_cells:
+        stale = os.path.join(index_path, f"cell_id={cell}")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    return len(affected)
+
+
+def _s20_oracle_for(sf_dir: str) -> str | None:
+    """s20's oracle: the standard probe SQL with the FULL-corpus
+    centroid fit (the build precedes the delete, so the quantizer
+    still reflects the deleted rows — exactly what the Spark side
+    does) over the post-delete corpus slice; deleted queries no
+    longer probe."""
+    return _ivf_probe_sql(
+        _replay_centroid_fit(sf_dir),
+        corpus_where=f"vec_id % {DELETE_MOD} <> {DELETE_REMAINDER}",
+    )
+
+
+@register(
+    "s20_ivf_index_delete",
+    oracle_factory=_s20_oracle_for,
+    tags=("similarity", "ivf", "ann", "index", "delete", "lifecycle"),
+)
+def s20_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index DELETION lifecycle query: build the IVF index on the
+    full corpus, `delete_from_ivf_index` the vec_id % {DELETE_MOD} ==
+    {DELETE_REMAINDER} slice (≈10% — a right-to-erasure batch), then
+    probe with the surviving queries against the pruned index. The
+    locate pass reads two columns of the index and never an
+    embedding; the rewrite touches only the affected cell dirs
+    (untouched-cell bytes pinned unchanged in tests); emptied cells
+    are swept so deleted vectors cannot resurrect. Deterministic: the
+    build's overwrite clears prior state, the fit is the standard
+    md5-sample replayed by the oracle factory, and the driver
+    value-hash-checks build → DELETE → probe end-to-end (deleted ids
+    absent is part of the hash)."""
+    emb = table(spark, sf_dir, "embeddings")
+    index_path = _ivf_index_dir(spark, sf_dir) + "_delete"
+    cent_mat = build_ivf_index(emb, index_path)
+    is_deleted = F.col("vec_id") % DELETE_MOD == DELETE_REMAINDER
+    delete_from_ivf_index(spark, index_path, emb.where(is_deleted))
+    queries = emb.where((F.col("vec_id") < N_QUERIES) & ~is_deleted).select(
+        "vec_id", "embedding"
+    )
+    return knn_ivf_probe(spark, index_path, cent_mat, queries)

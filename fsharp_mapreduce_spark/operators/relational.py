@@ -1896,3 +1896,65 @@ def q62_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "supplier"),
         table(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "q65_value_concentration",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS val
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT 1.25 * AVG(val) AS th, SUM(val) AS total FROM v)
+    SELECT l_partkey,
+           ROUND(val, 4) AS part_value,
+           ROUND(val / total, 6) AS revenue_share
+    FROM v, t
+    WHERE val > th
+    """,
+    tags=("aggregation", "scalar_subquery", "tpch"),
+)
+def q65_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11's shape (important-stock identification): a grouped
+    aggregate filtered against a GLOBAL scalar aggregate of itself —
+    parts whose revenue exceeds 1.25× the average part's revenue,
+    with each survivor's share of total revenue. Q11's literal
+    fraction (0.0001/SF) makes selectivity collapse as data grows;
+    the mean-relative threshold keeps the answer scale-invariant
+    (~1-12% of parts at every tested SF) while preserving the shape
+    that matters: the inner aggregate reduces to ONE row that is
+    broadcast into the filter — never a re-scan of the fact table
+    per comparison, and never a second lineitem pass (the per-part
+    value table is persisted and serves both the threshold reduction
+    and the filter — Catalyst re-expands shared subtrees otherwise;
+    plan-pinned single lineitem scan in tests/test_plans.py).
+    Boundary safety is measured, not hoped: the minimum |val − th|
+    gap is ≥5.4 across sf0.001-0.5 vs ~1e-5 float-sum noise, so the
+    filter cannot flip cross-engine. The reference would need one MR
+    pass to build part values, a driver-side scalar, and a second
+    full pass to filter (SURVEY.md §2c aggregations row)."""
+    from fsharp_mapreduce_spark.registry import scoped_persist
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    v = scoped_persist(
+        li.groupBy("l_partkey").agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+    )
+    t = v.agg(
+        (F.lit(1.25) * F.avg("val")).alias("th"), F.sum("val").alias("total")
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(F.col("val") > F.col("th"))
+        .select(
+            "l_partkey",
+            F.round("val", 4).alias("part_value"),
+            F.round(F.col("val") / F.col("total"), 6).alias("revenue_share"),
+        )
+    )

@@ -274,6 +274,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # layout; round-6 addition, pytest-only per the cadence) is the
     # composition member of the IVF family
     "s19_knn_ivf_pq": "s11_knn_ivf_index_probe",
+    # ...and s20 (index DELETE: O(affected cells) right-to-erasure
+    # rewrite with the emptied-cell sweep; completes build/append/
+    # delete; round-6 addition, pytest-only per the cadence)
+    "s20_ivf_index_delete": "s11_knn_ivf_index_probe",
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
@@ -471,6 +475,12 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # slot, q49 is the aggregate sibling). Delta rule, oracle =
         # full re-join recompute.
         "q64_incremental_join",
+        # value concentration / TPC-H Q11 shape (round-6 addition,
+        # q-family fold; q01 keeps the aggregation-family slot). A
+        # grouped aggregate filtered by a broadcast global scalar of
+        # itself; mean-relative threshold for scale-invariant
+        # selectivity.
+        "q65_value_concentration",
     }
 )
 

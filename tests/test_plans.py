@@ -919,3 +919,15 @@ def test_t41_encode_stage_is_map_only(spark):
     stage that touches every document."""
     df = q("t41_bpe_encode", spark)
     assert exchange_count(df) <= 1, formatted_plan(df)
+
+
+def test_q65_single_lineitem_scan_and_broadcast_threshold(spark):
+    """q65 (global-scalar HAVING): the per-part value table is
+    persisted and serves BOTH the threshold reduction and the filter
+    — exactly one lineitem scan in the executed plan (Catalyst would
+    otherwise re-expand the shared subtree into two); the 1-row
+    threshold enters the filter via a broadcast, never a re-scan."""
+    df = q("q65_value_concentration", spark)
+    p = formatted_plan(df)
+    assert p.count("lineitem.parquet") <= 1, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p

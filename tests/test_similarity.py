@@ -709,3 +709,87 @@ def test_s19_corpus_stage_is_map_only(spark):
     )
     plan = coded._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_s20_delete_semantics_and_partition_economics(spark):
+    """The s20 lifecycle on the smoke fixture, pinned at four levels:
+    (a) no deleted vec_id survives in the index or appears as a probe
+    neighbor; (b) UNTOUCHED cell directories keep their files
+    byte-for-byte (the dynamic-overwrite contract); (c) a cell whose
+    every vector is deleted has its stale directory swept — deleted
+    rows cannot resurrect on the next listing; (d) the LOCATE pass's
+    index scan reads only (vec_id, cell_id), never embeddings."""
+    import os
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        _ivf_index_dir,
+        build_ivf_index,
+        delete_from_ivf_index,
+        s20_ivf_index_delete,
+        DELETE_MOD,
+        DELETE_REMAINDER,
+    )
+    from fsharp_mapreduce_spark.plans.explain import read_schema_columns
+    from fsharp_mapreduce_spark.registry import table
+    from pyspark.sql import functions as F
+
+    # (a) registered query: no deleted id anywhere in the answer
+    rows = s20_ivf_index_delete(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_id % DELETE_MOD != DELETE_REMAINDER, r
+        assert r.query_id % DELETE_MOD != DELETE_REMAINDER, r
+
+    # and the index itself holds zero deleted rows
+    path = _ivf_index_dir(spark, SF_SMOKE) + "_delete"
+    left = (
+        spark.read.parquet(path)
+        .where(F.col("vec_id") % DELETE_MOD == DELETE_REMAINDER)
+        .count()
+    )
+    assert left == 0
+
+    # (b)+(c): a controlled two-cell index — delete ALL of one cell's
+    # vectors, none of the other's
+    emb = table(spark, SF_SMOKE, "embeddings")
+    p2 = _ivf_index_dir(spark, SF_SMOKE) + "_delete_unit"
+    build_ivf_index(emb, p2, n_cells=2)
+    by_cell = {
+        r.cell_id: r.ids
+        for r in spark.read.parquet(p2)
+        .groupBy("cell_id")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    }
+    assert set(by_cell) == {0, 1}
+    victim, kept = (0, 1) if len(by_cell[0]) <= len(by_cell[1]) else (1, 0)
+    kept_dir = os.path.join(p2, f"cell_id={kept}")
+    before = {
+        f: os.path.getmtime(os.path.join(kept_dir, f))
+        for f in os.listdir(kept_dir)
+    }
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in by_cell[victim]], "vec_id long"
+    )
+    n = delete_from_ivf_index(spark, p2, ids_df)
+    assert n == 1
+    assert not os.path.isdir(os.path.join(p2, f"cell_id={victim}")), (
+        "emptied cell directory must be swept"
+    )
+    after = {
+        f: os.path.getmtime(os.path.join(kept_dir, f))
+        for f in os.listdir(kept_dir)
+    }
+    assert after == before, "untouched cell was rewritten"
+    assert spark.read.parquet(p2).count() == len(by_cell[kept])
+
+    # (d) locate-pass scan schema
+    located = (
+        spark.read.parquet(p2)
+        .select("vec_id", "cell_id")
+        .join(F.broadcast(ids_df), "vec_id")
+        .select("cell_id")
+        .distinct()
+    )
+    for cols in read_schema_columns(located):
+        assert "embedding" not in cols, cols
