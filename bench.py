@@ -70,6 +70,7 @@ HEADLINE = [
     "q63_running_distinct",
     "q64_incremental_join",
     "q65_value_concentration",
+    "q66_grouped_agg_udaf",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

@@ -1958,3 +1958,66 @@ def q65_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("val") / F.col("total"), 6).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "q66_grouped_agg_udaf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MEDIAN(o_totalprice), 4) AS median_price,
+           ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS price_range
+    FROM orders GROUP BY 1
+    """,
+    tags=("aggregation", "udaf", "pandas_udf"),
+)
+def q66_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native vectorized UDAF — the one UDF surface the suite covered
+    only through the compat fold API (SURVEY §2c UDF/UDAF/UDTF row):
+    a GROUPED_AGG `pandas_udf` participating in an ordinary
+    `groupBy().agg()`, planned as ArrowAggregatePython — Spark 4's
+    AggregateInPandas (whole group → one Arrow batch → scalar back). The statistic is
+    chosen to JUSTIFY that plan: the exact median is not decomposable
+    into mergeable partials, so a per-group batch is the honest cost
+    — and the grain is priority (5 groups), so each batch is bounded
+    by group size, the documented hazard of this operator class (a
+    GROUPED_AGG does NO partial aggregation; for decomposable stats
+    use built-ins — q01, for corpus-grain quantiles use q29's exact /
+    q37's bounded-memory sketch). np.median's even-count interpolation
+    (mean of the two middle order statistics) is the same rule DuckDB
+    MEDIAN and Spark's percentile(0.5) apply, so the value is
+    order-statistic-exact cross-engine, not a float-sum race; pinned
+    equal to Spark's own percentile in tests. Cited reference parity:
+    the reference's only aggregation is the reduce fold
+    (Worker.fs:46-103) — a median there needs the ordered escape
+    hatch (compat `reduce_ordered`); this is the Spark-native form."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType
+
+    # explicit functionType: the module's postponed-annotation mode
+    # keeps pyspark's hint inference from seeing pd.Series -> float
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def exact_median(v):
+        return float(np.median(v.to_numpy()))
+
+    from fsharp_mapreduce_spark.registry import scoped_persist
+
+    # Spark refuses to mix a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — the
+    # production pattern is two aggregations over one persisted scan,
+    # re-joined at group grain (bounded rows, broadcast)
+    o = scoped_persist(
+        table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(exact_median(F.col("o_totalprice")), 4).alias("median_price")
+    )
+    rest = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.max("o_totalprice") - F.min("o_totalprice"), 4).alias(
+            "price_range"
+        ),
+    )
+    return rest.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority", "n", "median_price", "price_range"
+    )

@@ -481,6 +481,10 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # itself; mean-relative threshold for scale-invariant
         # selectivity.
         "q65_value_concentration",
+        # GROUPED_AGG pandas UDAF (round-6 addition, q-family fold;
+        # q35 keeps the UDTF slot via its family). Exact median — the
+        # non-decomposable statistic that justifies AggregateInPandas.
+        "q66_grouped_agg_udaf",
     }
 )
 

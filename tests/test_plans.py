@@ -931,3 +931,28 @@ def test_q65_single_lineitem_scan_and_broadcast_threshold(spark):
     p = formatted_plan(df)
     assert p.count("lineitem.parquet") <= 1, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_q66_udaf_plans_as_aggregate_in_pandas_and_matches_builtin(spark):
+    """q66 (GROUPED_AGG pandas UDAF): the plan must carry the
+    AggregateInPandas node (Arrow-vectorized UDAF — NOT the
+    row-at-a-time BatchEvalPython class, which the quarantine audit
+    separately forbids), and the UDAF's median must equal Spark's own
+    percentile(0.5) on the same groups — the order-statistic rule
+    (mean of the two middles on even counts) is engine-invariant."""
+    df = q("q66_grouped_agg_udaf", spark)
+    p = formatted_plan(df)
+    # Spark 4 names the physical node ArrowAggregatePython (older
+    # releases: AggregateInPandas) — accept either spelling
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p, p
+    from pyspark.sql import functions as F
+
+    got = {r.o_orderpriority: r.median_price for r in df.collect()}
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    want = {
+        r.o_orderpriority: r.m
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("m"))
+        .collect()
+    }
+    assert got == want, (got, want)
