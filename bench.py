@@ -71,6 +71,7 @@ HEADLINE = [
     "q64_incremental_join",
     "q65_value_concentration",
     "q66_grouped_agg_udaf",
+    "q67_bag_set_ops",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

@@ -2021,3 +2021,57 @@ def q66_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rest.join(F.broadcast(med), "o_orderpriority").select(
         "o_orderpriority", "n", "median_price", "price_range"
     )
+
+
+@register(
+    "q67_bag_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty_int
+      FROM lineitem WHERE l_orderkey % 3 <> 0
+    ),
+    b AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty_int
+      FROM lineitem WHERE l_orderkey % 2 <> 0
+    ),
+    ex AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+    ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    SELECT 'except_all' AS op, l_returnflag, qty_int,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex GROUP BY 2, 3
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_returnflag, qty_int,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ia GROUP BY 2, 3
+    """,
+    tags=("setop", "bag_semantics"),
+)
+def q67_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set operations — the multiplicity-preserving
+    complement of q19/q20's distinct forms: `exceptAll` keeps
+    max(m_a − m_b, 0) copies of each value, `intersectAll` keeps
+    min(m_a, m_b) — the algebra of multiset RECONCILIATION (comparing
+    two extracts of the same feed where duplicate counts ARE the
+    signal: an except-distinct would report "no difference" between a
+    file with 3 copies and one with 300). Two overlapping
+    deterministic slices of lineitem play the extracts; the result is
+    compacted to per-value multiplicities so the answer is
+    value-grain. Catalyst plans both as count-aggregated joins
+    (Generate × replication under the hood) — keyed exchanges only,
+    no distinct collapse anywhere before the multiplicity math. Both
+    engines implement the identical SQL-standard bag rules, so the
+    hash match is exact-integer."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", F.col("l_quantity").cast("bigint").alias("qty_int")
+    )
+    a = li.where(F.col("l_orderkey") % 3 != 0).select("l_returnflag", "qty_int")
+    b = li.where(F.col("l_orderkey") % 2 != 0).select("l_returnflag", "qty_int")
+
+    def compact(df: DataFrame, op: str) -> DataFrame:
+        return df.groupBy("l_returnflag", "qty_int").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ).select(F.lit(op).alias("op"), "l_returnflag", "qty_int", "n")
+
+    return compact(a.exceptAll(b), "except_all").unionByName(
+        compact(a.intersectAll(b), "intersect_all")
+    )

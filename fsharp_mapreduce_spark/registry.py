@@ -485,6 +485,10 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # q35 keeps the UDTF slot via its family). Exact median — the
         # non-decomposable statistic that justifies AggregateInPandas.
         "q66_grouped_agg_udaf",
+        # bag-semantics set ops (round-6 addition, q-family fold; q19
+        # keeps the set-op exposure via its family). exceptAll /
+        # intersectAll multiplicity algebra, value-grain compaction.
+        "q67_bag_set_ops",
     }
 )
 

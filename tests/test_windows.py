@@ -119,3 +119,19 @@ def test_q63_rewrite_matches_brute_force_and_tie_semantics(spark):
     assert got == per_row, (got, per_row)
     # the tie at minute 2 must read 3 for user 1 (RANGE semantics)
     assert (1, 3) in got and got[(1, 3)] == base + dt.timedelta(minutes=2)
+
+
+def test_q67_bag_multiplicity_laws(spark):
+    """exceptAll/intersectAll on planted multisets obey the
+    SQL-standard multiplicity algebra: max(m_a−m_b, 0) and
+    min(m_a, m_b) per value — including values absent from one side
+    and values with equal counts (which must vanish from except_all
+    but keep full multiplicity in intersect_all)."""
+    a = spark.createDataFrame(
+        [("x",)] * 3 + [("y",)] * 2 + [("z",)] * 1, "v string"
+    )
+    b = spark.createDataFrame([("x",)] * 1 + [("y",)] * 2 + [("w",)] * 4, "v string")
+    ex = sorted(r.v for r in a.exceptAll(b).collect())
+    ia = sorted(r.v for r in a.intersectAll(b).collect())
+    assert ex == ["x", "x", "z"], ex  # 3-1 x, 2-2 y -> gone, 1-0 z
+    assert ia == ["x", "y", "y"], ia  # min(3,1) x, min(2,2) y
