@@ -72,6 +72,7 @@ HEADLINE = [
     "q65_value_concentration",
     "q66_grouped_agg_udaf",
     "q67_bag_set_ops",
+    "q68_interval_overlap_join",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",

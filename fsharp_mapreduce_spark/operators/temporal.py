@@ -368,3 +368,104 @@ def q55_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dt).cast("bigint").alias("span_us"),
         F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68: interval-OVERLAP join via the bucketed equi-join rewrite
+# ---------------------------------------------------------------------------
+
+OVERLAP_BUCKET_US = 30 * 60 * 1_000_000  # 30-minute epoch buckets
+CLICK_WINDOW_US = 30 * 60 * 1_000_000  # click attribution interval
+PURCHASE_WINDOW_US = 20 * 60 * 1_000_000  # purchase validity interval
+
+
+@register(
+    "q68_interval_overlap_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {CLICK_WINDOW_US} AS e
+      FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {PURCHASE_WINDOW_US} AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+             AS total_overlap_us
+    FROM a JOIN b ON b.user_id = a.user_id
+     AND a.s < b.e AND b.s < a.e
+    GROUP BY 1
+    """,
+    tags=("join", "interval", "range_join", "temporal"),
+)
+def q68_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join — both sides carry intervals (q07 is
+    point-in-band, q08/q52 are as-of): click attribution windows
+    [ts, ts+30m) against purchase validity windows [ts, ts+20m),
+    positive-measure overlap, per-user pair counts + exact total
+    overlap microseconds. The naive plan is the hazard: Spark turns
+    `ON user AND overlap` into an equi-join whose matched groups get
+    the non-equi as a post-filter — fine until one hot user makes a
+    group quadratic. The rewrite here is the published range-join
+    bucketing (the optimization Databricks ships natively as
+    RangeJoin): each interval EXPLODES into the 30-minute epoch
+    buckets it spans, the join runs equi on (user_id, bucket) — so
+    candidate pairs are confined to co-bucketed intervals and a hot
+    user's cost drops from |A|·|B| to Σ per-bucket products — and
+    each overlapping pair is counted EXACTLY ONCE with no distinct
+    pass: only in bucket max(⌊a.s/W⌋, ⌊b.s/W⌋), which any overlapping
+    pair provably co-covers (max of starts ≤ min of ends). The plan
+    is pinned join-keyed: no BroadcastNestedLoopJoin, no cartesian.
+    The ORACLE is the textbook overlap join — the hash match proves
+    the bucket rewrite emits precisely the overlap relation. All
+    arithmetic is exact BIGINT microseconds (unix_micros/epoch_us on
+    both engines)."""
+    W_US = OVERLAP_BUCKET_US
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def intervals(etype: str, width_us: int) -> DataFrame:
+        s = F.unix_micros(F.col("ts"))
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id", s.alias("s"), (s + F.lit(width_us)).alias("e")
+        )
+
+    def burst(df: DataFrame, side: str) -> DataFrame:
+        bk = F.explode(
+            F.sequence(
+                (F.col("s") / W_US).cast("bigint"),
+                (F.col("e") / W_US).cast("bigint"),
+            )
+        )
+        return df.select(
+            F.col("user_id").alias(f"{side}_user"),
+            F.col("s").alias(f"{side}_s"),
+            F.col("e").alias(f"{side}_e"),
+            bk.alias("bk"),
+        )
+
+    a = burst(intervals("click", CLICK_WINDOW_US), "a")
+    b = burst(intervals("purchase", PURCHASE_WINDOW_US), "b")
+    first_shared = F.greatest(
+        (F.col("a_s") / W_US).cast("bigint"), (F.col("b_s") / W_US).cast("bigint")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (a.bk == b.bk)
+        & (F.col("a_s") < F.col("b_e"))
+        & (F.col("b_s") < F.col("a_e"))
+        & (a.bk == first_shared),
+    )
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        )
+        .cast("bigint")
+        .alias("total_overlap_us"),
+    )

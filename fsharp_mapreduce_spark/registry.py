@@ -489,6 +489,10 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # keeps the set-op exposure via its family). exceptAll /
         # intersectAll multiplicity algebra, value-grain compaction.
         "q67_bag_set_ops",
+        # interval-overlap join via bucketed rewrite (round-6
+        # addition, q-family fold; q07/q08 keep the range/as-of
+        # slots). Oracle keeps the textbook overlap join.
+        "q68_interval_overlap_join",
     }
 )
 

@@ -956,3 +956,16 @@ def test_q66_udaf_plans_as_aggregate_in_pandas_and_matches_builtin(spark):
         .collect()
     }
     assert got == want, (got, want)
+
+
+def test_q68_bucket_rewrite_is_join_keyed(spark):
+    """q68 (interval-overlap join): the bucket rewrite must plan as a
+    KEYED join on (user, bucket) — no BroadcastNestedLoopJoin, no
+    cartesian product anywhere — so a hot user's candidates stay
+    confined to co-bucketed intervals. (Exactly-once emission is
+    pinned by the textbook-oracle hash match at four SFs.)"""
+    df = q("q68_interval_overlap_join", spark)
+    p = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "Join" in p, p
