@@ -104,6 +104,7 @@ HEADLINE = [
     "t40_bpe_merges",
     "t41_bpe_encode",
     "t42_source_overlap",
+    "t43_stratified_exact_k",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",

@@ -25,7 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.functions.dedup import M31, md5_int_hash
@@ -344,4 +344,45 @@ def t39_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.greatest(F.col("n_chars"), F.lit(1)).cast("bigint").alias("weight"),
         (F.round("_ws_score", 6) + F.lit(0.0)).alias("score"),
+    )
+
+
+STRATUM_K = 5  # t43: exactly-k per stratum
+
+
+@register(
+    "t43_stratified_exact_k",
+    oracle=f"""
+    SELECT source, doc_id, h FROM (
+      SELECT source, doc_id,
+             {_sql_bucket("doc_id::VARCHAR", 1000000007)} AS h,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_bucket("doc_id::VARCHAR", 1000000007)}, doc_id
+             ) AS r
+      FROM documents
+    ) WHERE r <= {STRATUM_K}
+    """,
+    tags=("sampling", "stratified", "topk"),
+)
+def t43_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k PER STRATUM — the balanced-subset op the sampling
+    matrix lacked (t14 is per-stratum RATES, t15 is global exactly-k):
+    every source contributes exactly {STRATUM_K} documents, selected
+    by hash order — the "build a balanced eval slice, k docs from
+    each feed" operation. Per-source hash-rank is a KEYED window
+    (partition keys scale with the source catalog, no global sort, no
+    SinglePartition — the q31 rule; one keyed exchange, plan-pinned),
+    and membership is a pure function of doc_id, so the subset is
+    identical under retries, repartitioning, and engine choice —
+    cross-engine hash-verified including the selection hashes. Ties
+    impossible (hash collisions broken by doc_id)."""
+    docs = table(spark, sf_dir, "documents")
+    h = hash_bucket(F.col("doc_id").cast("string"), 1000000007)
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= STRATUM_K)
+        .select("source", "doc_id", "h")
     )

@@ -198,6 +198,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # the same deterministic-hash family (round-5 addition,
     # pytest-only per the cadence)
     "t38_deterministic_shuffle": "t29_sequence_pack",
+    # ...and t43 (exactly-k per stratum: the balanced-subset cell of
+    # the sampling matrix — keyed hash-rank windows; round-6
+    # addition, pytest-only per the cadence)
+    "t43_stratified_exact_k": "t29_sequence_pack",
     # map-only text-transform family (r5 rotation): t28 (the composed
     # funnel whose stage 1 IS t18's cleaning rule fused on one scan)
     # takes the slot; t18 (driver-green r1–r4) and t16 fold

@@ -969,3 +969,13 @@ def test_q68_bucket_rewrite_is_join_keyed(spark):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert "Join" in p, p
+
+
+def test_t43_stratum_topk_single_keyed_exchange(spark):
+    """t43 (exactly-k per stratum): ONE keyed exchange on source for
+    the per-stratum hash-rank window — no global sort, no
+    SinglePartition (the q31 rule at stratum grain)."""
+    df = q("t43_stratified_exact_k", spark)
+    p = formatted_plan(df)
+    assert exchange_count(df) <= 1, p
+    assert "SinglePartition" not in p, p
