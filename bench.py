@@ -137,6 +137,7 @@ HEADLINE = [
     "m10_codec_dispatch",
     "m11_scene_cut_detection",
     "m12_audio_silence_segmentation",
+    "m13_transcode_to_png",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

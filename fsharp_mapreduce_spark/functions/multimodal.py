@@ -1970,3 +1970,109 @@ def m12_audio_silence_segmentation(spark: SparkSession, sf_dir: str) -> DataFram
     the full encode→parse→segment pipeline value-for-value."""
     media = documents_as_media(spark, sf_dir)
     return audio_silence_stats(media)
+
+
+# --- m13: cross-codec transcode — normalize images to PNG -------------------
+
+M13_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_codec", T.StringType(), False),
+        T.StructField("n_pixels", T.IntegerType(), False),
+        T.StructField("pixel_sum", T.LongType(), False),
+        T.StructField("n_mismatched", T.IntegerType(), False),
+        T.StructField("png_valid", T.BooleanType(), False),
+    ]
+)
+
+
+def transcode_images_to_png(media: DataFrame) -> DataFrame:
+    """Format NORMALIZATION — the op a heterogeneous image corpus runs
+    before training (one decode path downstream instead of N): every
+    image row, whatever its container (BMP or PNG here — the two real
+    image codecs), is decoded by magic-byte dispatch, RE-ENCODED as
+    grayscale PNG, and the produced container is PARSED BACK —
+    `n_mismatched` counts pixel disagreements between source decode
+    and re-decode (losslessness is an output COLUMN, not an
+    assumption: a stride, filter, or deflate defect in either
+    direction surfaces in the hash), `png_valid` pins that the
+    emitted bytes re-sniff as PNG. Non-image rows are pre-filtered
+    JVM-side on the metadata struct (the m04 discipline — audio/video
+    payload bytes are never read; parquet column pruning plus the
+    pushed filter keep the scan image-only). Map-only, zero
+    exchanges beyond the fixture fan_out. Stats are measured on the
+    RE-DECODED pixels — the bytes a downstream consumer would
+    actually read."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, codecs, npx, psum, nmis, valid = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                kind = sniff_codec(raw)
+                src = decode_bmp(raw) if kind == "bmp" else decode_png(raw)
+                png = encode_png_gray(src)
+                back = decode_png(png)
+                ids.append(mid)
+                codecs.append(kind)
+                npx.append(int(back.size))
+                psum.append(int(back.astype(np.int64).sum()))
+                nmis.append(int((back != src).sum()))
+                valid.append(sniff_codec(png) == "png")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "src_codec": codecs,
+                    "n_pixels": pd.array(npx, dtype="int32"),
+                    "pixel_sum": pd.array(psum, dtype="int64"),
+                    "n_mismatched": pd.array(nmis, dtype="int32"),
+                    "png_valid": valid,
+                }
+            )
+
+    imgs = media.where(F.col("meta.media_type") == "image").select(
+        "media_id", "payload"
+    )
+    return imgs.mapInPandas(run, M13_SCHEMA)
+
+
+def _m13_oracle() -> str:
+    """Analytic replica over the real-media fixture: image rows are
+    residues 0 (BMP, {BMP_SIDE}²) and 3 (PNG, {PNG_SIDE}²) of
+    doc_id % 4; their decoded pixels are the digest tiles of
+    `_units_cte`, so n_pixels and pixel_sum are digest arithmetic —
+    and the lossless/valid columns are stated constants the Spark
+    side must EARN by actually round-tripping the containers."""
+    return f"""
+    WITH {_units_cte()}
+    SELECT doc_id AS media_id,
+           CASE rc WHEN 0 THEN 'bmp' ELSE 'png' END AS src_codec,
+           CAST(COUNT(*) AS INTEGER) AS n_pixels,
+           CAST(SUM(unit) AS BIGINT) AS pixel_sum,
+           CAST(0 AS INTEGER) AS n_mismatched,
+           TRUE AS png_valid
+    FROM units WHERE rc IN (0, 3)
+    GROUP BY doc_id, rc
+"""
+
+
+@register(
+    "m13_transcode_to_png",
+    oracle=_m13_oracle(),
+    tags=("multimodal", "transcode", "bmp", "png", "decode"),
+)
+def m13_transcode_to_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`transcode_images_to_png` over the real-media fixture
+    (`documents_as_real_media`): the m-family's format-normalization
+    op — BMP rows cross the codec boundary (BMP parse → PNG encode →
+    PNG parse), PNG rows round-trip through a re-encode; every
+    statistic is measured on the re-decoded output and losslessness
+    (n_mismatched = 0) plus container validity are hash-checked
+    columns, so a defect in any of the four container walks breaks
+    the oracle. Audio/video rows never reach Python (JVM metadata
+    pre-filter). Map-only ≤1 exchange."""
+    media = documents_as_real_media(spark, sf_dir)
+    return transcode_images_to_png(media)

@@ -359,6 +359,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # audio twin of m11's temporal analysis; round-6 addition,
     # pytest-only per the cadence) rides the same decode family
     "m12_audio_silence_segmentation": "m10_codec_dispatch",
+    # ...and m13 (cross-codec transcode: BMP/PNG → PNG normalization
+    # with in-band losslessness columns; round-6 addition,
+    # pytest-only per the cadence)
+    "m13_transcode_to_png": "m10_codec_dispatch",
     # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
     # weighted reservoir — the quality-weighted member of the
     # deterministic sampling family; round-6 addition, pytest-only

@@ -979,3 +979,13 @@ def test_t43_stratum_topk_single_keyed_exchange(spark):
     p = formatted_plan(df)
     assert exchange_count(df) <= 1, p
     assert "SinglePartition" not in p, p
+
+
+def test_m13_transcode_is_map_only_and_prunes_payloads(spark):
+    """m13 (transcode): map-only (≤1 exchange — the fixture fan_out),
+    and the image pre-filter runs on the metadata struct JVM-side so
+    non-image payload bytes never reach the Python stage."""
+    df = q("m13_transcode_to_png", spark)
+    p = formatted_plan(df)
+    assert exchange_count(df) <= 1, p
+    assert "media_type" in p, p  # the JVM-side metadata filter exists
