@@ -119,6 +119,7 @@ HEADLINE = [
     "s14_knn_pq",
     "s19_knn_ivf_pq",
     "s20_ivf_index_delete",
+    "s21_knn_lsh_multiprobe",
     "st01_stream_tumbling_agg",
     "st04_stream_stateful_running_max",
     "st05_stream_stream_join",

@@ -2491,3 +2491,88 @@ def s20_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return knn_ivf_probe(spark, index_path, cent_mat, queries)
+
+
+# --- s21: multi-probe LSH — recall without more tables ----------------------
+
+MULTIPROBE_MASKS = [0] + [1 << j for j in range(PLANES_PER_TABLE)]
+
+
+def _s21_oracle() -> str:
+    """s02's probe replica with the q CTE expanded by the single-bit
+    flip masks — candidate generation, exact scoring and ranking
+    otherwise identical (the masks are the ONLY delta, so a hash
+    match isolates the multi-probe expansion)."""
+    mask_rows = ", ".join(f"({m})" for m in MULTIPROBE_MASKS)
+    return f"""
+    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
+    masks(m) AS (VALUES {mask_rows}),
+    q AS (
+      SELECT vec_id AS query_id, tbl,
+             xor(bucket::BIGINT, m::BIGINT) AS bucket
+      FROM tagged CROSS JOIN masks
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, t.vec_id AS neighbor_id
+      FROM q JOIN tagged t
+        ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             {_cosine_sql('qe.embedding', 'ne.embedding')} AS sim
+      FROM cand c
+      JOIN embeddings qe ON c.query_id = qe.vec_id
+      JOIN embeddings ne ON c.neighbor_id = ne.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "s21_knn_lsh_multiprobe",
+    oracle=_s21_oracle(),
+    tags=("similarity", "lsh", "ann", "multiprobe"),
+)
+def s21_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv, Josephson, Wang, Charikar & Li 2007,
+    VLDB — "Multi-Probe LSH: Efficient Indexing for High-Dimensional
+    Similarity Search"): each query probes its own bucket PLUS the
+    {PLANES_PER_TABLE} buckets one sign-bit away in every table —
+    (k+1)·L probes against the SAME {N_TABLES}-table index s02 built,
+    trading a little probe-side fan-out for the recall that would
+    otherwise need more tables (the production knob: at 100 TB every
+    extra table is another full corpus copy ON DISK, while an extra
+    probe is L more rows in an already-broadcast probe set — this is
+    why every serious LSH deployment multi-probes instead of adding
+    tables). Candidates remain a strict SUPERSET of s02's (mask 0 is
+    s02's probe), and since ranking is exact over the candidate set,
+    recall vs s01 is provably monotone — measured and pinned ≥ s02's
+    in tests. The corpus side is untouched: same tagged index, same
+    broadcast-probe equi-join, no new exchange (the probe expansion
+    happens inside the broadcast-side explode). Oracle = s02's
+    replica with ONLY the mask expansion added."""
+    emb = table(spark, sf_dir, "embeddings")
+    bucket_ids = _lsh_bucket_udf()
+    indexed = scoped_persist(
+        emb.select("vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs"))
+    )
+    tagged = indexed.select(
+        "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
+    )
+    q0 = _probe_set(tagged)
+    flips = F.array(
+        *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in MULTIPROBE_MASKS]
+    )
+    q = q0.select(
+        "query_id", "qe", "qtbl", F.explode(flips).alias("qbucket")
+    )
+    return _exact_topk(_bucket_candidates(tagged, q))

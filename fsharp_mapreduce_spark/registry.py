@@ -282,6 +282,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # rewrite with the emptied-cell sweep; completes build/append/
     # delete; round-6 addition, pytest-only per the cadence)
     "s20_ivf_index_delete": "s11_knn_ivf_index_probe",
+    # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
+    # over s02's index — recall without more tables; round-6
+    # addition, pytest-only per the cadence) folds to the LSH family
+    "s21_knn_lsh_multiprobe": "s02_knn_lsh",
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)

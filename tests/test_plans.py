@@ -989,3 +989,15 @@ def test_m13_transcode_is_map_only_and_prunes_payloads(spark):
     p = formatted_plan(df)
     assert exchange_count(df) <= 1, p
     assert "media_type" in p, p  # the JVM-side metadata filter exists
+
+
+def test_s21_multiprobe_adds_no_corpus_exchange(spark):
+    """s21 (multi-probe LSH): the probe expansion happens on the
+    broadcast side — the corpus-side plan must stay s02's shape
+    (tagged index streamed through a broadcast hash join, no
+    SinglePartition, no corpus re-exchange beyond s02's own)."""
+    df = q("s21_knn_lsh_multiprobe", spark)
+    p = formatted_plan(df)
+    assert "SinglePartition" not in p, p
+    s02 = q("s02_knn_lsh", spark)
+    assert exchange_count(df) <= exchange_count(s02) + 1, p

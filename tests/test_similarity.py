@@ -793,3 +793,24 @@ def test_s20_delete_semantics_and_partition_economics(spark):
     )
     for cols in read_schema_columns(located):
         assert "embedding" not in cols, cols
+
+
+def test_s21_multiprobe_recall_dominates_s02(spark):
+    """Multi-probe candidates are a strict superset of s02's (mask 0
+    IS s02's probe) and ranking is exact over the candidate set, so
+    recall vs the exact baseline is provably monotone — assert the
+    structural ≥ plus the measured floor (0.88 at sf0.001 vs s02's
+    0.48 on the same four tables; 0.7 guards regressions on the
+    random-vector worst case without flaking — planes and buckets
+    are fully deterministic)."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        s01_knn_bruteforce,
+        s02_knn_lsh,
+        s21_knn_lsh_multiprobe,
+    )
+
+    exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
+    r02 = len(_pairs(s02_knn_lsh(spark, SF_SMOKE)) & exact) / len(exact)
+    r21 = len(_pairs(s21_knn_lsh_multiprobe(spark, SF_SMOKE)) & exact) / len(exact)
+    assert r21 >= r02, (r21, r02)
+    assert r21 >= 0.7, r21
