@@ -129,6 +129,7 @@ HEADLINE = [
     "st13_stream_left_outer_join",
     "st15_stream_anti_join_dedup",
     "st16_stream_drift_audit",
+    "st17_stream_full_outer_join",
     "st18_stream_decayed_activity",
     "st19_stream_semi_join",
     "m01_multimodal_meta",

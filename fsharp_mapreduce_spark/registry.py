@@ -172,6 +172,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
     "t08_fingerprint": "t22_winnow_containment_pairs",
+    # exact-dedup family (r7 rotation): t01 (whole-doc digest) keeps
+    # the slot; t26 (paragraph-block dedup — the same sha2-groupBy
+    # pipeline at sub-document grain, driver-green r5–r6) folds to
+    # make room for the r7 rotate-ins
+    "t26_paragraph_dedup": "t01_exact_dedup",
     # cluster-split family: t23 (star contraction) / t12 hold the
     # clustering slots; t33 consumes the same cluster labels for the
     # leakage-safe split audit (round-5 addition, pytest-only)
@@ -226,15 +231,15 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # broadcast-gram-hash probe inverted) folds to t34, the r6
     # slot-holder for the gram-blocked candidate family
     "t37_ngram_novelty": "t34_fuzzy_match",
-    # ...and t40 (BPE merge induction — tokenizer training: the same
-    # explode→hash-agg corpus-statistics shape iterated on the
-    # distinct-word table; round-6 addition, pytest-only per the
-    # cadence) folds to the token-statistics slot-holder
-    "t40_bpe_merges": "t19_tfidf_top_terms",
-    # ...and t41 (BPE ENCODE — the apply half of t40's train: the
-    # merge chain replayed corpus-wide as a narrow map; round-6
-    # addition, pytest-only per the cadence) rides the same family
-    "t41_bpe_encode": "t19_tfidf_top_terms",
+    # t40/t41 (BPE train/encode) rotated INTO the gate window in r7
+    # (VERDICT r6 "Next round" #1) — no fold entries. In exchange,
+    # two multi-round-driver-green corpus-statistics siblings fold:
+    # t21 (bigram LM scoring — the t17-PMI-shaped explode→hash-agg→
+    # broadcast-join pipeline, driver-green r3–r6) and t24 (BM25
+    # ranking — the same tf/df staging as t19 with the probe-scoring
+    # join on top, driver-green r3–r6)
+    "t21_bigram_lm_score": "t19_tfidf_top_terms",
+    "t24_bm25_ranking": "t19_tfidf_top_terms",
     # ...and t42 (pairwise source-overlap Jaccard matrix — t25/t37's
     # gram-hash machinery generalized to all source pairs; round-6
     # addition, pytest-only per the cadence). t25 holds the
@@ -272,16 +277,16 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # as s04 but probing the materialized cell-partitioned index
     # (equivalence-tested result identity, shared oracle factory) —
     # takes the slot; s04 (driver-green r3–r4) folds
-    "s04_knn_ivf": "s11_knn_ivf_index_probe",
-    # ...and s19 (IVF-PQ: the two quantizers composed — coarse cell
-    # pruning before ADC candidate rank, the FAISS billion-vector
-    # layout; round-6 addition, pytest-only per the cadence) is the
-    # composition member of the IVF family
-    "s19_knn_ivf_pq": "s11_knn_ivf_index_probe",
+    "s04_knn_ivf": "s19_knn_ivf_pq",
+    # IVF family rotation #4 (r7): s19 (IVF-PQ — the two quantizers
+    # composed, the FAISS billion-vector layout) takes the IVF slot
+    # per VERDICT r6 #1; s11 (materialized-index probe, driver-green
+    # r5–r6) folds to it, alongside its existing family members
+    "s11_knn_ivf_index_probe": "s19_knn_ivf_pq",
     # ...and s20 (index DELETE: O(affected cells) right-to-erasure
     # rewrite with the emptied-cell sweep; completes build/append/
     # delete; round-6 addition, pytest-only per the cadence)
-    "s20_ivf_index_delete": "s11_knn_ivf_index_probe",
+    "s20_ivf_index_delete": "s19_knn_ivf_pq",
     # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
     # over s02's index — recall without more tables; round-6
     # addition, pytest-only per the cadence) folds to the LSH family
@@ -289,7 +294,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
-    "s13_ivf_index_append": "s11_knn_ivf_index_probe",
+    "s13_ivf_index_append": "s19_knn_ivf_pq",
     # retrieval-scoring family: s09 (MaxSim late interaction) holds
     # the slot; s16 fuses the t24 sparse and s01-style dense rankings
     # with reciprocal rank fusion (round-5 addition, pytest-only)
@@ -304,7 +309,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "st01_stream_tumbling_agg": "st11_dice_pull_stream",
     # streaming-dedup family: st10 (TTL watermark dedup) holds the
     # slot; st02 is the unbounded-state sibling (driver-green r3)
-    "st02_stream_dedup": "st10_dedup_within_watermark",
+    # (st10, the TTL slot-holder st02 used to fold to, itself folded
+    # to st15 in r7 — the family chain re-points to the exposed rep)
+    "st02_stream_dedup": "st15_stream_anti_join_dedup",
     # streaming-aggregation family: st16 (the r6 slot-holder for the
     # micro-batch aggregate machinery) represents st06, the
     # sliding-window sibling (driver-green r2–r4)
@@ -313,10 +320,18 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # LEFT OUTER — the production-join semantics, VERDICT r5 #2) takes
     # the slot; st05 (inner interval join, driver-green r2–r5) folds
     "st05_stream_stream_join": "st13_stream_left_outer_join",
-    # ...and st17 (FULL OUTER — the last join-semantics cell: orphan
-    # rows on BOTH sides emitted at watermark close; round-6 addition,
-    # pytest-only per the cadence) folds to the same slot-holder
-    "st17_stream_full_outer_join": "st13_stream_left_outer_join",
+    # st17 (stream-stream FULL OUTER) rotated INTO the gate window in
+    # r7 (VERDICT r6 #1 — the last unverified join-semantics cell).
+    # In exchange two multi-round-green streaming rows fold:
+    # st09 (RocksDB state-store provider — st04's query with the
+    # provider conf flipped, driver-green r3–r6) rides the
+    # arbitrary-stateful slot-holder...
+    "st09_stateful_rocksdb": "st04_stream_stateful_running_max",
+    # ...and st10 (TTL watermark dedup, driver-green r3–r6) folds to
+    # the streaming-dedup family's r6 slot-holder st15 (LEFT ANTI
+    # ingestion dedup — same drop-duplicates-by-key contract, static
+    # corpus side instead of TTL state)
+    "st10_dedup_within_watermark": "st15_stream_anti_join_dedup",
     # ...and st19 (LEFT SEMI — the membership cell: converted clicks
     # emit once, eagerly, with no fan-out; round-6 addition,
     # pytest-only per the cadence) completes the join matrix
@@ -363,10 +378,14 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # audio twin of m11's temporal analysis; round-6 addition,
     # pytest-only per the cadence) rides the same decode family
     "m12_audio_silence_segmentation": "m10_codec_dispatch",
-    # ...and m13 (cross-codec transcode: BMP/PNG → PNG normalization
-    # with in-band losslessness columns; round-6 addition,
-    # pytest-only per the cadence)
-    "m13_transcode_to_png": "m10_codec_dispatch",
+    # m13 (cross-codec transcode) rotated INTO the gate window in r7
+    # (VERDICT r6 #1). In exchange two driver-green-since-r1 Arrow
+    # map-batch siblings fold to the m10 capstone (which decodes all
+    # four codecs through the same mapInPandas batch shape):
+    # m02 (feature extraction, driver-green r1–r6)...
+    "m02_feature_extract": "m10_codec_dispatch",
+    # ...and m04 (resize/thumbnail, driver-green r1–r6)
+    "m04_resize": "m10_codec_dispatch",
     # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
     # weighted reservoir — the quality-weighted member of the
     # deterministic sampling family; round-6 addition, pytest-only
@@ -399,7 +418,10 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         "q16_window_ranks",
         "q18_union",
         # intersect (r6 rotation): q19 (driver-green r1–r5) folds with
-        # its set-op siblings to make room for the lifecycle queries
+        # its set-op siblings; since r7 the set-op family's gate
+        # representative is q67 (bag set ops — exceptAll/intersectAll,
+        # the strictly-more-general multiplicity algebra), restoring
+        # the family-coverage rule ADVICE r6 flagged
         "q19_intersect",
         "q20_except",
         "q21_distinct",
@@ -410,6 +432,11 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # sessionize (r5 rotation): q26 (driver-green r1–r4) folds to
         # make room for q41; q27 keeps the scalar/sequence-family slot
         "q26_sessionize",
+        # recursive CTE (r7 rotation): q41 (driver-green r5–r6) folds
+        # to make room for the rotate-ins; q27 keeps the
+        # scalar/sequence-family slot and q41 stays oracle-verified
+        # every pytest run
+        "q41_recursive_calendar",
         "q28_pivot",
         "q29_quantiles",
         "q30_salted_skew_agg",
@@ -482,29 +509,18 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # window-DISTINCT aggregate Spark lacks, via the
         # first-occurrence rewrite — oracle keeps the native form.
         "q63_running_distinct",
-        # incremental JOIN-view maintenance (round-6 addition,
-        # q-family fold; q58's lifecycle row keeps the state-on-disk
-        # slot, q49 is the aggregate sibling). Delta rule, oracle =
-        # full re-join recompute.
-        "q64_incremental_join",
+        # q64 (incremental JOIN-view maintenance) rotated INTO the
+        # gate window in r7 (VERDICT r6 #1).
         # value concentration / TPC-H Q11 shape (round-6 addition,
         # q-family fold; q01 keeps the aggregation-family slot). A
         # grouped aggregate filtered by a broadcast global scalar of
         # itself; mean-relative threshold for scale-invariant
         # selectivity.
         "q65_value_concentration",
-        # GROUPED_AGG pandas UDAF (round-6 addition, q-family fold;
-        # q35 keeps the UDTF slot via its family). Exact median — the
-        # non-decomposable statistic that justifies AggregateInPandas.
-        "q66_grouped_agg_udaf",
-        # bag-semantics set ops (round-6 addition, q-family fold; q19
-        # keeps the set-op exposure via its family). exceptAll /
-        # intersectAll multiplicity algebra, value-grain compaction.
-        "q67_bag_set_ops",
-        # interval-overlap join via bucketed rewrite (round-6
-        # addition, q-family fold; q07/q08 keep the range/as-of
-        # slots). Oracle keeps the textbook overlap join.
-        "q68_interval_overlap_join",
+        # q66 (GROUPED_AGG pandas UDAF), q67 (bag set ops — the
+        # set-op family's new gate representative, ADVICE r6 #3) and
+        # q68 (interval-overlap join) rotated INTO the gate window in
+        # r7 (VERDICT r6 #1).
     }
 )
 
