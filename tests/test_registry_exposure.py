@@ -102,6 +102,17 @@ def test_bench_summary_line_fits_tail():
         "sf": 0.1,
         "dice_mr_compat_5m": 12.3456,
         "duckdb_value": 12345.6789,
+        # r7 contention-evidence fields (VERDICT r6 #2), every one
+        # populated at its widest plausible width
+        "dice_anchor_band": [1.3, 2.1],
+        "dice_anchor_attempts": [
+            {"value": 99.9999, "load1": 99.99, "load5": 99.99, "floor_ms": 9999.9}
+        ]
+        * bench.DICE_ANCHOR_MAX_ATTEMPTS,
+        "contention": {
+            g: {"load1": 99.99, "load5": 99.99, "floor_ms": 9999.9}
+            for g in ("q", "t", "s", "stm")
+        },
     }
     line = json.dumps(bench.summary_obj(result))
     assert len(line) <= 400, f"summary line {len(line)} bytes > 400"
@@ -123,3 +134,36 @@ def test_bench_covers_every_exposed_family():
         rep = bench.FAMILY_COVERAGE.get(name)
         assert rep, f"exposed query {name} has no bench row and no FAMILY_COVERAGE entry"
         assert rep in headline, f"{name}: coverage rep {rep} is not in HEADLINE"
+
+
+def test_dice_anchor_self_adjudication():
+    """VERDICT r6 #2: an out-of-band anchor reading triggers automatic
+    re-measurement (fresh JVM per attempt), every attempt is recorded
+    with its contention snapshot, and the recorded value is the min
+    across attempts (contention only inflates). In-band first readings
+    measure exactly once."""
+    import bench
+
+    lo, hi = bench.DICE_ANCHOR_BAND
+
+    # in-band first reading: one attempt, value passed through
+    readings = iter([lo + 0.1])
+    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    assert val == lo + 0.1
+    assert len(attempts) == 1
+    assert {"value", "load1", "load5", "floor_ms"} <= set(attempts[0])
+
+    # contention-inflated first reading, quiet re-run: stops at the
+    # first in-band attempt, records both, returns the min
+    readings = iter([hi * 2, lo + 0.2, lo + 0.5])
+    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    assert val == lo + 0.2
+    assert len(attempts) == 2
+
+    # persistently-busy box: exhausts DICE_ANCHOR_MAX_ATTEMPTS and
+    # records the minimum inflated reading (the explicit-adjudication
+    # path — main() adds dice_anchor_adjudication to the payload)
+    readings = iter([hi * 3, hi * 2.5, hi * 2.1, hi * 9])
+    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    assert len(attempts) == bench.DICE_ANCHOR_MAX_ATTEMPTS
+    assert val == hi * 2.1
