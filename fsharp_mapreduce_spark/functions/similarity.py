@@ -806,9 +806,15 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     import re
     import tempfile
 
+    from fsharp_mapreduce_spark.scratch import cleanup_at_exit
+
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
-    return os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}_{app}")
+    # stable across invocations within the process (append/delete
+    # probes need it), removed at exit (ADVICE r6 #2)
+    return cleanup_at_exit(
+        os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}_{app}")
+    )
 
 
 @register(
@@ -2417,6 +2423,22 @@ def delete_from_ivf_index(
     partitions rewritten or removed."""
     import os
     import shutil
+    from urllib.parse import urlparse
+
+    # Fail fast on non-local paths (ADVICE r6 #4): step 3's sweep uses
+    # os.path/shutil, which silently no-ops on hdfs://, s3a://, etc. —
+    # the stale emptied-cell directory would survive and dynamic
+    # overwrite would resurrect every deleted vector on the next
+    # build. On a real cluster, route the sweep through the Hadoop
+    # FileSystem API (spark._jvm.org.apache.hadoop.fs.FileSystem)
+    # before lifting this guard.
+    scheme = urlparse(index_path).scheme
+    if scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"delete_from_ivf_index: emptied-cell sweep only implemented "
+            f"for local filesystem paths (got scheme {scheme!r}); a "
+            "silent skip would resurrect deleted vectors"
+        )
 
     ids = F.broadcast(delete_ids.select("vec_id"))
     located = (

@@ -1511,8 +1511,15 @@ def _pos_qgrams(name: Column, q: int = FUZZY_Q) -> Column:
       FROM part GROUP BY lower(p_name)
     ),
     g AS (
+      -- series bound derived from the fixture's own longest name
+      -- (same latent hazard ADVICE r6 #1 flagged on t40/t41: a fixed
+      -- literal diverges silently on a longer-named fixture)
+      -- (the lateral generate_series table function only accepts
+      -- constants; the scalar unnest(generate_series(..)) form takes
+      -- the subquery bound)
       SELECT nm, t.p AS pos, substr(nm, t.p, {FUZZY_Q}) AS gram
-      FROM names, generate_series(1, 64) t(p)
+      FROM names CROSS JOIN (SELECT unnest(generate_series(1,
+          (SELECT MAX(length(nm)) FROM names))) AS p) t
       WHERE t.p <= GREATEST(length(nm) - {FUZZY_Q} + 1, 1)
     ),
     hot AS (
@@ -2066,9 +2073,14 @@ def _t40_oracle(rounds: int = BPE_ROUNDS) -> str:
         p = r - 1
         parts.append(f"""
     , pairs{r} AS MATERIALIZED (
+      -- series bound derived from the round's own longest symbol
+      -- sequence (ADVICE r6 #1): a fixed literal (previously 64)
+      -- silently assumed no word exceeds that many symbols and would
+      -- make the oracle diverge on a longer-worded fixture
       SELECT l[i] AS lft, l[i + 1] AS rgt, SUM(cnt) AS pc
       FROM (SELECT string_split(s, ' ') AS l, cnt FROM words{p})
-      CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      CROSS JOIN (SELECT unnest(generate_series(1,
+          (SELECT MAX(len(string_split(s, ' '))) FROM words{p}))) AS i)
       WHERE i <= len(l) - 1
       GROUP BY 1, 2
     ),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.scratch import scratch_dir
 
 
 def _rnd(col, n=4):
@@ -1276,7 +1277,7 @@ def q49_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_totalprice").alias("revenue_sum"),
         )
 
-    state_path = tempfile.mkdtemp(prefix="fsmr_aggstate_")
+    state_path = scratch_dir("fsmr_aggstate_")
     write_agg_state(partials(o.where(F.col("o_orderdate") < cutoff)), state_path)
 
     state = spark.read.parquet(state_path)

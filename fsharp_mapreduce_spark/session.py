@@ -112,6 +112,12 @@ def ensure_package_shipped(spark: SparkSession) -> None:
             for p in sorted(pkg_root.rglob("*.py")):
                 z.write(p, str(Path("fsharp_mapreduce_spark") / p.relative_to(pkg_root)))
         os.replace(tmp, dest)
+    # keyed by applicationId, so a new zip per app: without exit
+    # cleanup these accumulate one ~100 KB archive per session under
+    # /tmp forever (ADVICE r6 #2's leak, pkg-zip flavor)
+    from fsharp_mapreduce_spark.scratch import cleanup_at_exit
+
+    cleanup_at_exit(str(dest))
     spark.sparkContext.addPyFile(str(dest))
     _shipped_apps.add(appid)
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.scratch import scratch_dir
 from fsharp_mapreduce_spark.sources.io import (
     merge_upsert,
     read_evolved,
@@ -74,7 +75,7 @@ def q58_merge_upsert_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only touched partition directories rewritten, untouched files
     byte-identical) stay pinned by
     tests/test_sources.py::test_merge_upsert_rewrites_only_touched_partitions."""
-    target = tempfile.mkdtemp(prefix="fsmr_q58_")
+    target = scratch_dir("fsmr_q58_")
     base = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey"),
         F.round("o_totalprice", 2).alias("price"),
@@ -135,7 +136,7 @@ def q59_zorder_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both range predicates reach the parquet scan as pushed filters
     (plan-pinned) — at 100 TB this scan reads the few curve-tile files
     the footer statistics admit, not the table."""
-    out = tempfile.mkdtemp(prefix="fsmr_q59_")
+    out = scratch_dir("fsmr_q59_")
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_retailprice"
     )
@@ -176,7 +177,7 @@ def q60_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped or duplicated across the mixed-schema listing. Pushdown
     and pruning survival on evolved reads is pinned separately by
     tests/test_sources.py::test_read_evolved_unions_schemas_and_keeps_pushdown."""
-    out = tempfile.mkdtemp(prefix="fsmr_q60_")
+    out = scratch_dir("fsmr_q60_")
     c = table(spark, sf_dir, "customer")
     old_gen = c.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
     new_gen = c.where(F.col("c_custkey") % 2 == 1).select(
@@ -375,7 +376,7 @@ def q64_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority", "l_returnflag", "l_extendedprice", "l_discount"
         )
 
-    state_path = tempfile.mkdtemp(prefix="fsmr_joinstate_")
+    state_path = scratch_dir("fsmr_joinstate_")
     j(r_old, s_old).write.mode("overwrite").parquet(state_path)
     j_old = spark.read.parquet(state_path)
 

@@ -18,6 +18,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from fsharp_mapreduce_spark.scratch import scratch_dir
 
 
 # staged-dir memo: restaging the SAME fixture slice for every query
@@ -60,7 +61,7 @@ def stage_as_chunked_files(
         cached = _staged_memo.get(key)
         if cached is not None and os.path.isdir(cached):
             return cached
-    out_dir = out_dir or tempfile.mkdtemp(prefix="fsmr_stream_")
+    out_dir = out_dir or scratch_dir("fsmr_stream_")
     # The memo is populated ONLY after the staging write (and mtime
     # pinning) completes: a failed/interrupted write must not leave a
     # memo entry pointing at an empty or partial dir that later calls

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fsharp_mapreduce_spark.registry import register, table
+from fsharp_mapreduce_spark.scratch import scratch_dir
 from fsharp_mapreduce_spark.streaming.loader import (
     read_pull_stream,
     run_to_completion,
@@ -276,7 +277,7 @@ def st08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"), n_chunks=4, memo_key=(sf_dir, "events")
     )
     ev = read_pull_stream(spark, staged)
-    sink_dir = tempfile.mkdtemp(prefix="fsmr_st08_")
+    sink_dir = scratch_dir("fsmr_st08_")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -713,7 +714,7 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, n_chunks=4, memo_key=(sf_dir, "st14_queries")
     )
     qstream = read_pull_stream(spark, staged)
-    sink_dir = tempfile.mkdtemp(prefix="fsmr_st14_")
+    sink_dir = scratch_dir("fsmr_st14_")
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         q = tag_probe_buckets(batch_df)
@@ -829,7 +830,7 @@ def st16_stream_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         memo_key=(sf_dir, "documents_drift_batch"),
     )
     stream = read_pull_stream(spark, staged)
-    sink_dir = tempfile.mkdtemp(prefix="fsmr_st16_")
+    sink_dir = scratch_dir("fsmr_st16_")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -795,6 +795,26 @@ def test_s20_delete_semantics_and_partition_economics(spark):
         assert "embedding" not in cols, cols
 
 
+def test_s20_delete_rejects_nonlocal_index_path(spark):
+    """ADVICE r6 #4: the emptied-cell sweep is os.path/shutil-based —
+    on a non-local scheme it would silently no-op and dynamic
+    overwrite would resurrect every deleted vector. The guard must
+    fire BEFORE any Spark work (no reads of the fake path)."""
+    import pytest
+
+    from fsharp_mapreduce_spark.functions.similarity import delete_from_ivf_index
+
+    ids_df = spark.createDataFrame([(1,)], "vec_id long")
+    for path in ("hdfs://nn:8020/idx", "s3a://bucket/idx"):
+        with pytest.raises(NotImplementedError, match="resurrect"):
+            delete_from_ivf_index(spark, path, ids_df)
+    # local paths (bare and file://) pass the guard — they fail later
+    # only if the path doesn't exist, proving the guard itself let
+    # them through
+    with pytest.raises(Exception, match="(?i)path does not exist|unable to infer"):
+        delete_from_ivf_index(spark, "/tmp/fsmr_nonexistent_idx_guard", ids_df)
+
+
 def test_s21_multiprobe_recall_dominates_s02(spark):
     """Multi-probe candidates are a strict superset of s02's (mask 0
     IS s02's probe) and ranking is exact over the candidate set, so
