@@ -211,11 +211,23 @@ def t26_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(docs)
 
 
+# Verification (VERDICT r6 #3 — the interpreted per-candidate
+# list_intersect fold exceeded a 10-minute budget at sf0.5): shared
+# count = kept co-occurrence count (`ks`, the group-by of the same
+# self-join that defines candidacy) + hot-shingle remainder (`hr`,
+# candidates × the tiny hot postings) — exactly how the engine patches
+# the cap, and identical to len(list_intersect(…)) on the distinct
+# per-doc lists since e = kept ∪ hot postings disjointly. The naive
+# alternative (candidates × FULL posting lists) is Σ|shs| over
+# candidates ≈ billions of join rows at sf0.5; this form caps the
+# expansion at the pair-expansion bound the engine already obeys.
+# MATERIALIZED pins shared CTEs: DuckDB inlines plain CTEs per
+# consumer.
 _NGRAM_ORACLE = f"""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
       SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(CASE WHEN len(ws) >= {NGRAM} THEN
                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
@@ -223,28 +235,38 @@ _NGRAM_ORACLE = f"""
              ELSE [] END) AS shs
       FROM w
     ),
-    e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-    hot AS (
+    e AS MATERIALIZED (SELECT doc_id, unnest(shs) AS s FROM sh),
+    hot AS MATERIALIZED (
       SELECT s FROM e GROUP BY s
       HAVING count(*) > {STOP_SHINGLE_MAX_POSTINGS}
     ),
-    kept AS (SELECT e.doc_id, e.s FROM e ANTI JOIN hot USING (s)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    kept AS MATERIALIZED (SELECT e.doc_id, e.s FROM e ANTI JOIN hot USING (s)),
+    ks AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS kept_shared
       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ),
+    he AS MATERIALIZED (SELECT e.doc_id, e.s FROM e SEMI JOIN hot USING (s)),
+    hr AS (
+      SELECT k.doc_a, k.doc_b, CAST(COUNT(*) AS BIGINT) AS hot_shared
+      FROM ks k
+      JOIN he ha ON ha.doc_id = k.doc_a
+      JOIN he hb ON hb.doc_id = k.doc_b AND hb.s = ha.s
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(shs) AS n FROM sh),
     v AS (
-      SELECT doc_a, doc_b,
-             len(list_intersect(sa.shs, sb.shs)) AS shared,
-             len(sa.shs) AS na, len(sb.shs) AS nb
-      FROM cand
-      JOIN sh sa ON doc_a = sa.doc_id
-      JOIN sh sb ON doc_b = sb.doc_id
+      SELECT k.doc_a, k.doc_b,
+             k.kept_shared + COALESCE(h.hot_shared, 0) AS shared
+      FROM ks k LEFT JOIN hr h ON k.doc_a = h.doc_a AND k.doc_b = h.doc_b
     )
     SELECT doc_a, doc_b,
-           ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+           ROUND(shared * 1.0 / (za.n + zb.n - shared), 6) AS jaccard
     FROM v
-    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE shared * 1.0 / (za.n + zb.n - shared) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -514,12 +536,22 @@ def minhash_band_signatures(
     )
 
 
-def _t03_oracle() -> str:
-    """DuckDB replica of the full MinHash+LSH pipeline in the
-    cross-engine family — md5-sliced shingle hashes, multiply-mod
-    minhash signatures, polynomial band signatures, bucket join,
-    exact-Jaccard verification — so the driver checks t03
-    value-for-value, not rows-only."""
+def _minhash_common_ctes() -> str:
+    """Shared DuckDB CTE chain for every MinHash+LSH oracle (t03 and
+    its composers t12/t23/t33, plus t30's batch variant): documents →
+    cross-engine shingle hashes → minhash signatures → band signatures,
+    ending with the exploded postings (``eh``) and per-doc set sizes
+    (``sz``) the verification stages join against.
+
+    Vectorized form (VERDICT r6 #3 — these oracles exceeded a 10-min
+    budget at sf0.5): the per-doc nested comprehension
+    ``[list_min(list_transform(hs, …)) for p in …]`` is O(docs × perms
+    × shingles) interpreted lambda evals; here the same signature is a
+    columnar MIN over exploded (doc, shingle-hash) × perm rows —
+    identical int64 arithmetic, native execution. The remaining
+    comprehensions (gram strings, the band fold) are O(total words) and
+    O(docs × bands) — negligible. MATERIALIZED throughout because
+    DuckDB inlines plain CTEs per consumer."""
     ca, cb = _minhash_consts()
     a_sql = "[" + ", ".join(str(x) for x in ca) + "]"
     b_sql = "[" + ", ".join(str(x) for x in cb) + "]"
@@ -527,10 +559,10 @@ def _t03_oracle() -> str:
         f"sig[b*{BAND_ROWS}+{j + 1}]" for j in range(BAND_ROWS)
     ) + "]"
     return f"""
-    WITH w AS (
+    w AS MATERIALIZED (
       SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id,
              CASE WHEN len(ws) >= {NGRAM} THEN
                list_distinct(list_transform(
@@ -540,39 +572,60 @@ def _t03_oracle() -> str:
              ELSE CAST([] AS BIGINT[]) END AS hs
       FROM w
     ),
-    sg AS (
-      SELECT doc_id, hs,
-             [ list_min(list_transform(hs,
-                 h -> (list_extract({a_sql}, p) * h
-                       + list_extract({b_sql}, p)) % {M31}))
-               for p in generate_series(1, {NUM_PERM}) ] AS sig
-      FROM sh WHERE len(hs) > 0
+    eh AS MATERIALIZED (SELECT doc_id, unnest(hs) AS h FROM sh),
+    perms AS MATERIALIZED (
+      SELECT p, list_extract({a_sql}, p) AS ap, list_extract({b_sql}, p) AS bp
+      FROM generate_series(1, {NUM_PERM}) t(p)
     ),
-    bd AS (
+    mh AS MATERIALIZED (
+      SELECT e.doc_id, pr.p, MIN((pr.ap * e.h + pr.bp) % {M31}) AS m
+      FROM eh e CROSS JOIN perms pr
+      GROUP BY 1, 2
+    ),
+    sg AS MATERIALIZED (
+      SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id
+    ),
+    bd AS MATERIALIZED (
       SELECT doc_id, b AS band,
              list_reduce(list_prepend(CAST(b AS BIGINT), {band_window}),
                          (acc, v) -> (acc * {SHINGLE_BASE} + v) % {POLY_P})
                AS band_sig
       FROM sg, generate_series(0, {NUM_PERM // BAND_ROWS - 1}) t(b)
     ),
+    sz AS MATERIALIZED (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) > 0)"""
+
+
+def _t03_oracle() -> str:
+    """DuckDB replica of the full MinHash+LSH pipeline in the
+    cross-engine family — md5-sliced shingle hashes, multiply-mod
+    minhash signatures, polynomial band signatures, bucket join,
+    exact-Jaccard verification — so the driver checks t03
+    value-for-value, not rows-only. Verification is the join+group-by
+    shared count over ``eh`` (identical to len(list_intersect(…)) on
+    the distinct per-doc lists; a candidate sharing zero shingles
+    drops out of the count, and out of the ≥threshold result either
+    way)."""
+    return f"""
+    WITH {_minhash_common_ctes()},
     cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bd x JOIN bd y
         ON x.band = y.band AND x.band_sig = y.band_sig
        AND x.doc_id < y.doc_id
     ),
-    v AS (
-      SELECT doc_a, doc_b,
-             len(list_intersect(sa.hs, sb.hs)) AS shared,
-             len(sa.hs) AS na, len(sb.hs) AS nb
-      FROM cand
-      JOIN sh sa ON doc_a = sa.doc_id
-      JOIN sh sb ON doc_b = sb.doc_id
+    shr AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM cand c
+      JOIN eh ea ON ea.doc_id = c.doc_a
+      JOIN eh eb ON eb.doc_id = c.doc_b AND eb.h = ea.h
+      GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(shared * 1.0 / (na + nb - shared), 6) AS jaccard
-    FROM v
-    WHERE shared * 1.0 / (na + nb - shared) >= {JACCARD_THRESHOLD}
+           ROUND(shared * 1.0 / (za.n + zb.n - shared), 6) AS jaccard
+    FROM shr
+    JOIN sz za ON doc_a = za.doc_id
+    JOIN sz zb ON doc_b = zb.doc_id
+    WHERE shared * 1.0 / (za.n + zb.n - shared) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -655,16 +708,30 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # usual 0.95-0.99.
 COSINE_DUP_THRESHOLD = 0.4
 
-# Oracle reuses the similarity module's sequential-fold cosine SQL so
-# both engines execute the identical IEEE operation order (bit-equal
-# scores, not merely close).
-from fsharp_mapreduce_spark.functions.similarity import _cosine_sql  # noqa: E402
+# Pair scoring off a precomputed-norm CTE: sim = dot/(nrm_a·nrm_b)
+# with nrm = sqrt(dot(a,a)) is the identical float expression tree to
+# the inline cosine (dot/(sqrt(dot_aa)·sqrt(dot_bb))) — but 1 native
+# dot per pair instead of 3, which is what keeps the all-pairs
+# verifier (50M pairs at sf0.5, 200M at sf1.0) inside the replay
+# budget. list_dot_product ≡ the sequential fold bit-exactly
+# (similarity._DOT_SQL note).
+_NV_CTE = """
+    nv AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )"""
 
 _NEARDUP_ORACLE = f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+    WITH {_NV_CTE},
+    s AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_dot_product(x.a, y.a) / (x.nrm * y.nrm) AS sim
+      FROM nv x JOIN nv y ON x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(sim, 6) AS sim
+    FROM s WHERE sim >= {COSINE_DUP_THRESHOLD}
 """
 
 
@@ -923,21 +990,25 @@ def _t10_oracle() -> str:
     bucket-assignment CTE (`lsh_tagged_sql` — deterministic planes as
     SQL literals, sign-for-sign with the GEMM), bucket self-join,
     exact-cosine final filter."""
-    from fsharp_mapreduce_spark.functions.similarity import _cosine_sql, lsh_tagged_sql
+    from fsharp_mapreduce_spark.functions.similarity import lsh_tagged_sql
 
     return f"""
     WITH {lsh_tagged_sql(T10_TABLES, T10_PLANES_PER_TABLE)},
+    {_NV_CTE},
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
       FROM tagged x JOIN tagged y
         ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    ),
+    s AS (
+      SELECT c.vec_a, c.vec_b,
+             list_dot_product(a.a, b.a) / (a.nrm * b.nrm) AS sim
+      FROM cand c
+      JOIN nv a ON c.vec_a = a.vec_id
+      JOIN nv b ON c.vec_b = b.vec_id
     )
-    SELECT c.vec_a, c.vec_b,
-           ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM cand c
-    JOIN embeddings a ON c.vec_a = a.vec_id
-    JOIN embeddings b ON c.vec_b = b.vec_id
-    WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+    SELECT vec_a, vec_b, ROUND(sim, 6) AS sim
+    FROM s WHERE sim >= {COSINE_DUP_THRESHOLD}
 """
 
 
@@ -1167,8 +1238,8 @@ def _t12_oracle() -> str:
     reachable id per vertex, singletons labeled with themselves."""
     return f"""
     WITH RECURSIVE
-    p AS (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
-    e(u, v) AS (
+    p AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
+    e(u, v) AS MATERIALIZED (
       SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p
     ),
     reach(u, r) AS (
@@ -1587,6 +1658,18 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
             "is_batch", _is_batch(F.col("doc_id"))
         )
     )
+    # Materialize both scoped persists BEFORE the consumers fan out
+    # (VERDICT r6 #6 — t30's wide bench spread on unchanged code):
+    # the plan below broadcasts several batch-derived subtrees, and
+    # Spark builds broadcast exchanges on concurrent driver threads —
+    # racing threads each recompute not-yet-cached partitions of the
+    # same InMemoryRelation and discard the duplicates ("Block rdd_N_i
+    # already exists" warnings; measured 1-3 redundant rebuilds of the
+    # minhash mapInPandas stage per run, scheduling-dependent). Two
+    # small count() jobs populate the caches once, deterministically;
+    # every downstream consumer then reads blocks instead of racing.
+    digests.count()
+    sigs.count()
     bands = sigs.select(
         "doc_id", "is_batch", F.posexplode("bands").alias("band", "band_sig")
     )
@@ -1666,58 +1749,32 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
 def _t30_oracle() -> str:
     """DuckDB replica: the t03 cross-engine MinHash pipeline restricted
     to batch×corpus candidate pairs, plus digest membership — the
-    driver checks t30 value-for-value."""
-    ca, cb = _minhash_consts()
-    a_sql = "[" + ", ".join(str(x) for x in ca) + "]"
-    b_sql = "[" + ", ".join(str(x) for x in cb) + "]"
-    band_window = "[" + ", ".join(
-        f"sig[b*{BAND_ROWS}+{j + 1}]" for j in range(BAND_ROWS)
-    ) + "]"
+    driver checks t30 value-for-value. Shares `_minhash_common_ctes`
+    (the vectorized signature chain); the batch flag is re-derived from
+    doc_id in the candidate join rather than carried through the
+    pipeline."""
     return f"""
-    WITH w AS (
-      SELECT doc_id, doc_id % {BATCH_MOD} = {BATCH_REMAINDER} AS is_batch,
-             string_split(lower(text), ' ') AS ws
-      FROM documents
-    ),
-    sh AS (
-      SELECT doc_id, is_batch,
-             CASE WHEN len(ws) >= {NGRAM} THEN
-               list_distinct(list_transform(
-                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                for i in generate_series(1, len(ws) - {NGRAM - 1})]),
-                 s -> ('0x' || substr(md5(s), 1, 12))::BIGINT % {M31}))
-             ELSE CAST([] AS BIGINT[]) END AS hs
-      FROM w
-    ),
-    sg AS (
-      SELECT doc_id, is_batch, hs,
-             [ list_min(list_transform(hs,
-                 h -> (list_extract({a_sql}, p) * h
-                       + list_extract({b_sql}, p)) % {M31}))
-               for p in generate_series(1, {NUM_PERM}) ] AS sig
-      FROM sh WHERE len(hs) > 0
-    ),
-    bd AS (
-      SELECT doc_id, is_batch, b AS band,
-             list_reduce(list_prepend(CAST(b AS BIGINT), {band_window}),
-                         (acc, v) -> (acc * {SHINGLE_BASE} + v) % {POLY_P})
-               AS band_sig
-      FROM sg, generate_series(0, {NUM_PERM // BAND_ROWS - 1}) t(b)
-    ),
+    WITH {_minhash_common_ctes()},
     cand AS (
       SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
       FROM bd x JOIN bd y
         ON x.band = y.band AND x.band_sig = y.band_sig
-      WHERE x.is_batch AND NOT y.is_batch
+      WHERE x.doc_id % {BATCH_MOD} = {BATCH_REMAINDER}
+        AND y.doc_id % {BATCH_MOD} <> {BATCH_REMAINDER}
+    ),
+    shr AS MATERIALIZED (
+      SELECT c.batch_doc, c.corpus_doc, CAST(COUNT(*) AS BIGINT) AS shared
+      FROM cand c
+      JOIN eh ea ON ea.doc_id = c.batch_doc
+      JOIN eh eb ON eb.doc_id = c.corpus_doc AND eb.h = ea.h
+      GROUP BY 1, 2
     ),
     v AS (
       SELECT batch_doc,
-             len(list_intersect(sb.hs, sc.hs)) * 1.0
-               / (len(sb.hs) + len(sc.hs)
-                  - len(list_intersect(sb.hs, sc.hs))) AS jaccard
-      FROM cand
-      JOIN sh sb ON batch_doc = sb.doc_id
-      JOIN sh sc ON corpus_doc = sc.doc_id
+             shared * 1.0 / (zb.n + zc.n - shared) AS jaccard
+      FROM shr
+      JOIN sz zb ON batch_doc = zb.doc_id
+      JOIN sz zc ON corpus_doc = zc.doc_id
     ),
     near AS (
       SELECT batch_doc, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
@@ -1787,8 +1844,8 @@ def _t33_oracle() -> str:
     didn't get that zero by accident)."""
     return f"""
     WITH RECURSIVE
-    p AS (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
-    e(u, v) AS (
+    p AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_t03_oracle()}) t),
+    e(u, v) AS MATERIALIZED (
       SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p
     ),
     reach(u, r) AS (

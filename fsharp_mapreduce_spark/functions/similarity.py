@@ -1216,8 +1216,20 @@ def _knn_join_lsh_candidates(
     )
 
 
+# Scoring off a precomputed-norm CTE (1 native dot per candidate
+# instead of 3 — the bucket self-join degenerates toward all-pairs on
+# the 4-bucket fixture geometry at sf0.5, ~89M distinct candidates, so
+# per-candidate constant factors are the whole oracle replay cost).
+# dot/(nrm_a·nrm_b) with nrm = sqrt(dot(a,a)) is the identical float
+# expression tree to the inline cosine.
 _S07_ORACLE = f"""
     WITH {lsh_tagged_sql(S07_TABLES, S07_PLANES_PER_TABLE)},
+    nv AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS neighbor_id
       FROM tagged x JOIN tagged y
@@ -1225,10 +1237,10 @@ _S07_ORACLE = f"""
     ),
     scored AS (
       SELECT c.vec_id, c.neighbor_id,
-             {_cosine_sql('a.embedding', 'b.embedding')} AS sim
+             list_dot_product(a.a, b.a) / (a.nrm * b.nrm) AS sim
       FROM cand c
-      JOIN embeddings a ON c.vec_id = a.vec_id
-      JOIN embeddings b ON c.neighbor_id = b.vec_id
+      JOIN nv a ON c.vec_id = a.vec_id
+      JOIN nv b ON c.neighbor_id = b.vec_id
     ),
     ranked AS (
       SELECT vec_id, neighbor_id, sim,

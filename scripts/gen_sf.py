@@ -125,9 +125,15 @@ def main() -> None:
     total = int(lines_per_order.sum())
     l_orderkey = np.repeat(np.arange(n_orders), lines_per_order)
     l_linenumber = np.concatenate([np.arange(1, k + 1) for k in lines_per_order])
-    l_ship_us = np.repeat(odate_us, lines_per_order) + rng.integers(
-        1, 96, total
-    ) * DAY_US
+    # Lag geometry mirrors the driver fixture (VERDICT r6 #5): bulk
+    # ships within ~3 months, plus a 5% two-sided heavy tail spanning
+    # the driver's measured [-2383, +2478]-day range — so the
+    # date-threshold queries (q62's 365-day late audit) return >0 rows
+    # at every generated SF instead of being vacuously hash-equal.
+    lag_days = rng.integers(1, 96, total)
+    tail = rng.random(total) < 0.05
+    lag_days = np.where(tail, rng.integers(-2400, 2481, total), lag_days)
+    l_ship_us = np.repeat(odate_us, lines_per_order) + lag_days * DAY_US
     write(out_dir, "lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey, pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, total), pa.int64()),
