@@ -156,6 +156,14 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
+    # stream-stream outer/anti family (new r7, VERDICT r6 #7 — the
+    # last join-matrix cells): st17 (full outer, gate-exposed this
+    # rotation) represents; st20 (right outer — Spark's native
+    # right_outer path, oracle = the swapped batch LEFT JOIN) and
+    # st21 (anti via left_outer + null filter, oracle = NOT EXISTS)
+    # are round-8 rotation candidates
+    "st20_stream_right_outer_join": "st17_stream_full_outer_join",
+    "st21_stream_anti_join": "st17_stream_full_outer_join",
     # n-gram membership / capped-postings family (r6 rotation): t34
     # (positional-q-gram-blocked edit-distance join with levenshtein
     # verification) takes the slot; t25 (decontamination probe,

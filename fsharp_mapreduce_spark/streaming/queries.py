@@ -1143,3 +1143,165 @@ def st19_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_ts").alias("first_converted"),
         F.max("c_ts").alias("last_converted"),
     )
+
+
+def _sentinel_staged_events(spark: SparkSession, sf_dir: str):
+    """st13's flush-sentinel staging, shared (same memo_key → same
+    chunked files) by every outer/anti stream-stream join: two
+    far-future events that pass the event-type filters (one per side,
+    impossible user_ids −1/−2) advance both watermarks past the last
+    real match window so the trailing no-data micro-batch evicts and
+    emits every pending outer-null row. See st13's docstring for why
+    the sentinels must pass the filters (predicate pushdown below
+    EventTimeWatermark)."""
+    ev_batch = table(spark, sf_dir, "events")
+    max_ts = ev_batch.agg(F.max("ts")).first()[0]
+    uid_type = dict(ev_batch.dtypes)["user_id"]
+
+    def sentinel(event_type: str, uid: int) -> DataFrame:
+        overrides = {
+            "ts": (F.lit(max_ts) + F.expr("INTERVAL 240 HOURS")).cast("timestamp"),
+            "event_type": F.lit(event_type),
+            "user_id": F.lit(uid).cast(uid_type),
+        }
+        return ev_batch.limit(1).select(
+            [overrides.get(c, F.col(c)).alias(c) for c in ev_batch.columns]
+        )
+
+    return stage_as_chunked_files(
+        ev_batch.unionByName(sentinel("click", -1)).unionByName(
+            sentinel("purchase", -2)
+        ),
+        n_chunks=4, order_by=["ts"],
+        memo_key=(sf_dir, "events-flush-sentinel"),
+    )
+
+
+def _click_purchase_streams(spark: SparkSession, staged):
+    """The attribution join's two sides (st05/st13/st17 shape):
+    clicks and purchases filtered from the same staged event replay,
+    1-hour watermarks on both."""
+    clicks = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        read_pull_stream(spark, staged)
+        .withWatermark("ts", "1 hour")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    return clicks, purchases
+
+
+_ATTR_COND = (
+    "(c_user = p_user) AND (p_ts >= c_ts) "
+    "AND (p_ts <= c_ts + INTERVAL 30 MINUTES)"
+)
+
+
+@register(
+    "st20_stream_right_outer_join",
+    oracle="""
+    SELECT p.user_id,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE c.ts IS NULL) AS BIGINT) AS n_orphans,
+           ROUND(SUM(CASE WHEN c.ts IS NULL THEN p.value ELSE 0 END), 4)
+             AS unattributed_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "stream_stream_join", "outer"),
+)
+def st20_stream_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-driven RIGHT OUTER stream-stream join — the
+    orphan-purchase audit (VERDICT r6 #7, the last unimplemented cell
+    of the outer-join matrix): every purchase appears in the output,
+    attributed purchases as (click, purchase) pairs, ORPHANS (no click
+    within the preceding 30 minutes) as NULL-click rows emitted only
+    when the watermark closes their match window. Right outer IS left
+    outer with the sides swapped — this query runs Spark's native
+    `right_outer` stream-stream path so the swap claim is itself
+    verified: the DuckDB oracle is written as the swapped batch LEFT
+    JOIN, and a hash match pins that both formulations agree row for
+    row. State discipline, flush sentinels and null-emission timing
+    are exactly st13's (shared staging via `_sentinel_staged_events`).
+    At 100 TB both sides shuffle once on user_id and state stays
+    watermark-bounded — identical cost shape to st13."""
+    staged = _sentinel_staged_events(spark, sf_dir)
+    clicks, purchases = _click_purchase_streams(spark, staged)
+    joined = clicks.join(purchases, F.expr(_ATTR_COND), "right_outer")
+    out = run_to_completion(joined, "st20_out", output_mode="append")
+    # sentinel rows (negative user_ids) only advance the watermarks
+    out = out.where(F.col("p_user") >= 0)
+    return out.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count("c_ts").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("c_ts").isNull().cast("long")).cast("bigint").alias("n_orphans"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("c_ts").isNull(), F.col("p_value")).otherwise(0.0)),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("unattributed_value"),
+    )
+
+
+@register(
+    "st21_stream_anti_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unconverted,
+           MIN(c.ts) AS first_unconverted,
+           MAX(c.ts) AS last_unconverted
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    GROUP BY 1
+    """,
+    tags=("streaming", "stream_stream_join", "anti"),
+)
+def st21_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream ANTI join (unconverted clicks) via the standard
+    rewrite — Structured Streaming has no native stream-stream
+    left_anti, and the documented emulation IS the left-outer join's
+    null rows: a click is provably unmatched exactly when the
+    watermark closes its match window without a purchase, which is
+    precisely the moment st13's left outer emits its NULL row. So:
+    left_outer + `WHERE p_ts IS NULL`. Correctness subtlety the oracle
+    pins: the null filter must run on the JOIN OUTPUT (post-state),
+    never as a pre-filter — and a click with several matching
+    purchases emits no null row at all (its anti-membership is
+    decided by existence, not by pairing multiplicity). Emission
+    timing inherits st13's discipline (null rows only at watermark
+    close; flush sentinels advance the final window). Oracle = batch
+    NOT EXISTS — anti ≡ NOT EXISTS, so the hash match also pins
+    exactly-once null emission (a double-emitted null doubles
+    COUNT(*)). At 100 TB: st13's state shape; the anti projection
+    adds nothing."""
+    staged = _sentinel_staged_events(spark, sf_dir)
+    clicks, purchases = _click_purchase_streams(spark, staged)
+    joined = clicks.join(purchases, F.expr(_ATTR_COND), "left_outer")
+    out = run_to_completion(joined, "st21_out", output_mode="append")
+    unmatched = out.where(F.col("p_ts").isNull() & (F.col("c_user") >= 0))
+    return unmatched.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unconverted"),
+        F.min("c_ts").alias("first_unconverted"),
+        F.max("c_ts").alias("last_unconverted"),
+    )

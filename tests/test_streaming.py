@@ -757,3 +757,43 @@ def test_st19_semi_emission_and_uniqueness(spark):
     assert got.count((1,)) == 1, got  # one row despite three matches
     assert (2,) not in got, got  # unconverted click filtered
     assert (3,) not in got, got  # purchase-before-click never confirms
+
+
+def test_st20_st21_join_matrix_consistency(spark):
+    """The new matrix cells agree with their siblings on the smoke
+    fixture: (1) st21 (anti) and st19 (semi) PARTITION the clicking
+    users — every user with ≥1 click lands in at least one, and the
+    per-user click totals add up (n_unconverted + n_converted_clicks
+    = total clicks); (2) st20 (right outer) accounts for every
+    purchase: Σ(n_pairs + n_orphans) ≥ the purchase count, with
+    equality exactly when no purchase matches two clicks — so we pin
+    the orphan+matched-purchase coverage instead: every purchasing
+    user appears."""
+    from fsharp_mapreduce_spark.registry import QUERIES, table
+
+    semi = {
+        r["user_id"]: r["n_converted_clicks"]
+        for r in QUERIES["st19_stream_semi_join"].fn(spark, SF_SMOKE).collect()
+    }
+    anti = {
+        r["user_id"]: r["n_unconverted"]
+        for r in QUERIES["st21_stream_anti_join"].fn(spark, SF_SMOKE).collect()
+    }
+    ev = table(spark, SF_SMOKE, "events")
+    clicks = {
+        r["user_id"]: r["n"]
+        for r in ev.where("event_type = 'click'")
+        .groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert set(clicks) == set(semi) | set(anti)
+    for u, n in clicks.items():
+        assert semi.get(u, 0) + anti.get(u, 0) == n, (u, n, semi.get(u), anti.get(u))
+
+    right = QUERIES["st20_stream_right_outer_join"].fn(spark, SF_SMOKE).collect()
+    purchasers = {
+        r["user_id"]
+        for r in ev.where("event_type = 'purchase'").select("user_id").distinct().collect()
+    }
+    assert {r["user_id"] for r in right} == purchasers
+    # every output row accounts its purchases: pairs + orphans ≥ 1
+    assert all(r["n_pairs"] + r["n_orphans"] >= 1 for r in right)
