@@ -1946,3 +1946,112 @@ def t33_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_cross_split_pairs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t44: boilerplate heavy-hitters — the top-duplicated-passage report
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_TOP_K = 20
+
+
+def boilerplate_blocks(
+    docs: DataFrame, para_tokens: int = PARA_TOKENS, k: int = BOILERPLATE_TOP_K
+) -> DataFrame:
+    """The corpus-cleaning report run BEFORE t26's per-doc dedup: the
+    top-{k} most-duplicated {para_tokens}-token blocks across the
+    corpus — occurrence count, document spread, SOURCE spread (a block
+    hot in many sources is syndication/licensing boilerplate; hot in
+    one source is a template) and a representative block text. This is
+    the heavy-hitter view a pipeline operator reads to decide removal
+    rules; t26 then measures per-document contamination.
+
+    Plan at 100 TB (t01's digest-exchange discipline):
+    - the fact exchange carries 32-byte digests, never block text: one
+      keyed aggregate at (bh, doc) grain (map-side combine collapses
+      within-doc repeats), a bh-grain roll-up, and a distinct-source
+      projection at (bh, source) grain — no countDistinct Expand;
+    - top-k is TakeOrderedAndProject (n_occurrences DESC, bh — total
+      order, deterministic at the limit boundary);
+    - the representative TEXT is recovered only for the k winners: a
+      second map-only pass over the corpus semi-joins the broadcast
+      k-row digest list and min()-aggregates the block string — the
+      standard top-k-then-fetch-details shape, so block bodies never
+      shuffle at corpus scale."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    n_blocks = F.ceil(F.size("ws") / F.lit(para_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.array_join(F.slice("ws", i * para_tokens + 1, para_tokens), " "),
+    )
+    b = (
+        docs.select("doc_id", "source", ws.alias("ws"))
+        .select("doc_id", "source", F.explode(blocks).alias("block"))
+        .select("doc_id", "source", F.md5("block").alias("bh"), "block")
+    )
+    pd_ = b.groupBy("bh", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("pos_cnt")
+    )
+    per_hash = pd_.groupBy("bh").agg(
+        F.sum("pos_cnt").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    n_src = (
+        pd_.select("bh", "source")
+        .distinct()
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    )
+    top = (
+        per_hash.join(n_src, "bh")
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_occurrences").desc(), "bh")
+        .limit(k)
+    )
+    sample = (
+        b.join(F.broadcast(top.select("bh")), "bh")
+        .groupBy("bh")
+        .agg(F.min("block").alias("sample_block"))
+    )
+    return top.join(F.broadcast(sample), "bh").select(
+        "bh", "n_occurrences", "n_docs", "n_sources", "sample_block"
+    )
+
+
+@register(
+    "t44_boilerplate_blocks",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    b AS MATERIALIZED (
+      SELECT doc_id, source, unnest(
+               [list_aggregate(ws[i * {PARA_TOKENS} + 1 : i * {PARA_TOKENS} + {PARA_TOKENS}], 'string_agg', ' ')
+                for i in generate_series(0, CAST(ceil(len(ws) * 1.0 / {PARA_TOKENS}) AS BIGINT) - 1)]
+             ) AS block
+      FROM w
+    ),
+    e AS MATERIALIZED (SELECT doc_id, source, md5(block) AS bh, block FROM b),
+    ph AS (
+      SELECT bh,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             MIN(block) AS sample_block
+      FROM e GROUP BY bh
+    )
+    SELECT bh, n_occurrences, n_docs, n_sources, sample_block
+    FROM ph WHERE n_docs >= 2
+    ORDER BY n_occurrences DESC, bh LIMIT {BOILERPLATE_TOP_K}
+    """,
+    tags=("dedup", "exact", "paragraph", "heavy-hitter"),
+)
+def t44_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`boilerplate_blocks` over the documents corpus: the top-{20}
+    most-duplicated {16}-token blocks with occurrence/document/source
+    spreads and a deterministic representative text (min over the
+    digest's block strings — positions sharing a bh share bytes
+    anyway, md5-collision-free w.h.p.). Block algebra identical to
+    t26's (hash-green there), so the oracle pins the heavy-hitter
+    ranking, the spread counts AND the k-boundary tiebreak."""
+    return boilerplate_blocks(fan_out(table(spark, sf_dir, "documents")))

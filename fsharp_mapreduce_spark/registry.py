@@ -164,6 +164,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # are round-8 rotation candidates
     "st20_stream_right_outer_join": "st17_stream_full_outer_join",
     "st21_stream_anti_join": "st17_stream_full_outer_join",
+    # exact block-dedup family (new r7): t01 (whole-doc digest,
+    # gate-exposed) represents; t44 is the corpus-level heavy-hitter
+    # report over t26's block algebra — round-8 rotation candidate
+    "t44_boilerplate_blocks": "t01_exact_dedup",
     # n-gram membership / capped-postings family (r6 rotation): t34
     # (positional-q-gram-blocked edit-distance join with levenshtein
     # verification) takes the slot; t25 (decontamination probe,

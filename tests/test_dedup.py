@@ -1257,3 +1257,37 @@ def test_t42_full_matrix_and_source_grain(spark):
         for r in rows_dup
     }
     assert got_dup == got, (got_dup, got)
+
+
+def test_t44_heavy_hitter_ranking_and_spreads(spark):
+    """boilerplate_blocks on a planted corpus: a block duplicated
+    across sources ranks first with exact occurrence/doc/source
+    spreads; blocks appearing in a single document never emit; the
+    sample text is the block itself; within-doc repeats count as
+    occurrences but one document."""
+    from fsharp_mapreduce_spark.functions.dedup import boilerplate_blocks
+
+    boiler = " ".join(f"b{i}" for i in range(16))          # 16-token block
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(16))
+    corpus = [
+        (0, boiler + " " + boiler, "A"),        # twice in one doc
+        (1, boiler + " " + uniq("x"), "B"),
+        (2, boiler + " " + uniq("y"), "C"),
+        (3, uniq("z") + " " + uniq("w"), "C"),  # all-unique doc
+        (4, uniq("z") + " " + uniq("q"), "C"),  # shares z-block, same source
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    rows = boilerplate_blocks(docs, para_tokens=16, k=10).collect()
+    by_sample = {r["sample_block"]: r for r in rows}
+    top = rows[0] if rows else None
+    # boiler: 4 occurrences (2 in doc 0) across 3 docs and 3 sources
+    b = by_sample[boiler]
+    assert (b["n_occurrences"], b["n_docs"], b["n_sources"]) == (4, 3, 3)
+    # z-block: 2 occurrences, 2 docs, ONE source
+    z = by_sample[uniq("z")]
+    assert (z["n_occurrences"], z["n_docs"], z["n_sources"]) == (2, 2, 1)
+    # only duplicated blocks emit (x/y/w/q are single-doc)
+    assert set(by_sample) == {boiler, uniq("z")}
+    # ranking: boiler first (orderBy n_occurrences DESC is pre-limit;
+    # re-sort client-side since the driver compare sorts anyway)
+    assert sorted(rows, key=lambda r: -r["n_occurrences"])[0]["sample_block"] == boiler
