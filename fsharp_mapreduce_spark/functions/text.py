@@ -840,33 +840,44 @@ def winnow_containment_pairs(
     )
 
 
-@register(
-    "t22_winnow_containment_pairs",
-    # Vectorized replica (VERDICT r6 #3 — the per-doc comprehension
-    # form was O(chars × k) + O(grams × w) interpreted lambda evals and
-    # exceeded a 10-min budget at sf0.5). Identical semantics, native
-    # execution:
-    # - k-gram rolling hashes: each (doc, pos, code) row contributes
-    #   code·31^(k-1-j) to gram start pos−j; summing before one mod is
-    #   exact (Σ code·31⁷ < 2⁶³) and HAVING COUNT(*)=k keeps exactly
-    #   the in-bounds gram starts the comprehension generated.
-    # - window minima: MIN() OVER w-row frames on the gi-ordered gram
-    #   rows replaces the per-window list_min slices.
-    # - containment: shared count = kept co-occurrence group-by (the
-    #   same self-join that defines candidacy) + hot-fingerprint
-    #   remainder — the engine's own cap-patch algebra; identical to
-    #   len(list_intersect(…)) since flat = kept ∪ hot postings
-    #   disjointly, and it avoids the candidates × full-sketch join
-    #   (Σ|fps| over candidates ≈ billions of rows at sf0.5).
-    # - the pk pre-filter is a SOUND upper bound (hot_shared ≤
-    #   min(nh_a, nh_b)), so pairs that cannot reach the containment
-    #   threshold skip the exact hot patch — at sf0.5 the fixture's
-    #   31-word vocabulary makes ~58M of 312M possible pairs share a
-    #   kept fingerprint, and patching all of them would be the ~1e9
-    #   row join the rewrite exists to avoid.
-    # Parallel unnests in one SELECT zip positionally in DuckDB (the
-    # (code, position) explode).
-    oracle=f"""
+def _t22_oracle(slice_mod: int | None = None) -> str:
+    """Vectorized DuckDB replica of the winnowing containment pipeline
+    (VERDICT r6 #3 — the per-doc comprehension form was O(chars × k) +
+    O(grams × w) interpreted lambda evals and exceeded a 10-min budget
+    at sf0.5). Identical semantics, native execution:
+    - k-gram rolling hashes: each (doc, pos, code) row contributes
+      code·31^(k-1-j) to gram start pos−j; summing before one mod is
+      exact (Σ code·31⁷ < 2⁶³) and HAVING COUNT(*)=k keeps exactly
+      the in-bounds gram starts the comprehension generated.
+    - window minima: MIN() OVER w-row frames on the gi-ordered gram
+      rows replaces the per-window list_min slices.
+    - containment: shared count = kept co-occurrence group-by (the
+      same self-join that defines candidacy) + hot-fingerprint
+      remainder — the engine's own cap-patch algebra; identical to
+      len(list_intersect(…)) since flat = kept ∪ hot postings
+      disjointly, and it avoids the candidates × full-sketch join
+      (Σ|fps| over candidates ≈ billions of rows at sf0.5).
+    - the pk pre-filter is a SOUND upper bound (hot_shared ≤
+      min(nh_a, nh_b)), so pairs that cannot reach the containment
+      threshold skip the exact hot patch.
+    Parallel unnests in one SELECT zip positionally in DuckDB (the
+    (code, position) explode).
+
+    ``slice_mod``: the sampled-slice verification knob (VERDICT r6 #3
+    option b). The generated-fixture geometry defeats the pk bound at
+    sf0.5 — ~58M of 312M possible pairs share a kept fingerprint AND
+    ~20 hot fingerprints per doc make the upper bound pass almost
+    everywhere, so the exact hot patch would be a ~1.2B-row join.
+    With slice_mod=N the ks self-join keeps only doc_a % N = 0 —
+    1/N of the pair volume, same full corpus on the doc_b side — and
+    the result is the exact containment output restricted to that
+    slice, hash-comparable against the engine's full result filtered
+    the same way. Sound because every pipeline stage upstream of ks
+    is slice-independent (full-corpus postings, hot set, sizes)."""
+    slice_pred = (
+        f"AND a.doc_id % {slice_mod} = 0" if slice_mod else ""
+    )
+    return f"""
     WITH codes AS MATERIALIZED (
       SELECT doc_id,
              list_transform(list_filter(string_split(text, ''), x -> x <> ''),
@@ -914,6 +925,7 @@ def winnow_containment_pairs(
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS kept_shared
       FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      {slice_pred}
       GROUP BY 1, 2
     ),
     he AS MATERIALIZED (SELECT flat.doc_id, flat.fp FROM flat SEMI JOIN hot USING (fp)),
@@ -946,7 +958,12 @@ def winnow_containment_pairs(
            ROUND(n_shared * 1.0 / least(nfa, nfb), 6) AS containment
     FROM v
     WHERE n_shared * 1.0 / least(nfa, nfb) >= {WINNOW_CONTAINMENT}
-    """,
+    """
+
+
+@register(
+    "t22_winnow_containment_pairs",
+    oracle=_t22_oracle(),
     tags=("text", "fingerprint", "winnowing", "dedup"),
 )
 def t22_winnow_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
