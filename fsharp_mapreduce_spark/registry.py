@@ -450,6 +450,9 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # every pytest run
         "q41_recursive_calendar",
         "q28_pivot",
+        # new r7: the bounded-memory exact percentile (q29's
+        # decade-scale replacement); round-8 rotation candidate
+        "q69_exact_percentile_scalable",
         "q29_quantiles",
         "q30_salted_skew_agg",
         "q32_approx_distinct",

@@ -135,3 +135,28 @@ def test_q67_bag_multiplicity_laws(spark):
     ia = sorted(r.v for r in a.intersectAll(b).collect())
     assert ex == ["x", "x", "z"], ex  # 3-1 x, 2-2 y -> gone, 1-0 z
     assert ia == ["x", "y", "y"], ia  # min(3,1) x, min(2,2) y
+
+
+def test_q69_exact_percentile_bisection_matches_sorted_list(spark):
+    """exact_percentile_scalable == the k-th smallest of the sorted
+    values (k = ceil(p*n)), on adversarial data: irrational-ish
+    doubles (bisection can't land on round bucket edges), heavy ties
+    (a single value owning 40% of the mass spans rank boundaries),
+    and negatives. Also pins the bounded-state claim structurally:
+    no percentile()/ObjectHashAggregate ever enters the plan — the
+    only aggregates are count/min/max histograms."""
+    import math
+
+    from fsharp_mapreduce_spark.operators.relational import (
+        exact_percentile_scalable,
+    )
+
+    vals = [math.sqrt(i) * ((-1) ** i) for i in range(1, 2001)]
+    vals += [7.25] * 1300  # heavy tie block
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_percentile_scalable(df, "x", percentiles=(0.01, 0.5, 0.9, 0.99))
+    s = sorted(vals)
+    n = len(vals)
+    for p, k, v in got:
+        assert k == max(1, math.ceil(p * n))
+        assert v == s[k - 1], (p, k, v, s[k - 1])
