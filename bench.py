@@ -73,6 +73,7 @@ HEADLINE = [
     "q66_grouped_agg_udaf",
     "q67_bag_set_ops",
     "q68_interval_overlap_join",
+    "q69_exact_percentile_scalable",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
@@ -105,6 +106,7 @@ HEADLINE = [
     "t41_bpe_encode",
     "t42_source_overlap",
     "t43_stratified_exact_k",
+    "t44_boilerplate_blocks",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -130,6 +132,10 @@ HEADLINE = [
     "st15_stream_anti_join_dedup",
     "st16_stream_drift_audit",
     "st17_stream_full_outer_join",
+    # st20 exercises Spark's native right_outer stream-stream path
+    # (new r7); st21 (anti) rides st13's left_outer machinery and
+    # stays bench-covered through that row
+    "st20_stream_right_outer_join",
     "st18_stream_decayed_activity",
     "st19_stream_semi_join",
     "m01_multimodal_meta",
