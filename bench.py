@@ -329,45 +329,18 @@ def run_dice_anchor(runs: int, rows: int = 5_000_000) -> float:
 # that shape), so timing them at sf0.1 measures the oracle's
 # intractability, not a baseline. t09's all-pairs oracle stays — it IS
 # the apples-to-apples brute-force comparison and finishes.
+# Round 7 shrank this list from 12 to 3: the nine speed-based skips
+# (t03/t10/t11/t12/t23/t30/t33/s02/s07 — interpreted list-lambda
+# replays measured 20+ minutes at sf0.1) became obsolete when the
+# oracles were rewritten on vectorized native paths (VERDICT r6 #3);
+# all nine now replay in 0.1-40s at sf0.1 and are TIMED, making the
+# DuckDB baseline denominator honest. The three that remain are
+# skipped for SEMANTICS, not speed: their registered SQL embeds
+# centroid/codebook literals fit on the sf0.01 GATE fixture, so
+# running it on sf0.1 would time a semantically different query.
 DUCKDB_TIMING_SKIP = {
-    # near-all-pairs candidate set at the fixture's wide-OR (k=2, L=8)
-    # tuning: ~90% of all vector pairs get a fold-cosine in SQL
-    "t10_embedding_neardup_lsh",
-    # replays 32 minhash perms per shingle as interpreted list lambdas
-    # (~32M evals at sf0.1, measured >20 min): the oracle exists for
-    # value-exactness at sf0.01, not as a performance baseline —
-    # DuckDB has no native minhash to compare against
-    "t03_minhash_lsh_pairs",
-    # same shape: 16 hyperplane fold-dots per vector plus fold-cosines
-    # over every probe-bucket candidate
-    "s02_knn_lsh",
-    # replays the per-character simhash folds (~12M interpreted evals
-    # at sf0.1)
-    "t11_simhash_neardup_pairs",
-    # embeds the t03 minhash replay inside a recursive CTE
-    "t12_dedup_clusters",
-    # wide-OR LSH replay: near-all-pairs fold-cosines at sf0.1 (same
-    # family as t10/s02)
-    "s07_knn_join_lsh",
-    # data-derived oracle: the registered SQL embeds centroid literals
-    # fit on the sf0.01 GATE fixture — running it on sf0.1 would time
-    # a semantically different query
     "s04_knn_ivf",
-    # shares s04's data-derived centroid-literal oracle factory
     "s11_knn_ivf_index_probe",
-    # shares t12's recursive-CTE oracle (quadratic at sf0.1)
-    "t23_dedup_clusters_star",
-    # replays the t03 minhash-perm list lambdas over the full table
-    "t30_incremental_dedup",
-    # t33's oracle chains the t03 minhash replay INTO the t12
-    # recursive-CTE component oracle and then audits cross-split
-    # pairs: measured 436s at sf0.1 (VERDICT r5 #7) — it exists for
-    # value-exactness at the gate SF, not as a performance baseline
-    "t33_leakage_safe_split",
-    # data-derived oracle (s04's reason, not a speed one — it runs in
-    # ~0.3s): the resolved SQL embeds the PQ codebook fit on the
-    # sf0.01 GATE fixture; timing it on sf0.1 would time a
-    # semantically different query
     "s14_knn_pq",
 }
 
