@@ -2202,3 +2202,156 @@ def q69_exact_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
         [(float(p), int(k), float(v)) for p, k, v in rows],
         "pct double, k bigint, value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q70: GROUPED exact percentile with bounded memory — q29's true
+# decade-scale replacement (q69 generalized from global to per-group,
+# all groups bisecting simultaneously)
+# ---------------------------------------------------------------------------
+
+Q70_P = 0.5
+
+
+def grouped_exact_percentile(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    p: float = Q70_P,
+    buckets: int = Q69_BUCKETS,
+) -> list[tuple[object, int, float]]:
+    """Exact per-group k-th smallest (k = ceil(p·n_g)) with O(groups ×
+    buckets) aggregation state — every group bisects SIMULTANEOUSLY:
+    one keyed (group, bucket) histogram pass per round over only the
+    still-active groups' candidate rows, the driver walks each group's
+    cumulative counts, and a second keyed pass recovers the chosen
+    bucket's actual [min, max] per group. Groups converge (lo == hi)
+    independently and drop out of the scan predicate.
+
+    Soundness of the BETWEEN re-selection (the grouped version cannot
+    chain per-group lineage the way q69 does): the chosen bucket's
+    [mn, mx] are member values; (v − lo)/w is monotone in v, and mn,
+    mx floor to the same bucket index, so every group row in
+    [mn, mx] floors to that index too — BETWEEN mn AND mx selects
+    exactly the bucket's rows. The bucket INDEX itself is always
+    computed by the same JVM expression on both the histogram and the
+    min/max pass (bounds ride a broadcast per-group table), so driver
+    arithmetic never decides membership.
+
+    Scale contract: the per-round exchange is (group, bucket)-keyed
+    with map-side combine — state ≤ groups × {1024} cells regardless
+    of row count (q29's per-group ObjectAggregation state is O(n_g)
+    and OOMs at decade scale). The driver holds one (lo, hi, k) row
+    per group, so the GROUP key must be catalog-bounded — the same
+    boundedness q29's output already implies; rounds are shared
+    across groups (max over groups of the q69 bound, 2-4 typical)."""
+    from fsharp_mapreduce_spark.registry import scoped_persist
+
+    import math
+
+    base = scoped_persist(
+        df.select(
+            F.col(group_col).alias("g"), F.col(val_col).cast("double").alias("v")
+        ).where(F.col("v").isNotNull())
+    )
+    spark = df.sparkSession
+    init = {
+        r["g"]: (r["lo"], r["hi"], max(1, math.ceil(p * r["n"])))
+        for r in base.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    state = {g: [lo, hi, k] for g, (lo, hi, k) in init.items()}
+    done: dict[object, float] = {}
+    for _ in range(Q69_MAX_PASSES):
+        active = {g: s for g, s in state.items() if g not in done}
+        for g, (lo, hi, _k) in list(active.items()):
+            if lo == hi:
+                done[g] = lo
+                del active[g]
+        if not active:
+            break
+        bounds = spark.createDataFrame(
+            [(g, s[0], s[1], (s[1] - s[0]) / buckets) for g, s in active.items()],
+            "g string, lo double, hi double, w double",
+        )
+        joined = base.join(F.broadcast(bounds), "g").where(
+            F.col("v").between(F.col("lo"), F.col("hi"))
+        )
+        b_expr = F.least(
+            F.floor((F.col("v") - F.col("lo")) / F.col("w")).cast("int"),
+            F.lit(buckets - 1),
+        )
+        hist: dict[object, list] = {}
+        for r in (
+            joined.groupBy("g", b_expr.alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            hist.setdefault(r["g"], []).append((r["b"], r["cnt"]))
+        picks = {}
+        for g, cells in hist.items():
+            cum, rem = 0, active[g][2]
+            for i, cnt in sorted(cells):
+                if cum + cnt >= rem:
+                    picks[g] = i
+                    active[g][2] = rem - cum
+                    break
+                cum += cnt
+        pick_df = spark.createDataFrame(
+            [(g, i) for g, i in picks.items()], "g string, pick int"
+        )
+        mm = (
+            joined.join(F.broadcast(pick_df), "g")
+            .where(b_expr == F.col("pick"))
+            .groupBy("g")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        )
+        for r in mm:
+            state[r["g"]][0], state[r["g"]][1] = r["mn"], r["mx"]
+            state[r["g"]][2] = active[r["g"]][2]
+    for g, s in state.items():
+        done.setdefault(g, s[0])
+    return [(g, init[g][2], done[g]) for g in sorted(init)]
+
+
+@register(
+    "q70_grouped_exact_percentile",
+    oracle=f"""
+    WITH nn AS (
+      SELECT l_returnflag AS g, COUNT(*) AS n FROM lineitem
+      WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ),
+    s AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT nn.g AS l_returnflag,
+           GREATEST(1, CAST(ceil({Q70_P} * nn.n) AS BIGINT)) AS k,
+           s.v AS p50
+    FROM nn JOIN s
+      ON s.g = nn.g
+     AND s.rn = GREATEST(1, CAST(ceil({Q70_P} * nn.n) AS BIGINT))
+    """,
+    tags=("aggregation", "quantiles", "iterative", "bounded-memory", "grouped"),
+)
+def q70_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`grouped_exact_percentile` over l_extendedprice by l_returnflag:
+    the exact per-group discrete median with (groups × 1024)-bounded
+    aggregation state — what q29 becomes when a group's value set no
+    longer fits an ObjectAggregation buffer. Oracle = the per-group
+    ROW_NUMBER element lookup."""
+    rows = grouped_exact_percentile(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+    return spark.createDataFrame(
+        [(str(g), int(k), float(v)) for g, k, v in rows],
+        "l_returnflag string, k bigint, p50 double",
+    )

@@ -450,9 +450,12 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # every pytest run
         "q41_recursive_calendar",
         "q28_pivot",
-        # new r7: the bounded-memory exact percentile (q29's
-        # decade-scale replacement); round-8 rotation candidate
+        # new r7: the bounded-memory exact percentiles (q29's
+        # decade-scale replacements — q69 global, q70 per-group,
+        # all groups bisecting simultaneously); round-8 rotation
+        # candidates
         "q69_exact_percentile_scalable",
+        "q70_grouped_exact_percentile",
         "q29_quantiles",
         "q30_salted_skew_agg",
         "q32_approx_distinct",

@@ -160,3 +160,31 @@ def test_q69_exact_percentile_bisection_matches_sorted_list(spark):
     for p, k, v in got:
         assert k == max(1, math.ceil(p * n))
         assert v == s[k - 1], (p, k, v, s[k - 1])
+
+
+def test_q70_grouped_bisection_matches_per_group_sorted_lists(spark):
+    """grouped_exact_percentile: per-group k-th smallest matches the
+    sorted per-group lists on uneven group sizes, adversarial doubles,
+    and groups that converge at different rounds (one 2-element group
+    converges immediately; one heavy-tie group stalls rank inside a
+    single repeated value; one 3000-element irrational group bisects
+    the full depth)."""
+    import math
+
+    from fsharp_mapreduce_spark.operators.relational import (
+        grouped_exact_percentile,
+    )
+
+    groups = {
+        "tiny": [4.5, -1.25],
+        "ties": [3.125] * 900 + [math.pi * i for i in range(1, 101)],
+        "wide": [math.sqrt(i) * ((-1) ** i) * 1e6 for i in range(1, 3001)],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = grouped_exact_percentile(df, "g", "x", p=0.5)
+    assert [g for g, _, _ in got] == sorted(groups)
+    for g, k, v in got:
+        s = sorted(groups[g])
+        assert k == max(1, math.ceil(0.5 * len(s)))
+        assert v == s[k - 1], (g, k, v, s[k - 1])
