@@ -74,6 +74,7 @@ HEADLINE = [
     "q67_bag_set_ops",
     "q68_interval_overlap_join",
     "q69_exact_percentile_scalable",
+    "q70_grouped_exact_percentile",
     "t01_exact_dedup",
     "t02_ngram_jaccard_pairs",
     "t03_minhash_lsh_pairs",
