@@ -2086,6 +2086,21 @@ def q67_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q69_PERCENTILES = (0.5, 0.9, 0.99)
 Q69_BUCKETS = 1024
 Q69_MAX_PASSES = 24
+# Once a candidate set shrinks below this, finish with an exact sorted
+# collect instead of more histogram passes — this is what makes the
+# bisection CONVERGE on adversarial value distributions (log-spaced
+# doubles shrink the linear range 1024x per pass but can need hundreds
+# of passes to reach lo == hi; the candidate COUNT almost always
+# collapses much sooner). 4096 doubles is ~64 KB of driver memory.
+Q69_EXACT_FALLBACK_ROWS = 4096
+
+
+def _kth_smallest_collected(df_v: DataFrame, rem: int) -> float:
+    """Exact rem-th smallest of a candidate set the CALLER has proven
+    is ≤ Q69_EXACT_FALLBACK_ROWS rows (or a chunk-bounded multiple) —
+    the bounded terminal step of the histogram bisection."""
+    vals = sorted(r["v"] for r in df_v.select("v").collect())
+    return vals[rem - 1]
 
 
 def exact_percentile_scalable(
@@ -2107,9 +2122,14 @@ def exact_percentile_scalable(
       combined histogram over the current value range (≤{1024} cells
       of 16-byte state per partition), the driver walks the cumulative
       counts to the bucket containing rank k, and the range shrinks to
-      that bucket's actual [min, max]. log_buckets(range) passes:
-      2-4 on real data, ≤~7 even for adversarial IEEE doubles (the
-      range narrows ≥buckets× per pass until min == max).
+      that bucket's actual [min, max]. The range narrows ≥buckets× per
+      pass in LINEAR width — 2-4 passes on real data — but log-spaced
+      adversarial doubles can defeat linear narrowing (1024× linear ≈
+      10 binades of ~2000), so convergence is GUARANTEED by the exact
+      terminal step instead: once the candidate set is ≤
+      {Q69_EXACT_FALLBACK_ROWS} rows it is collected and sorted, and a
+      pass budget that exhausts with a larger set raises RuntimeError
+      rather than returning an inexact value.
 
     Float-boundary discipline: bucket MEMBERSHIP is always decided by
     the same JVM expression that built the histogram (the filter
@@ -2142,10 +2162,28 @@ def exact_percentile_scalable(
         k = max(1, math.ceil(p * n))
         lo, hi, rem = first["lo"], first["hi"], k
         cur = base
+        val = None
         for _ in range(Q69_MAX_PASSES):
             if lo == hi:
+                val = lo
                 break
             w = (hi - lo) / buckets
+            if not (w > 0.0 and math.isfinite(w)):
+                # Subnormal-width range: (hi - lo)/buckets underflowed to
+                # 0.0 (or hi - lo overflowed). The linear bucket expression
+                # would divide by zero → NaN buckets → null group keys, so
+                # bisection cannot narrow further; finish exactly if the
+                # candidate set is driver-bounded, else refuse loudly.
+                cnt = cur.count()
+                if cnt > Q69_EXACT_FALLBACK_ROWS:
+                    raise RuntimeError(
+                        f"exact_percentile_scalable: bucket width underflowed "
+                        f"with {cnt} candidates in [{lo!r}, {hi!r}] — range "
+                        f"too narrow to bisect, candidate set too large to "
+                        f"collect exactly"
+                    )
+                val = _kth_smallest_collected(cur, rem)
+                break
             b_expr = F.least(
                 F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int"),
                 F.lit(buckets - 1),
@@ -2156,6 +2194,9 @@ def exact_percentile_scalable(
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .collect()
             )
+            if sum(cnt for _, cnt in hist) <= Q69_EXACT_FALLBACK_ROWS:
+                val = _kth_smallest_collected(cur, rem)
+                break
             cum = 0
             for i, cnt in hist:
                 if cum + cnt >= rem:
@@ -2165,7 +2206,22 @@ def exact_percentile_scalable(
             cur = cur.where(b_expr == F.lit(i))
             mm = cur.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
             lo, hi = mm["mn"], mm["mx"]
-        out.append((p, k, lo))
+        if val is None:
+            # Passes exhausted without lo == hi. This is reachable on
+            # log-spaced adversarial doubles (e.g. 2^-500 .. 2^500): the
+            # range shrinks 1024x per pass in LINEAR width, which crosses
+            # only ~10 of ~2000 binades — never return the current lo as
+            # if it were the exact answer.
+            cnt = cur.count()
+            if cnt > Q69_EXACT_FALLBACK_ROWS:
+                raise RuntimeError(
+                    f"exact_percentile_scalable: no convergence after "
+                    f"{Q69_MAX_PASSES} passes ({cnt} candidates remain in "
+                    f"[{lo!r}, {hi!r}]); raise buckets/passes for this "
+                    f"distribution"
+                )
+            val = _kth_smallest_collected(cur, rem)
+        out.append((p, k, val))
     return out
 
 
@@ -2211,6 +2267,14 @@ def q69_exact_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 Q70_P = 0.5
+# Fail-fast bound on the group-key catalog: the bisection holds one
+# (lo, hi, k) driver row per group, so a high-cardinality group column
+# must be rejected loudly rather than silently building an O(groups)
+# driver dict per round. 100k groups ≈ a few MB of driver state.
+Q70_MAX_GROUPS = 100_000
+# Cap on ONE exact-resolution collect (values across the groups being
+# finished in that chunk): ~1M doubles ≈ 16 MB of driver memory.
+Q70_EXACT_CHUNK_ROWS = 1 << 20
 
 
 def grouped_exact_percentile(
@@ -2242,31 +2306,125 @@ def grouped_exact_percentile(
     with map-side combine — state ≤ groups × {1024} cells regardless
     of row count (q29's per-group ObjectAggregation state is O(n_g)
     and OOMs at decade scale). The driver holds one (lo, hi, k) row
-    per group, so the GROUP key must be catalog-bounded — the same
-    boundedness q29's output already implies; rounds are shared
-    across groups (max over groups of the q69 bound, 2-4 typical)."""
+    per group, so the GROUP key must be catalog-bounded — enforced
+    fail-fast at {Q70_MAX_GROUPS} distinct groups (ValueError), the
+    same boundedness q29's output already implies; rounds are shared
+    across groups (max over groups of the q69 bound, 2-4 typical).
+
+    Convergence contract (mirrors q69): a group finishes either at
+    lo == hi, or via an exact sorted collect once its candidate set is
+    ≤ {Q69_EXACT_FALLBACK_ROWS} rows (collected in chunks of ≤
+    {Q70_EXACT_CHUNK_ROWS} values across groups); a group whose bucket
+    width underflows — or that exhausts the pass budget — with a
+    larger candidate set raises RuntimeError rather than silently
+    returning its current lower bound. The group key's Spark type is
+    taken from the input schema, so non-string keys round-trip the
+    broadcast bounds/pick tables without coercion."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     from fsharp_mapreduce_spark.registry import scoped_persist
 
     import math
 
+    g_type = df.schema[group_col].dataType
+    bounds_schema = StructType(
+        [
+            StructField("g", g_type),
+            StructField("lo", DoubleType()),
+            StructField("hi", DoubleType()),
+            StructField("w", DoubleType()),
+        ]
+    )
+    pick_schema = StructType(
+        [StructField("g", g_type), StructField("pick", IntegerType())]
+    )
     base = scoped_persist(
         df.select(
             F.col(group_col).alias("g"), F.col(val_col).cast("double").alias("v")
         ).where(F.col("v").isNotNull())
     )
     spark = df.sparkSession
-    init = {
-        r["g"]: (r["lo"], r["hi"], max(1, math.ceil(p * r["n"])))
-        for r in base.groupBy("g")
+    agg_rows = (
+        base.groupBy("g")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
+        .limit(Q70_MAX_GROUPS + 1)
         .collect()
+    )
+    if len(agg_rows) > Q70_MAX_GROUPS:
+        raise ValueError(
+            f"grouped_exact_percentile holds one (lo, hi, k) driver row per "
+            f"group: {group_col!r} has more than {Q70_MAX_GROUPS} distinct "
+            f"values — the group key must be catalog-bounded (use "
+            f"percentile_approx for high-cardinality keys)"
+        )
+    init = {
+        r["g"]: (r["lo"], r["hi"], max(1, math.ceil(p * r["n"])))
+        for r in agg_rows
     }
     state = {g: [lo, hi, k] for g, (lo, hi, k) in init.items()}
     done: dict[object, float] = {}
+
+    def _bounds_df(groups):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(g, state[g][0], state[g][1], 0.0) for g in groups],
+                bounds_schema,
+            )
+        )
+
+    def _candidate_counts(groups) -> dict[object, int]:
+        return {
+            r["g"]: r["cnt"]
+            for r in base.join(_bounds_df(groups), "g")
+            .where(F.col("v").between(F.col("lo"), F.col("hi")))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def _resolve_exact(groups, counts: dict[object, int]) -> None:
+        """Finish groups whose candidate sets are individually ≤
+        Q69_EXACT_FALLBACK_ROWS with an exact sorted pick, collecting
+        in chunks bounded by Q70_EXACT_CHUNK_ROWS total values."""
+        pending = sorted(groups, key=repr)
+        while pending:
+            chunk, tally = [], 0
+            while pending and (
+                not chunk or tally + counts[pending[-1]] <= Q70_EXACT_CHUNK_ROWS
+            ):
+                g = pending.pop()
+                chunk.append(g)
+                tally += counts[g]
+            by_g: dict[object, list] = {}
+            for r in (
+                base.join(_bounds_df(chunk), "g")
+                .where(F.col("v").between(F.col("lo"), F.col("hi")))
+                .select("g", "v")
+                .collect()
+            ):
+                by_g.setdefault(r["g"], []).append(r["v"])
+            for g in chunk:
+                vals = sorted(by_g[g])
+                done[g] = vals[state[g][2] - 1]
+
+    def _fail_unconverged(too_big: dict[object, int], why: str):
+        sample = ", ".join(repr(g) for g in sorted(too_big, key=repr)[:5])
+        raise RuntimeError(
+            f"grouped_exact_percentile: {why} for group(s) {sample} with "
+            f"candidate sets above {Q69_EXACT_FALLBACK_ROWS} rows "
+            f"(counts {sorted(too_big.values(), reverse=True)[:5]}); raise "
+            f"buckets/passes for this distribution"
+        )
+
     for _ in range(Q69_MAX_PASSES):
         active = {g: s for g, s in state.items() if g not in done}
         for g, (lo, hi, _k) in list(active.items()):
@@ -2275,9 +2433,29 @@ def grouped_exact_percentile(
                 del active[g]
         if not active:
             break
+        # Groups whose bucket width underflowed to 0.0 (subnormal-width
+        # range) cannot bisect — the bucket expression would be NaN;
+        # finish them exactly or refuse loudly.
+        under = [
+            g
+            for g, s in active.items()
+            if not ((s[1] - s[0]) / buckets > 0.0 and math.isfinite((s[1] - s[0]) / buckets))
+        ]
+        if under:
+            counts = _candidate_counts(under)
+            too_big = {
+                g: c for g, c in counts.items() if c > Q69_EXACT_FALLBACK_ROWS
+            }
+            if too_big:
+                _fail_unconverged(too_big, "bucket width underflowed")
+            _resolve_exact(under, counts)
+            for g in under:
+                del active[g]
+            if not active:
+                continue
         bounds = spark.createDataFrame(
             [(g, s[0], s[1], (s[1] - s[0]) / buckets) for g, s in active.items()],
-            "g string, lo double, hi double, w double",
+            bounds_schema,
         )
         joined = base.join(F.broadcast(bounds), "g").where(
             F.col("v").between(F.col("lo"), F.col("hi"))
@@ -2293,8 +2471,19 @@ def grouped_exact_percentile(
             .collect()
         ):
             hist.setdefault(r["g"], []).append((r["b"], r["cnt"]))
+        # Groups whose whole candidate set already fits the exact step
+        # finish now — this is what guarantees convergence for value
+        # distributions linear narrowing can't pin down.
+        totals = {g: sum(c for _, c in cells) for g, cells in hist.items()}
+        small = [g for g, t in totals.items() if t <= Q69_EXACT_FALLBACK_ROWS]
+        if small:
+            _resolve_exact(small, totals)
+            for g in small:
+                del active[g]
         picks = {}
         for g, cells in hist.items():
+            if g in done:
+                continue
             cum, rem = 0, active[g][2]
             for i, cnt in sorted(cells):
                 if cum + cnt >= rem:
@@ -2302,8 +2491,10 @@ def grouped_exact_percentile(
                     active[g][2] = rem - cum
                     break
                 cum += cnt
+        if not picks:
+            continue
         pick_df = spark.createDataFrame(
-            [(g, i) for g, i in picks.items()], "g string, pick int"
+            [(g, i) for g, i in picks.items()], pick_schema
         )
         mm = (
             joined.join(F.broadcast(pick_df), "g")
@@ -2315,8 +2506,22 @@ def grouped_exact_percentile(
         for r in mm:
             state[r["g"]][0], state[r["g"]][1] = r["mn"], r["mx"]
             state[r["g"]][2] = active[r["g"]][2]
-    for g, s in state.items():
-        done.setdefault(g, s[0])
+    stuck = []
+    for g, (lo, hi, _k) in state.items():
+        if g in done:
+            continue
+        if lo == hi:
+            done[g] = lo
+        else:
+            stuck.append(g)
+    if stuck:
+        counts = _candidate_counts(stuck)
+        too_big = {g: c for g, c in counts.items() if c > Q69_EXACT_FALLBACK_ROWS}
+        if too_big:
+            _fail_unconverged(
+                too_big, f"no convergence after {Q69_MAX_PASSES} passes"
+            )
+        _resolve_exact(stuck, counts)
     return [(g, init[g][2], done[g]) for g in sorted(init)]
 
 

@@ -188,3 +188,125 @@ def test_q70_grouped_bisection_matches_per_group_sorted_lists(spark):
         s = sorted(groups[g])
         assert k == max(1, math.ceil(0.5 * len(s)))
         assert v == s[k - 1], (g, k, v, s[k - 1])
+
+
+def test_q69_log_spaced_doubles_exact_via_terminal_fallback(spark):
+    """Log-spaced doubles (2^-200 .. 2^200) defeat LINEAR range
+    narrowing — 1024x per pass crosses ~10 of 400 binades — which is
+    exactly the distribution where the pre-fix bisection silently
+    returned a wrong value after exhausting its pass budget. The
+    convergence contract now finishes these exactly via the bounded
+    terminal collect."""
+    import math
+
+    from fsharp_mapreduce_spark.operators.relational import (
+        exact_percentile_scalable,
+    )
+
+    vals = [2.0**e for e in range(-200, 201)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_percentile_scalable(df, "x", percentiles=(0.5, 0.9))
+    s = sorted(vals)
+    for p, k, v in got:
+        assert k == max(1, math.ceil(p * len(vals)))
+        assert v == s[k - 1], (p, v, s[k - 1])
+
+
+def test_q69_nonconvergence_raises_not_silent(spark, monkeypatch):
+    """With the exact-fallback window shrunk below the data size, the
+    same log-spaced distribution must RAISE after the pass budget —
+    never return the current range minimum as if it were exact (the
+    round-7 ADVICE defect)."""
+    from fsharp_mapreduce_spark.operators import relational
+
+    monkeypatch.setattr(relational, "Q69_EXACT_FALLBACK_ROWS", 8)
+    vals = [2.0**e for e in range(-500, 501)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        relational.exact_percentile_scalable(df, "x", percentiles=(0.5,))
+
+
+def test_q69_subnormal_width_range_underflow_guard(spark):
+    """A range whose width/buckets underflows to 0.0 would make the
+    linear bucket expression divide by zero (NaN buckets -> null group
+    keys); the guard must finish exactly instead of crashing."""
+    from fsharp_mapreduce_spark.operators.relational import (
+        exact_percentile_scalable,
+    )
+
+    lo = 5e-324  # min subnormal; hi - lo = 1e-323, /1024 underflows
+    vals = [lo, 2 * lo, 3 * lo]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = exact_percentile_scalable(df, "x", percentiles=(0.5,))
+    assert got == [(0.5, 2, 2 * lo)], got
+
+
+def test_q69_subnormal_width_too_many_candidates_raises(spark, monkeypatch):
+    """Underflowed bucket width with a candidate set too large to
+    collect exactly must refuse loudly."""
+    from fsharp_mapreduce_spark.operators import relational
+
+    monkeypatch.setattr(relational, "Q69_EXACT_FALLBACK_ROWS", 4)
+    lo = 5e-324
+    vals = [lo] * 6 + [2 * lo] * 6
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    with pytest.raises(RuntimeError, match="underflow"):
+        relational.exact_percentile_scalable(df, "x", percentiles=(0.5,))
+
+
+def test_q70_non_string_group_key_roundtrips(spark):
+    """The broadcast bounds/pick schemas take the group field's type
+    from the input schema — an INT group key must work end-to-end
+    (the round-7 ADVICE hardcoded-'g string' defect)."""
+    import math
+
+    from fsharp_mapreduce_spark.operators.relational import (
+        grouped_exact_percentile,
+    )
+
+    groups = {
+        1: [math.sqrt(i) for i in range(1, 6001)],  # deep enough to bisect
+        2: [7.5, -1.0, 3.25],
+        -3: [0.0],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g int, x double")
+    got = grouped_exact_percentile(df, "g", "x", p=0.5)
+    assert [g for g, _, _ in got] == sorted(groups)
+    for g, k, v in got:
+        s = sorted(groups[g])
+        assert k == max(1, math.ceil(0.5 * len(s)))
+        assert v == s[k - 1], (g, k, v, s[k - 1])
+
+
+def test_q70_group_cardinality_fail_fast(spark, monkeypatch):
+    """The driver holds one (lo, hi, k) row per group: a group key
+    above the catalog bound must raise ValueError BEFORE building the
+    per-group dict, not OOM the driver silently."""
+    from fsharp_mapreduce_spark.operators import relational
+
+    monkeypatch.setattr(relational, "Q70_MAX_GROUPS", 50)
+    df = spark.range(200).selectExpr("id AS g", "CAST(id AS DOUBLE) AS x")
+    with pytest.raises(ValueError, match="catalog-bounded"):
+        relational.grouped_exact_percentile(df, "g", "x", p=0.5)
+
+
+def test_q70_log_spaced_group_exact_and_nonconvergence(spark, monkeypatch):
+    """Per-group convergence contract: a log-spaced group finishes
+    exactly via the terminal collect; with the fallback window shrunk
+    below the group size it must raise, never emit its current lo."""
+    import math
+
+    from fsharp_mapreduce_spark.operators import relational
+
+    vals = [2.0**e for e in range(-300, 301)]
+    rows = [("log", v) for v in vals] + [("easy", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = dict((g, v) for g, _, v in relational.grouped_exact_percentile(df, "g", "x", p=0.5))
+    s = sorted(vals)
+    assert got["log"] == s[math.ceil(0.5 * len(vals)) - 1]
+    assert got["easy"] == 4.0
+
+    monkeypatch.setattr(relational, "Q69_EXACT_FALLBACK_ROWS", 8)
+    with pytest.raises(RuntimeError, match="no convergence"):
+        relational.grouped_exact_percentile(df, "g", "x", p=0.5)
