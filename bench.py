@@ -171,6 +171,10 @@ FAMILY_COVERAGE = {
     "t15_fixed_size_sample": "t13_hash_sample",
     # simhash: t04 emits the signatures t11 pairs on
     "t04_simhash": "t11_simhash_neardup_pairs",
+    # stream-stream join matrix: st21 (anti = st13's left_outer plan +
+    # a null filter on the join OUTPUT) rides st20's right_outer row —
+    # same two-source watermarked state-store machinery per trigger
+    "st21_stream_anti_join": "st20_stream_right_outer_join",
 }
 
 

@@ -156,18 +156,29 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
-    # stream-stream outer/anti family (new r7, VERDICT r6 #7 — the
-    # last join-matrix cells): st17 (full outer, gate-exposed this
-    # rotation) represents; st20 (right outer — Spark's native
-    # right_outer path, oracle = the swapped batch LEFT JOIN) and
-    # st21 (anti via left_outer + null filter, oracle = NOT EXISTS)
-    # are round-8 rotation candidates
-    "st20_stream_right_outer_join": "st17_stream_full_outer_join",
-    "st21_stream_anti_join": "st17_stream_full_outer_join",
-    # exact block-dedup family (new r7): t01 (whole-doc digest,
-    # gate-exposed) represents; t44 is the corpus-level heavy-hitter
-    # report over t26's block algebra — round-8 rotation candidate
-    "t44_boilerplate_blocks": "t01_exact_dedup",
+    # ROTATION #5 (r8, VERDICT r7 "Next round" #1): the 10 rotate-ins
+    # are the judge's never-driver-checked priority list — st20/st21
+    # (join-matrix cells), t44, q69/q70, s20, q62, m11/m12, t42.
+    # Folding out to make room: multi-round-driver-green family
+    # members whose operator families keep exposed representatives —
+    # q08/q39/q59/q60 (q-family folds), st03→st16, st13→st17,
+    # t01→t44, t27→t29, m01→m10, s14→s19 (chains re-pointed below).
+    #
+    # stream-stream join family: st17 (full outer, driver-green r7)
+    # holds the slot alongside the r8 rotate-ins st20 (right outer)
+    # and st21 (anti); st13 (watermark-closed LEFT OUTER,
+    # driver-green r6–r7) folds to the full-outer capstone
+    "st13_stream_left_outer_join": "st17_stream_full_outer_join",
+    # streaming-aggregation family: st16 (drift audit — the
+    # micro-batch aggregate machinery) represents; st03 (session
+    # windows — the same watermarked groupBy-aggregate contract with
+    # gap-merged windows, driver-green r1–r7) folds
+    "st03_stream_session_window": "st16_stream_drift_audit",
+    # exact block-dedup family (r8 rotation): t44 (corpus-level
+    # boilerplate heavy-hitter report over the block digest algebra)
+    # takes the slot; t01 (whole-doc digest, driver-green r1–r7) and
+    # t26 fold to it — same sha2-groupBy pipeline
+    "t01_exact_dedup": "t44_boilerplate_blocks",
     # n-gram membership / capped-postings family (r6 rotation): t34
     # (positional-q-gram-blocked edit-distance join with levenshtein
     # verification) takes the slot; t25 (decontamination probe,
@@ -184,11 +195,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
     "t08_fingerprint": "t22_winnow_containment_pairs",
-    # exact-dedup family (r7 rotation): t01 (whole-doc digest) keeps
-    # the slot; t26 (paragraph-block dedup — the same sha2-groupBy
-    # pipeline at sub-document grain, driver-green r5–r6) folds to
-    # make room for the r7 rotate-ins
-    "t26_paragraph_dedup": "t01_exact_dedup",
+    # exact-dedup family: t26 (paragraph-block dedup — the same
+    # sha2-groupBy pipeline at sub-document grain, driver-green
+    # r5–r6) rides the r8 slot-holder t44 with t01
+    "t26_paragraph_dedup": "t44_boilerplate_blocks",
     # cluster-split family: t23 (star contraction) / t12 hold the
     # clustering slots; t33 consumes the same cluster labels for the
     # leakage-safe split audit (round-5 addition, pytest-only)
@@ -201,11 +211,15 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # clustering family: t23 (star contraction) holds the slot; t12 is
     # the min-label sibling on the same edge set (driver-green r2–r3)
     "t12_dedup_clusters": "t23_dedup_clusters_star",
-    # sampling family (r5 rotation): t27 (mixture rebalance) takes the
-    # slot — its membership rule IS t13's deterministic key-hash
-    # filter applied per source; t13 (driver-green r1–r4) and t14 fold
-    "t13_hash_sample": "t27_mixture_rebalance",
-    "t14_stratified_sample": "t27_mixture_rebalance",
+    # deterministic-hash sampling family (r8 rotation): t29
+    # (sequence packing — exactly-k per-lane hash ranks) becomes the
+    # family slot-holder; t27 (mixture rebalance, driver-green
+    # r5–r7, whose membership rule IS the same deterministic
+    # key-hash filter) folds, along with t13 (driver-green r1–r4)
+    # and t14
+    "t27_mixture_rebalance": "t29_sequence_pack",
+    "t13_hash_sample": "t29_sequence_pack",
+    "t14_stratified_sample": "t29_sequence_pack",
     # exactly-k / per-lane deterministic-hash family (r5 rotation):
     # t29 (sequence packing) takes the slot; t15 (driver-green r1–r4)
     # is the TakeOrderedAndProject sibling on the same hash keys
@@ -252,27 +266,25 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # join on top, driver-green r3–r6)
     "t21_bigram_lm_score": "t19_tfidf_top_terms",
     "t24_bm25_ranking": "t19_tfidf_top_terms",
-    # ...and t42 (pairwise source-overlap Jaccard matrix — t25/t37's
-    # gram-hash machinery generalized to all source pairs; round-6
-    # addition, pytest-only per the cadence). t25 holds the
-    # gram-probe exposure via its family rep.
-    "t42_source_overlap": "t19_tfidf_top_terms",
-    # quantized-ANN family (r6 rotation): s14 (product quantization —
-    # 4-bit codes, ADC candidate rank, exact re-rank; the 128× end of
-    # the compression ladder) takes the slot; s08 (int8 two-stage,
+    # (t42, the pairwise source-overlap Jaccard matrix, rotated INTO
+    # the gate window in r8 — VERDICT r7 "Next round" #1.)
+    # quantized-ANN family (r8 rotation): s19 (IVF-PQ — both
+    # quantizers composed) becomes the family capstone; s14 (product
+    # quantization, driver-green r6–r7), s08 (int8 two-stage,
     # driver-green r3–r5) and s01 (the exact probe-broadcast sibling,
-    # driver-green r1–r3) fold
-    "s01_knn_bruteforce": "s14_knn_pq",
+    # driver-green r1–r3) fold to it
+    "s14_knn_pq": "s19_knn_ivf_pq",
+    "s01_knn_bruteforce": "s19_knn_ivf_pq",
     # filtered-ANN: s15 is s02's pipeline under a metadata predicate
     # (pre-filtered candidate corpus; round-5 addition, pytest-only)
     "s15_knn_filtered": "s02_knn_lsh",
     # ...s08 is the int8 member of the same candidate → exact-re-rank
     # shape (folds per the cadence after two driver-green rounds)...
-    "s08_knn_quantized": "s14_knn_pq",
+    "s08_knn_quantized": "s19_knn_ivf_pq",
     # ...and s18 is the binary end of the same quantization ladder:
     # sign-bit signatures, integer-exact bit_count(xor) hamming
     # candidates, exact re-rank (round-5 addition, pytest-only)
-    "s18_knn_binary_hamming": "s14_knn_pq",
+    "s18_knn_binary_hamming": "s19_knn_ivf_pq",
     # kNN-join family: s07 (sub-quadratic LSH join) holds the slot;
     # s06 is its declared exact verifier twin (driver-green r2–r3)
     "s06_knn_join": "s07_knn_join_lsh",
@@ -295,10 +307,8 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # per VERDICT r6 #1; s11 (materialized-index probe, driver-green
     # r5–r6) folds to it, alongside its existing family members
     "s11_knn_ivf_index_probe": "s19_knn_ivf_pq",
-    # ...and s20 (index DELETE: O(affected cells) right-to-erasure
-    # rewrite with the emptied-cell sweep; completes build/append/
-    # delete; round-6 addition, pytest-only per the cadence)
-    "s20_ivf_index_delete": "s19_knn_ivf_pq",
+    # (s20, the IVF index DELETE lifecycle, rotated INTO the gate
+    # window in r8 — VERDICT r7 "Next round" #1.)
     # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
     # over s02's index — recall without more tables; round-6
     # addition, pytest-only per the cadence) folds to the LSH family
@@ -331,7 +341,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # stream-stream join family (r6 rotation): st13 (watermark-closed
     # LEFT OUTER — the production-join semantics, VERDICT r5 #2) takes
     # the slot; st05 (inner interval join, driver-green r2–r5) folds
-    "st05_stream_stream_join": "st13_stream_left_outer_join",
+    "st05_stream_stream_join": "st17_stream_full_outer_join",
     # st17 (stream-stream FULL OUTER) rotated INTO the gate window in
     # r7 (VERDICT r6 #1 — the last unverified join-semantics cell).
     # In exchange two multi-round-green streaming rows fold:
@@ -347,7 +357,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # ...and st19 (LEFT SEMI — the membership cell: converted clicks
     # emit once, eagerly, with no fan-out; round-6 addition,
     # pytest-only per the cadence) completes the join matrix
-    "st19_stream_semi_join": "st13_stream_left_outer_join",
+    "st19_stream_semi_join": "st17_stream_full_outer_join",
     # streaming-quality family (r6 rotation): st16 (streamed PSI/KL
     # drift audit — per-micro-batch count partials, oracle literally
     # t36's SQL) takes the slot; st12 (quality-filtered stream,
@@ -380,16 +390,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m07_wav_decode_stats": "m10_codec_dispatch",
     "m08_avi_decode_stats": "m10_codec_dispatch",
     "m09_png_decode_stats": "m10_codec_dispatch",
-    # ...and m11 (scene-cut detection: adjacent-frame motion energy on
-    # the parsed AVI frames — the family's first temporal analysis;
-    # round-6 addition, pytest-only per the cadence) runs the same
-    # map-only Arrow batch shape through the m08 decoder
-    "m11_scene_cut_detection": "m10_codec_dispatch",
-    # ...and m12 (audio silence segmentation: per-window energies,
-    # silence runs and onsets measured on a real WAV round-trip — the
-    # audio twin of m11's temporal analysis; round-6 addition,
-    # pytest-only per the cadence) rides the same decode family
-    "m12_audio_silence_segmentation": "m10_codec_dispatch",
+    # (m11 scene-cut detection and m12 audio silence segmentation —
+    # the real-media temporal analyses — rotated INTO the gate window
+    # in r8, VERDICT r7 "Next round" #1.) In exchange m01 (metadata
+    # extraction — the same map-only Arrow batch shape, driver-green
+    # r1–r7) folds to the all-codec capstone
+    "m01_multimodal_meta": "m10_codec_dispatch",
     # m13 (cross-codec transcode) rotated INTO the gate window in r7
     # (VERDICT r6 #1). In exchange two driver-green-since-r1 Arrow
     # map-batch siblings fold to the m10 capstone (which decodes all
@@ -400,9 +406,9 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m04_resize": "m10_codec_dispatch",
     # weighted-sampling: t39 (Efraimidis-Spirakis hash-deterministic
     # weighted reservoir — the quality-weighted member of the
-    # deterministic sampling family; round-6 addition, pytest-only
-    # per the cadence); t27 holds the sampling-family slot
-    "t39_weighted_sample": "t27_mixture_rebalance",
+    # deterministic sampling family; round-6 addition); t29 holds
+    # the deterministic-hash sampling slot since r8
+    "t39_weighted_sample": "t29_sequence_pack",
     # simhash family (r6, making room for the q58-q60 lifecycle
     # queries): t11 (the banded pair join, driver-green r2–r5) keeps
     # the slot; t04, which emits the signatures t11 pairs on
@@ -450,12 +456,8 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # every pytest run
         "q41_recursive_calendar",
         "q28_pivot",
-        # new r7: the bounded-memory exact percentiles (q29's
-        # decade-scale replacements — q69 global, q70 per-group,
-        # all groups bisecting simultaneously); round-8 rotation
-        # candidates
-        "q69_exact_percentile_scalable",
-        "q70_grouped_exact_percentile",
+        # (q69/q70, the bounded-memory exact percentiles, rotated
+        # INTO the gate window in r8 — VERDICT r7 "Next round" #1.)
         "q29_quantiles",
         "q30_salted_skew_agg",
         "q32_approx_distinct",
@@ -517,11 +519,21 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # snapshot diff / CDC delta (round-6 addition, q-family fold;
         # q58's merge lifecycle keeps the CDC-family slot)
         "q61_snapshot_diff",
-        # sole-late-supplier / TPC-H Q21 shape (round-6 addition,
-        # q-family fold; q03/q50 keep the join-family slots). The
-        # EXISTS + NOT-EXISTS double correlation rewritten as one
-        # per-order aggregate — oracle keeps the textbook form.
-        "q62_sole_late_supplier",
+        # (q62, the sole-late-supplier TPC-H Q21 shape — non-vacuous
+        # at every generated SF since the r7 fixture fix — rotated
+        # INTO the gate window in r8, VERDICT r7 "Next round" #1.)
+        # r8 q-family folds making room for the rotate-ins (each
+        # driver-green for 2+ rounds, each family still represented):
+        # q08 as-of join (driver-green r1–r7; joins keep q03/q64/q68
+        # and the rotate-in q62's multi-join shape)...
+        "q08_asof_join",
+        # ...q39 time-range RANGE window (driver-green r1–r7; q31
+        # keeps the window-family slot)...
+        "q39_time_range_window",
+        # ...and the q58 lifecycle's two siblings (driver-green
+        # r6–r7; q58 merge-upsert keeps the lifecycle slot):
+        "q59_zorder_lifecycle",
+        "q60_schema_evolution_read",
         # running distinct cardinality (round-6 addition, q-family
         # fold; q13-q16/q31 keep the window-family slots). The
         # window-DISTINCT aggregate Spark lacks, via the
