@@ -863,7 +863,10 @@ def t09_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # prunes ~97% of background pairs at recall ≥ 0.999 — pinned by
 # tests/test_dedup.py::test_lsh_neardup_production_pruning.
 T10_TABLES = 8
-T10_PLANES_PER_TABLE = 2
+T10_PLANES_PER_TABLE = 2  # the floor; corpora above the capacity
+# target adapt upward via similarity.adaptive_planes_per_table
+# (VERDICT r7 #2 — fixed k lets bucket occupancy grow ∝ n and the
+# in-bucket GEMM trend quadratic at decade scale)
 
 
 def _lsh_candidate_pairs(emb: DataFrame, n_tables: int, planes_per_table: int) -> DataFrame:
@@ -905,7 +908,7 @@ def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
     n_tables: int = T10_TABLES,
-    planes_per_table: int = T10_PLANES_PER_TABLE,
+    planes_per_table: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed embedding near-dup pairs with exact final scores.
 
@@ -928,11 +931,21 @@ def embedding_neardup_lsh(
     bit-comparable with t09/the DuckDB oracle; the GEMM stage only ever
     discards pairs the fold would also discard (1e-6 slop ≫ the ~1e-12
     summation-order divergence)."""
-    from fsharp_mapreduce_spark.functions.similarity import _lsh_bucket_udf, cosine
+    from fsharp_mapreduce_spark.functions.similarity import (
+        _lsh_bucket_udf,
+        adaptive_planes_per_table,
+        cosine,
+    )
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(emb.sparkSession)
 
+    if planes_per_table is None:
+        # density-adaptive k: same capacity rule as s07, same floor —
+        # every standard fixture stays at the k=2 wide-OR tuning point
+        planes_per_table = adaptive_planes_per_table(
+            emb.count(), min_planes=T10_PLANES_PER_TABLE
+        )
     bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
     tagged = emb.select(
         "vec_id",
@@ -985,15 +998,17 @@ def embedding_neardup_lsh(
     return rescored.select("vec_a", "vec_b", F.round("sim_raw", 6).alias("sim"))
 
 
-def _t10_oracle() -> str:
+def _t10_oracle(planes_per_table: int = T10_PLANES_PER_TABLE) -> str:
     """DuckDB replica of the LSH-bucketed near-dup pipeline: shared
     bucket-assignment CTE (`lsh_tagged_sql` — deterministic planes as
     SQL literals, sign-for-sign with the GEMM), bucket self-join,
-    exact-cosine final filter."""
+    exact-cosine final filter. The plane count is data-derived, so
+    the registered oracle is a per-SF factory replaying the same
+    capacity rule from the fixture's parquet footer row count."""
     from fsharp_mapreduce_spark.functions.similarity import lsh_tagged_sql
 
     return f"""
-    WITH {lsh_tagged_sql(T10_TABLES, T10_PLANES_PER_TABLE)},
+    WITH {lsh_tagged_sql(T10_TABLES, planes_per_table)},
     {_NV_CTE},
     cand AS (
       SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -1012,9 +1027,21 @@ def _t10_oracle() -> str:
 """
 
 
+def _t10_oracle_for(sf_dir: str) -> str:
+    from fsharp_mapreduce_spark.functions.similarity import (
+        adaptive_planes_per_table,
+        parquet_num_rows,
+    )
+
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return _t10_oracle(
+        adaptive_planes_per_table(n, min_planes=T10_PLANES_PER_TABLE)
+    )
+
+
 @register(
     "t10_embedding_neardup_lsh",
-    oracle=_t10_oracle(),
+    oracle_factory=_t10_oracle_for,
     tags=("dedup", "embedding", "lsh", "cosine"),
 )
 def t10_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

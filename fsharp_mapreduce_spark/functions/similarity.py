@@ -988,7 +988,49 @@ KNN_JOIN_K = 3
 # capacity rule test_s07_candidate_law_linear pins is independent of
 # the tuning point.
 S07_TABLES = 8
-S07_PLANES_PER_TABLE = 2
+S07_PLANES_PER_TABLE = 2  # the floor: fixture-SF corpora stay wide-OR
+# Density-adaptive capacity rule (VERDICT r7 #2): a FIXED sign-bit
+# count k lets expected bucket occupancy grow ∝ n, so in-bucket GEMM
+# candidate work trends quadratic at 100× — the suite's only ≥1.0
+# scale curve in the r7 decade probe. Keeping k ≈ log2(n / target)
+# holds expected occupancy ≈ target as the corpus grows, making
+# candidate work ~linear-in-n. 500 rows/bucket keeps every standard
+# fixture (≤2000 vectors at sf≤0.1) at the k=2 wide-OR floor, so the
+# gate/bench tuning point is unchanged; the generated sf0.5/sf1.0
+# decade fixtures adapt to k=5/6.
+S07_TARGET_BUCKET_ROWS = 500
+S07_MAX_PLANES = 16
+
+
+def adaptive_planes_per_table(
+    n_vectors: int,
+    target_bucket_rows: int = S07_TARGET_BUCKET_ROWS,
+    min_planes: int = S07_PLANES_PER_TABLE,
+    max_planes: int = S07_MAX_PLANES,
+) -> int:
+    """Sign bits per LSH table for a corpus of ``n_vectors``:
+    ceil(log2(n / target_bucket_rows)), clamped. Expected occupancy
+    n/2^k stays ≈ target_bucket_rows, so per-bucket GEMM cost is
+    ~constant and total candidate work ~linear in n. Recall at a given
+    similarity is then governed by the table count L (the OR-width),
+    which remains the caller's regime knob — the standard
+    rows-per-bucket capacity rule for hyperplane LSH."""
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    need = math.ceil(math.log2(max(1.0, n_vectors / target_bucket_rows)))
+    return max(min_planes, min(max_planes, need))
+
+
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata (no data scan) — the
+    oracle-factory side of the adaptive-k rule, so the DuckDB replica
+    derives the identical plane count the Spark side derives from its
+    corpus count."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 @register(
@@ -1145,7 +1187,7 @@ def _knn_join_lsh_candidates(
     emb: DataFrame,
     k: int = KNN_JOIN_K,
     n_tables: int = S07_TABLES,
-    planes_per_table: int = S07_PLANES_PER_TABLE,
+    planes_per_table: int | None = None,
 ) -> DataFrame:
     """Directed (vec_id → neighbor_id) kNN-join candidates via LSH
     buckets: every vector's local top-k inside each bucket it occupies,
@@ -1163,6 +1205,11 @@ def _knn_join_lsh_candidates(
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(emb.sparkSession)
+    if planes_per_table is None:
+        # density-adaptive k (VERDICT r7 #2): one footer-cheap count,
+        # then the capacity rule — fixed k would let bucket occupancy
+        # grow ∝ n and the in-bucket GEMM trend quadratic at 100×
+        planes_per_table = adaptive_planes_per_table(emb.count())
     bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
     tagged = emb.select(
         "vec_id",
@@ -1217,13 +1264,16 @@ def _knn_join_lsh_candidates(
 
 
 # Scoring off a precomputed-norm CTE (1 native dot per candidate
-# instead of 3 — the bucket self-join degenerates toward all-pairs on
-# the 4-bucket fixture geometry at sf0.5, ~89M distinct candidates, so
-# per-candidate constant factors are the whole oracle replay cost).
-# dot/(nrm_a·nrm_b) with nrm = sqrt(dot(a,a)) is the identical float
-# expression tree to the inline cosine.
-_S07_ORACLE = f"""
-    WITH {lsh_tagged_sql(S07_TABLES, S07_PLANES_PER_TABLE)},
+# instead of 3). dot/(nrm_a·nrm_b) with nrm = sqrt(dot(a,a)) is the
+# identical float expression tree to the inline cosine. The plane
+# count is DATA-DERIVED (adaptive_planes_per_table), so the oracle is
+# a per-SF factory: it reads the fixture's row count from the parquet
+# footer and replays the same capacity rule — at every standard SF
+# this resolves to the k=2 floor, at the generated decade fixtures to
+# k=5/6, bucket-for-bucket with the Spark side.
+def _s07_oracle_sql(planes_per_table: int) -> str:
+    return f"""
+    WITH {lsh_tagged_sql(S07_TABLES, planes_per_table)},
     nv AS MATERIALIZED (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
@@ -1254,16 +1304,24 @@ _S07_ORACLE = f"""
 """
 
 
+def _s07_oracle_for(sf_dir: str) -> str:
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return _s07_oracle_sql(adaptive_planes_per_table(n))
+
+
 @register(
     "s07_knn_join_lsh",
-    oracle=_S07_ORACLE,
+    oracle_factory=_s07_oracle_for,
     tags=("similarity", "knn_join", "lsh", "graph"),
 )
 def s07_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SUB-QUADRATIC kNN join (VERDICT r2 #2): per-vector top-{3}
     neighbors for every corpus vector, s06's semantics with t10's cost
     law. Candidate generation is hyperplane-LSH bucketing ({8} tables ×
-    {2} sign bits); inside each bucket a chunked GEMM emits each
+    density-adaptive sign bits — k ≈ log2(n/{500}) keeps expected
+    bucket occupancy constant as the corpus grows, VERDICT r7 #2;
+    the fixture SFs sit at the k=2 wide-OR floor); inside each bucket
+    a chunked GEMM emits each
     vector's LOCAL top-k only, so the candidate stream is ≤ k·L rows
     per vector — linear in the corpus, where s06's exact blocked
     formulation replicates every vector n_blocks times (its documented

@@ -235,16 +235,17 @@ def test_s07_recall_vs_exact(spark):
 
 
 def test_s07_candidate_law_linear(spark):
-    """The cost law that makes s07 the 100 TB kNN-join: the candidate
-    stream is ≤ k·L rows per vector BY CONSTRUCTION (per-bucket local
-    top-k), so growing the corpus 10× (with the standard +log₂10 ≈ 3
-    bits capacity rule) grows candidates ~linearly — vs ~100× for
-    s06's all-block-pairs law. Mirrors
-    test_lsh_scaling_law_sublinear_candidates."""
+    """The cost law that makes s07 the 100 TB kNN-join, re-pinned
+    against n for the density-adaptive rule (VERDICT r7 #2): with the
+    DEFAULT (adaptive) plane count, candidates PER VECTOR are
+    independent of corpus size — the ≤ k·L constructive bound holds at
+    both scales and the per-vector mean doesn't grow with n — vs the
+    ~100× all-pairs law of s06's blocked formulation."""
     import numpy as np
 
     from fsharp_mapreduce_spark.functions.similarity import (
         KNN_JOIN_K,
+        S07_TABLES,
         _knn_join_lsh_candidates,
     )
 
@@ -257,15 +258,64 @@ def test_s07_candidate_law_linear(spark):
         )
 
     n1, n10 = 400, 4000
-    L = 8
-    c1 = _knn_join_lsh_candidates(synth(n1), n_tables=L, planes_per_table=4).count()
-    c10 = _knn_join_lsh_candidates(synth(n10), n_tables=L, planes_per_table=7).count()
+    L = S07_TABLES
+    c1 = _knn_join_lsh_candidates(synth(n1)).count()
+    c10 = _knn_join_lsh_candidates(synth(n10)).count()
     assert 0 < c1 <= n1 * L * KNN_JOIN_K  # the constructive bound
     assert 0 < c10 <= n10 * L * KNN_JOIN_K
+    per_vec1, per_vec10 = c1 / n1, c10 / n10
+    # candidates-per-vector independent of n (adaptive k keeps bucket
+    # occupancy ~constant; the local top-k cut bounds emissions)
+    assert per_vec10 <= per_vec1 * 1.25, (per_vec1, per_vec10)
     allpairs_growth = (n10 * (n10 - 1)) / (n1 * (n1 - 1))  # ≈ 100×
     growth = c10 / c1
-    # linear law with dedup slack: far under quadratic
     assert growth < allpairs_growth / 4, (growth, allpairs_growth)
+
+
+def test_adaptive_planes_capacity_rule(spark):
+    """The density-adaptive k rule itself: expected bucket occupancy
+    n/2^k stays ≈ target as n grows (fixed k lets it grow ∝ n — the
+    round-7 scale flag), measured on REAL bucket assignments, and the
+    fixture SFs stay at the k=2 floor so the gate tuning point is
+    unchanged."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        S07_TARGET_BUCKET_ROWS,
+        _lsh_bucket_udf,
+        adaptive_planes_per_table,
+    )
+    from pyspark.sql import functions as F
+
+    # the rule's shape: floor at small n, log growth, clamp
+    assert adaptive_planes_per_table(0) == 2
+    assert adaptive_planes_per_table(500) == 2
+    assert adaptive_planes_per_table(2000) == 2    # sf0.1 fixture
+    assert adaptive_planes_per_table(10_000) == 5  # generated sf0.5
+    assert adaptive_planes_per_table(20_000) == 6  # generated sf1.0
+    assert adaptive_planes_per_table(10**12) == 16  # clamped
+
+    # measured occupancy: mean rows/bucket stays within 2× target as
+    # the corpus grows 8× (random normals ⇒ near-uniform sign buckets)
+    rng = np.random.RandomState(7)
+    for n in (1000, 8000):
+        k = adaptive_planes_per_table(n)
+        x = rng.normal(size=(n, 16))
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        bucket_ids = _lsh_bucket_udf(8, k)
+        occ = (
+            df.select(
+                F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
+            )
+            .groupBy("tbl", "bucket")
+            .count()
+            .agg(F.avg("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert occ <= 2 * S07_TARGET_BUCKET_ROWS, (n, k, occ)
 
 
 def test_s08_quantized_recall_vs_exact(spark):
