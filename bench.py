@@ -430,6 +430,14 @@ def summary_obj(result: dict) -> dict:
         out["anchor_n"] = len(result.get("dice_anchor_attempts", []))
     if "contention" in result:
         out["load1_max"] = max(s["load1"] for s in result["contention"].values())
+        # machine-readable per-group verdict (VERDICT r7 #3): groups
+        # whose bounded retries never ran quiet, named so downstream
+        # comparisons can exclude them without re-deriving from floor_ms
+        bad = sorted(
+            g for g, s in result["contention"].items() if s.get("contended")
+        )
+        if bad:
+            out["contended_groups"] = bad
     return out
 
 
@@ -462,6 +470,88 @@ def measure_dice_anchor(
             flush=True,
         )
     return min(a["value"] for a in attempts), attempts
+
+
+GROUP_MAX_ATTEMPTS = 3
+
+
+def _snapshot_quiet(snap: dict) -> bool:
+    """The quiet-box criterion shared by the start-up wait and the
+    per-group adjudication: run-queue pressure below the Spark worker
+    count AND the floor probe inside the calibrated band."""
+    return snap["load1"] < 8.0 and snap["floor_ms"] < FLOOR_PROBE_QUIET_MS
+
+
+def measure_group(
+    label: str,
+    group: list[str],
+    runs: int,
+    _run_once=None,
+    _snapshot=None,
+) -> tuple[dict[str, float], dict, dict]:
+    """Self-adjudicating group measurement (VERDICT r7 #3): the r7
+    driver record carried 8 s-group rows inflated 1.6-8.2× because the
+    group's JVM launched at floor 89 ms / load1 14.5 while the anchor —
+    measured in a DIFFERENT JVM at a different moment — passed its
+    band. The anchor's re-run logic now extends to groups: a group
+    whose floor probe exceeds the calibrated quiet band (before OR
+    after its JVM ran — contention can arrive mid-group) is re-run up
+    to {GROUP_MAX_ATTEMPTS} times, every attempt is recorded with its
+    snapshots, and per-query values are the MINIMUM across attempts
+    (contention only inflates). If no attempt ran quiet, the group's
+    contention record carries a machine-readable ``contended: true`` so
+    downstream comparisons can exclude it without re-deriving the
+    verdict from floor_ms. Returns (timings, spread, contention_meta).
+    ``_run_once``/``_snapshot`` are test seams."""
+    if _run_once is None:
+        _run_once = lambda: _last_json_obj(  # noqa: E731
+            _run_child(["--queries", *group], runs)
+        )
+    if _snapshot is None:
+        _snapshot = _contention_snapshot
+    attempts: list[dict] = []
+    payloads: list[dict] = []
+    quiet = False
+    for _ in range(GROUP_MAX_ATTEMPTS):
+        pre = _snapshot()
+        payload = _run_once()
+        post = _snapshot()
+        payloads.append(payload)
+        attempts.append(
+            {
+                **pre,
+                "post_floor_ms": post["floor_ms"],
+                "post_load1": post["load1"],
+                "sum_s": round(sum(payload["queries"].values()), 4),
+            }
+        )
+        quiet = _snapshot_quiet(pre) and _snapshot_quiet(
+            {"load1": post["load1"], "floor_ms": post["floor_ms"]}
+        )
+        if quiet:
+            break
+        print(
+            f"# group {label} ran contended (pre floor={pre['floor_ms']}ms "
+            f"load1={pre['load1']}, post floor={post['floor_ms']}ms) — "
+            "re-running",
+            file=sys.stderr,
+            flush=True,
+        )
+    if quiet:
+        chosen = payloads[-1]
+        timings = dict(chosen["queries"])
+        spread = dict(chosen.get("spread", {}))
+    else:
+        # no clean attempt: per-query minimum across attempts is the
+        # quiet-box estimator (same reasoning as the anchor's min)
+        timings = {
+            n: min(p["queries"][n] for p in payloads if n in p["queries"])
+            for n in payloads[0]["queries"]
+        }
+        spread = dict(payloads[-1].get("spread", {}))
+    meta = {**attempts[-1], "attempts": attempts, "contended": not quiet}
+    meta.pop("sum_s", None)
+    return timings, spread, meta
 
 
 def _run_child(child_args: list[str], runs: int) -> str:
@@ -546,15 +636,17 @@ def main() -> None:
         # still amortize their JIT warm-up within their own group.
         timings, spread = {}, {}
         for label, group in _headline_groups(names):
-            # per-group contention snapshot: if a row in THIS group
-            # reads high cross-round, the snapshot taken as its JVM
-            # launched is the in-payload adjudication evidence
-            contention[label] = _contention_snapshot()
-            child_out = _run_child(["--queries", *group], args.runs)
-            payload = _last_json_obj(child_out)
-            got = payload["queries"]
-            spread.update(payload.get("spread", {}))
-            print(f"# group {label}: {round(sum(got.values()), 2)}s", file=sys.stderr)
+            # self-adjudicating group run (VERDICT r7 #3): re-runs a
+            # group whose floor probe left the calibrated band, records
+            # every attempt, flags `contended: true` if none ran quiet
+            got, got_spread, meta = measure_group(label, group, args.runs)
+            contention[label] = meta
+            spread.update(got_spread)
+            print(
+                f"# group {label}: {round(sum(got.values()), 2)}s"
+                + (" (CONTENDED)" if meta["contended"] else ""),
+                file=sys.stderr,
+            )
             timings.update(got)
         timings = {n: timings[n] for n in names if n in timings}
     else:
