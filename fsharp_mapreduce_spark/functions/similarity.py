@@ -797,7 +797,7 @@ def s04_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, suffix: str = "") -> str:
     """Per-fixture, per-APPLICATION index location under the system
     temp dir. The registered s11 query REBUILDS it every invocation
     (overwrite) — deterministic output regardless of stale state, and
@@ -817,9 +817,13 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     app = re.sub(r"[^A-Za-z0-9]", "_", spark.sparkContext.applicationId)
     # stable across invocations within the process (append/delete
-    # probes need it), removed at exit (ADVICE r6 #2)
+    # probes need it), removed at exit (ADVICE r6 #2). The suffix is
+    # part of the registered path: callers used to append "_delete"
+    # etc. to the RETURNED string, which left the suffixed directory
+    # outside the exit-cleanup set — the round-8 /tmp audit found 20+
+    # leaked fsmr_ivf_index_*_delete dirs from exactly this.
     return cleanup_at_exit(
-        os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}_{app}")
+        os.path.join(tempfile.gettempdir(), f"fsmr_ivf_index_{tag}_{app}{suffix}")
     )
 
 
@@ -899,7 +903,7 @@ def s13_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifecycle."""
     emb = table(spark, sf_dir, "embeddings")
     is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
-    index_path = _ivf_index_dir(spark, sf_dir) + "_lifecycle"
+    index_path = _ivf_index_dir(spark, sf_dir, "_lifecycle")
     cent_mat = build_ivf_index(emb.where(~is_batch), index_path)
     append_ivf_index(emb.where(is_batch), index_path, cent_mat)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
@@ -2581,7 +2585,7 @@ def s20_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-checks build → DELETE → probe end-to-end (deleted ids
     absent is part of the hash)."""
     emb = table(spark, sf_dir, "embeddings")
-    index_path = _ivf_index_dir(spark, sf_dir) + "_delete"
+    index_path = _ivf_index_dir(spark, sf_dir, "_delete")
     cent_mat = build_ivf_index(emb, index_path)
     is_deleted = F.col("vec_id") % DELETE_MOD == DELETE_REMAINDER
     delete_from_ivf_index(spark, index_path, emb.where(is_deleted))

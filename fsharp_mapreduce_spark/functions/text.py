@@ -840,7 +840,7 @@ def winnow_containment_pairs(
     )
 
 
-def _t22_oracle(slice_mod: int | None = None) -> str:
+def _t22_oracle(slice_mod: int | None = None, residue: int = 0) -> str:
     """Vectorized DuckDB replica of the winnowing containment pipeline
     (VERDICT r6 #3 — the per-doc comprehension form was O(chars × k) +
     O(grams × w) interpreted lambda evals and exceeded a 10-min budget
@@ -873,9 +873,13 @@ def _t22_oracle(slice_mod: int | None = None) -> str:
     the result is the exact containment output restricted to that
     slice, hash-comparable against the engine's full result filtered
     the same way. Sound because every pipeline stage upstream of ks
-    is slice-independent (full-corpus postings, hot set, sizes)."""
+    is slice-independent (full-corpus postings, hot set, sizes).
+    ``residue`` widens the evidence across DISTINCT slices (VERDICT r7
+    #6): verifying doc_a % N = r for several r covers several disjoint
+    1/N fractions of the full output under the same full-corpus
+    candidate structure."""
     slice_pred = (
-        f"AND a.doc_id % {slice_mod} = 0" if slice_mod else ""
+        f"AND a.doc_id % {slice_mod} = {residue}" if slice_mod else ""
     )
     return f"""
     WITH codes AS MATERIALIZED (

@@ -14,7 +14,7 @@ still covers the FULL corpus. A hash match is exact value evidence
 for 1/SLICE_MOD of the output rows of the full-scale run, with the
 full-scale candidate structure intact.
 
-Usage: python scripts/slice_verify_t22.py SF_DIR [SLICE_MOD]
+Usage: python scripts/slice_verify_t22.py SF_DIR [SLICE_MOD] [RESIDUE]
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ def canon(cols, rows):
 def main() -> int:
     sf_dir = sys.argv[1]
     slice_mod = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    residue = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 
     import duckdb
     from pyspark.sql import functions as F
@@ -55,7 +56,7 @@ def main() -> int:
     df = (
         QUERIES["t22_winnow_containment_pairs"]
         .fn(spark, sf_dir)
-        .where(F.col("doc_a") % slice_mod == 0)
+        .where(F.col("doc_a") % slice_mod == residue)
     )
     cols = df.columns
     got = canon(cols, [tuple(r) for r in df.collect()])
@@ -67,14 +68,14 @@ def main() -> int:
         f"read_parquet('{sf_dir}/documents.parquet')"
     )
     t0 = time.time()
-    cur = con.execute(_t22_oracle(slice_mod=slice_mod))
+    cur = con.execute(_t22_oracle(slice_mod=slice_mod, residue=residue))
     ocols = [d[0] for d in cur.description]
     want = canon(ocols, cur.fetchall())
     t_oracle = time.time() - t0
 
     ok = got == want
     print(
-        f"t22 slice-verify sf_dir={sf_dir} mod={slice_mod}: "
+        f"t22 slice-verify sf_dir={sf_dir} mod={slice_mod} residue={residue}: "
         f"{'HASH-MATCH' if ok else 'MISMATCH'} "
         f"rows={len(got)}/{len(want)} engine={t_engine:.1f}s "
         f"oracle={t_oracle:.1f}s"

@@ -444,7 +444,9 @@ def test_token_chunking_edges(spark):
     )
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="fsmr_chunk_edge_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    d = scratch_dir("fsmr_chunk_edge_")
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = QUERIES["t16_token_chunking"].fn(spark, d).collect()
     by_doc = {}
@@ -474,7 +476,9 @@ def test_fixed_size_sample_partition_invariant(spark):
 
     from fsharp_mapreduce_spark.registry import table as _table
 
-    d = tempfile.mkdtemp(prefix="fsmr_t15_inv_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    d = scratch_dir("fsmr_t15_inv_")
     _table(spark, SF_SMOKE, "documents").repartition(13).write.mode(
         "overwrite"
     ).parquet(f"{d}/documents.parquet")

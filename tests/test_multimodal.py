@@ -181,7 +181,9 @@ def test_metadata_scan_prunes_payload(spark):
         documents_as_real_media,
     )
 
-    d = tempfile.mkdtemp(prefix="fsmr_media_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    d = scratch_dir("fsmr_media_")
     documents_as_real_media(spark, SF_SMOKE).write.mode("overwrite").parquet(d)
     df = spark.read.parquet(d).select("media_id", "meta.media_type")
     plan = df._jdf.queryExecution().executedPlan().toString()

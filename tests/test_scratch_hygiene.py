@@ -1,0 +1,82 @@
+"""Pins the /tmp scratch discipline (VERDICT r7 #7 follow-through).
+
+scratch.py scopes every per-invocation directory under ONE
+process-lifetime root and exit-registers stable paths (ANN indexes,
+the package zip). The round-7 cleanup removed 1,867 stale dirs; the
+round-8 audit found a fresh leak class — callers appending suffixes
+("_delete") to `_ivf_index_dir`'s RETURNED path, landing the suffixed
+dir outside the exit-cleanup set. These tests pin both: running the
+scratch-heaviest registered queries adds nothing to /tmp outside the
+cleanup set, so a full verify_probe --all pass (which runs the same
+registry through the same scratch API) leaves the fsmr footprint
+bounded by construction.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from tests.conftest import SF_SMOKE
+
+# The /tmp names the engine may legitimately leave for LONGER than one
+# process: the shared warehouse (stable by design, env-overridable)
+# and the generated decade fixtures.
+_PERSISTENT_OK_PREFIXES = ("fsmr_warehouse", "fsmr_sf")
+
+
+def _fsmr_entries() -> set[str]:
+    return {
+        e for e in os.listdir(tempfile.gettempdir()) if e.startswith("fsmr")
+    }
+
+
+def test_scratch_heavy_queries_leave_tmp_bounded(spark):
+    """Every /tmp entry created by the scratch-heaviest registered
+    queries (lifecycle writes, streaming sink+checkpoint, materialized
+    ANN index build/delete) must be inside the process cleanup set:
+    the single fsmr_scratch_ root, an exit-registered stable path, or
+    a documented persistent location."""
+    from fsharp_mapreduce_spark import scratch
+    from fsharp_mapreduce_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+        release_scoped_caches,
+    )
+
+    load_all_query_modules()
+    before = _fsmr_entries()
+    for name in (
+        "q58_merge_upsert_lifecycle",
+        "s20_ivf_index_delete",
+        "st08_foreach_batch_sink",
+    ):
+        QUERIES[name].fn(spark, SF_SMOKE).collect()
+    release_scoped_caches()
+
+    new = _fsmr_entries() - before
+    allowed = set()
+    if scratch._SCRATCH_ROOT:
+        allowed.add(os.path.basename(scratch._SCRATCH_ROOT))
+    allowed |= {os.path.basename(p) for p in scratch._EXIT_PATHS}
+    stray = {
+        e
+        for e in new
+        if e not in allowed and not e.startswith(_PERSISTENT_OK_PREFIXES)
+    }
+    assert not stray, (
+        f"scratch-heavy queries left /tmp entries outside the "
+        f"exit-cleanup set: {sorted(stray)}"
+    )
+
+
+def test_ivf_index_suffix_paths_are_exit_registered(spark):
+    """The round-8 leak class specifically: a suffixed index path must
+    come back exit-registered, not assembled by string concat outside
+    the cleanup set."""
+    from fsharp_mapreduce_spark import scratch
+    from fsharp_mapreduce_spark.functions.similarity import _ivf_index_dir
+
+    p = _ivf_index_dir(spark, SF_SMOKE, "_hygiene_probe")
+    assert p.endswith("_hygiene_probe")
+    assert p in scratch._EXIT_PATHS

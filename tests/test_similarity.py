@@ -791,7 +791,7 @@ def test_s20_delete_semantics_and_partition_economics(spark):
         assert r.query_id % DELETE_MOD != DELETE_REMAINDER, r
 
     # and the index itself holds zero deleted rows
-    path = _ivf_index_dir(spark, SF_SMOKE) + "_delete"
+    path = _ivf_index_dir(spark, SF_SMOKE, "_delete")
     left = (
         spark.read.parquet(path)
         .where(F.col("vec_id") % DELETE_MOD == DELETE_REMAINDER)
@@ -802,7 +802,7 @@ def test_s20_delete_semantics_and_partition_economics(spark):
     # (b)+(c): a controlled two-cell index — delete ALL of one cell's
     # vectors, none of the other's
     emb = table(spark, SF_SMOKE, "embeddings")
-    p2 = _ivf_index_dir(spark, SF_SMOKE) + "_delete_unit"
+    p2 = _ivf_index_dir(spark, SF_SMOKE, "_delete_unit")
     build_ivf_index(emb, p2, n_cells=2)
     by_cell = {
         r.cell_id: r.ids

@@ -112,9 +112,11 @@ def test_checkpoint_restart_exactly_once(spark):
     import tempfile
 
     ev = table(spark, SF_SMOKE, "events").select("event_id", "value")
-    src = tempfile.mkdtemp(prefix="fsmr_ckpt_src_")
-    ck = tempfile.mkdtemp(prefix="fsmr_ckpt_meta_")
-    sink = tempfile.mkdtemp(prefix="fsmr_ckpt_sink_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    src = scratch_dir("fsmr_ckpt_src_")
+    ck = scratch_dir("fsmr_ckpt_meta_")
+    sink = scratch_dir("fsmr_ckpt_sink_")
 
     def add_chunk(i: int) -> None:
         ev.where(F.col("event_id") % 4 == i).coalesce(1).write.mode(
@@ -254,7 +256,9 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
     schema = StructType(
         [StructField("ts", TimestampType()), StructField("k", StringType())]
     )
-    d = tempfile.mkdtemp(prefix="fsmr_st10_ttl_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    d = scratch_dir("fsmr_st10_ttl_")
     from datetime import datetime
 
     def chunk(i, rows):
@@ -268,7 +272,7 @@ def test_dedup_within_watermark_ttl_readmits_expired_key(spark):
     import glob
     import shutil
 
-    staged = tempfile.mkdtemp(prefix="fsmr_st10_staged_")
+    staged = scratch_dir("fsmr_st10_staged_")
     import os
     import time as _time
 
@@ -327,7 +331,9 @@ def test_pull_stream_checkpoint_restart_resumes_cursor(spark):
 
     register_pull_source(spark)
     rows, chunk = 120_000, 8_192
-    ck = tempfile.mkdtemp(prefix="fsmr_pull_ck_")
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    ck = scratch_dir("fsmr_pull_ck_")
 
     def start(query_name):
         src = (

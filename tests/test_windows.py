@@ -102,7 +102,9 @@ def test_q63_rewrite_matches_brute_force_and_tie_semantics(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     import tempfile
 
-    d = tempfile.mkdtemp()
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    d = scratch_dir("fsmr_t_win_")
     df.write.parquet(f"{d}/events.parquet")
     from fsharp_mapreduce_spark.registry import QUERIES
 
