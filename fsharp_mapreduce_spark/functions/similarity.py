@@ -638,18 +638,25 @@ def _probe_cells(qbase: DataFrame, n_probe: int = N_PROBE) -> DataFrame:
     )
 
 
-def _assign_cells(emb: DataFrame, cent_mat: np.ndarray) -> DataFrame:
-    """(vec_id, embedding, cell_id): the map-only Arrow-GEMM cell
-    assignment — ONE definition shared by build, append and the s13
-    tests, so the tie-break (array_position's first max == csim DESC,
-    cell_id ASC) cannot drift between them."""
+def _assign_cells(
+    emb: DataFrame, cent_mat: np.ndarray, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, embedding, cell_id [, *carry]): the map-only
+    Arrow-GEMM cell assignment — ONE definition shared by build,
+    append, rebalance and the s13 tests, so the tie-break
+    (array_position's first max == csim DESC, cell_id ASC) cannot
+    drift between them. ``carry`` passes extra columns through
+    (s22 keeps the OLD cell alongside to count moved vectors without
+    a join-back shuffle)."""
     return emb.select(
         "vec_id",
         "embedding",
+        *carry,
         _cell_sims_udf(cent_mat)(F.col("embedding")).alias("cs"),
     ).select(
         "vec_id",
         "embedding",
+        *carry,
         (F.expr("array_position(cs, array_max(cs))") - 1).cast("int").alias("cell_id"),
     )
 
@@ -908,6 +915,82 @@ def s13_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_ivf_index(emb.where(is_batch), index_path, cent_mat)
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
     return knn_ivf_probe(spark, index_path, cent_mat, queries)
+
+
+def rebalance_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    new_path: str,
+    new_cents: np.ndarray,
+) -> int:
+    """Index REBALANCE — the maintenance step a drifted IVF layout
+    eventually needs (appends assigned against a stale quantizer skew
+    cell sizes; recall and probe cost both degrade): re-assign every
+    indexed vector to a freshly fit centroid matrix and write the next
+    index GENERATION at ``new_path``. Generation swap, not in-place
+    rewrite — a rebalance touches every cell, and Spark cannot safely
+    overwrite the parquet directory it is reading (s20's per-cell
+    in-place rewrite is the right shape only when the affected-cell
+    set is small). Readers cut over by path; the old generation stays
+    consistent until retired.
+
+    Map-only over the existing index: one Arrow GEMM per batch
+    computes all cell cosines, argmax assigns — zero corpus-keyed
+    exchanges, the same plan shape as the build (the old cell id rides
+    along as a carried column, so the moved-vector count needs no
+    join-back shuffle). At 100 TB this is one read + one partitioned
+    write of the index, the honest floor for a full requantization.
+    Returns the number of vectors that changed cell (the rebalance
+    effectiveness metric; 0 means the refit was a no-op and the new
+    generation can be discarded)."""
+    idx = spark.read.parquet(index_path).select(
+        "vec_id", "embedding", F.col("cell_id").alias("old_cell")
+    )
+    reassigned = scoped_persist(
+        _assign_cells(idx, new_cents, carry=("old_cell",))
+    )
+    moved = reassigned.where(F.col("cell_id") != F.col("old_cell")).count()
+    reassigned.drop("old_cell").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(new_path)
+    return moved
+
+
+@register(
+    "s22_ivf_index_rebalance",
+    oracle_factory=_s04_oracle_for,
+    tags=("similarity", "ivf", "ann", "index", "lifecycle"),
+)
+def s22_ivf_index_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-maintenance capstone, completing the lifecycle matrix
+    build (s11) → append (s13) → delete (s20) → REBALANCE: build with
+    a deliberately STALE quantizer (the s13 base-only fit), append the
+    held-out batch against it (the drift), then `rebalance_ivf_index`
+    to a fresh full-corpus fit and probe the new generation.
+
+    The oracle is s04's — the fresh-build replay — so the value-hash
+    match proves the maintenance invariant that makes generation
+    rebalance safe to run online: REBALANCE ≡ REBUILD (re-assigning
+    the drifted index to the new centroids is pointwise identical to
+    building from scratch with them, because assignment is a pure
+    per-vector function of the centroid matrix). Non-vacuity (the
+    stale build actually drifts, the rebalance actually moves
+    vectors) is pinned by tests/test_similarity.py::
+    test_s22_rebalance_moves_vectors_and_matches_fresh_build."""
+    emb = table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
+    stale_path = _ivf_index_dir(spark, sf_dir, "_rebal_g1")
+    stale_cents = build_ivf_index(emb.where(~is_batch), stale_path)
+    append_ivf_index(emb.where(is_batch), stale_path, stale_cents)
+    # refit from the INDEX contents (production: the source table may
+    # be gone) — the hash-keyed fit sample is order-independent, so
+    # this is the identical sample/fit the oracle replays from the
+    # fixture file
+    new_cents = _kmeans_centroids(spark.read.parquet(stale_path), N_CELLS)
+    new_path = _ivf_index_dir(spark, sf_dir, "_rebal_g2")
+    rebalance_ivf_index(spark, stale_path, new_path, new_cents)
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    return knn_ivf_probe(spark, new_path, new_cents, queries)
 
 
 @register(

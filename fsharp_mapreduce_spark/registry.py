@@ -309,6 +309,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "s11_knn_ivf_index_probe": "s19_knn_ivf_pq",
     # (s20, the IVF index DELETE lifecycle, rotated INTO the gate
     # window in r8 — VERDICT r7 "Next round" #1.)
+    # ...and s22 (index REBALANCE: generation-swap requantization of a
+    # drifted index, hash-pinned REBALANCE ≡ REBUILD via s04's oracle;
+    # round-8 addition, pytest-only per the cadence) completes the
+    # lifecycle matrix build/append/delete/rebalance
+    "s22_ivf_index_rebalance": "s19_knn_ivf_pq",
     # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
     # over s02's index — recall without more tables; round-6
     # addition, pytest-only per the cadence) folds to the LSH family

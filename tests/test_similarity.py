@@ -884,3 +884,63 @@ def test_s21_multiprobe_recall_dominates_s02(spark):
     r21 = len(_pairs(s21_knn_lsh_multiprobe(spark, SF_SMOKE)) & exact) / len(exact)
     assert r21 >= r02, (r21, r02)
     assert r21 >= 0.7, r21
+
+
+def test_s22_rebalance_moves_vectors_and_matches_fresh_build(spark):
+    """Non-vacuity + the maintenance invariant: the stale-fit build
+    genuinely drifts (the rebalance moves >0 vectors), the new
+    generation's probe results are IDENTICAL to a fresh full-fit
+    build's (REBALANCE ≡ REBUILD — assignment is a pure per-vector
+    function of the centroid matrix), and the old generation stays
+    readable after the swap."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        APPEND_MOD,
+        APPEND_REMAINDER,
+        N_CELLS,
+        N_QUERIES,
+        _ivf_index_dir,
+        _kmeans_centroids,
+        append_ivf_index,
+        build_ivf_index,
+        knn_ivf_probe,
+        rebalance_ivf_index,
+        s22_ivf_index_rebalance,
+    )
+    from fsharp_mapreduce_spark.registry import table
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    is_batch = F.col("vec_id") % APPEND_MOD == APPEND_REMAINDER
+    stale = _ivf_index_dir(spark, SF_SMOKE, "_rebal_unit_g1")
+    stale_cents = build_ivf_index(emb.where(~is_batch), stale)
+    append_ivf_index(emb.where(is_batch), stale, stale_cents)
+    new_cents = _kmeans_centroids(spark.read.parquet(stale), N_CELLS)
+    g2 = _ivf_index_dir(spark, SF_SMOKE, "_rebal_unit_g2")
+    moved = rebalance_ivf_index(spark, stale, g2, new_cents)
+    assert moved > 0  # the drift is real on the fixture
+
+    # rebalance ≡ rebuild: the new generation is row-identical to a
+    # fresh build with the same centroids
+    fresh = _ivf_index_dir(spark, SF_SMOKE, "_rebal_unit_fresh")
+    build_ivf_index(emb, fresh)
+    got = {
+        (r.vec_id, r.cell_id)
+        for r in spark.read.parquet(g2).select("vec_id", "cell_id").collect()
+    }
+    want = {
+        (r.vec_id, r.cell_id)
+        for r in spark.read.parquet(fresh).select("vec_id", "cell_id").collect()
+    }
+    assert got == want
+
+    # generation swap left the old index intact
+    assert spark.read.parquet(stale).count() == len(got)
+
+    # the registered query end-to-end equals the fresh-build probe
+    q = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
+    fresh_probe = {
+        tuple(r) for r in knn_ivf_probe(spark, fresh, new_cents, q).collect()
+    }
+    reg = {tuple(r) for r in s22_ivf_index_rebalance(spark, SF_SMOKE).collect()}
+    assert reg == fresh_probe
