@@ -2449,3 +2449,127 @@ def t42_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     set algebra."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return source_overlap_matrix(docs)
+
+
+# ---------------------------------------------------------------------------
+# t45: vocabulary-growth (Heaps'-law) audit — the corpus-composition
+# curve a data pipeline reads before deciding whether more of the same
+# source still buys new coverage
+# ---------------------------------------------------------------------------
+
+T45_DECILES = 10
+
+
+@register(
+    "t45_vocab_growth",
+    oracle=f"""
+    WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST(doc_id * {T45_DECILES} // nn.n AS INT) + 1 AS decile,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents, nn
+    ),
+    tok AS (SELECT decile, unnest(ts) AS tok FROM d),
+    big AS (
+      SELECT decile,
+             unnest([ts[i] || ' ' || ts[i + 1]
+                     for i in generate_series(1, len(ts) - 1)]) AS bg
+      FROM d
+    ),
+    ft AS (SELECT tok, MIN(decile) AS first_dec FROM tok GROUP BY tok),
+    fb AS (SELECT bg, MIN(decile) AS first_dec FROM big GROUP BY bg),
+    nv AS (SELECT first_dec AS decile, COUNT(*) AS vocab_new FROM ft GROUP BY 1),
+    nb AS (SELECT first_dec AS decile, COUNT(*) AS bigram_new FROM fb GROUP BY 1),
+    tc AS (SELECT decile, COUNT(*) AS toks FROM tok GROUP BY 1),
+    dc AS (SELECT decile, COUNT(*) AS docs FROM d GROUP BY 1)
+    SELECT dc.decile AS decile,
+           CAST(SUM(dc.docs) OVER w AS BIGINT) AS docs_cum,
+           CAST(SUM(COALESCE(tc.toks, 0)) OVER w AS BIGINT) AS tokens_cum,
+           CAST(SUM(COALESCE(nv.vocab_new, 0)) OVER w AS BIGINT) AS vocab_cum,
+           CAST(SUM(COALESCE(nb.bigram_new, 0)) OVER w AS BIGINT) AS bigram_vocab_cum
+    FROM dc
+    LEFT JOIN tc ON tc.decile = dc.decile
+    LEFT JOIN nv ON nv.decile = dc.decile
+    LEFT JOIN nb ON nb.decile = dc.decile
+    WINDOW w AS (ORDER BY dc.decile ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    ORDER BY decile
+    """,
+    tags=("text", "corpus_stats", "vocabulary", "heaps_law"),
+)
+def t45_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: cut the corpus into {10} deciles
+    by ingestion order (doc_id), and report CUMULATIVE docs, tokens,
+    distinct unigram vocabulary and distinct bigram vocabulary at each
+    decile boundary — new vocabulary attributed to the decile where
+    the term FIRST appears. A flattening curve says another unit of
+    this source buys repetition, not coverage (t37's batch novelty
+    generalized to the whole-corpus growth trajectory).
+
+    Scale shape: two explodes (token and bigram grain — the bigram
+    list is a map-only array `transform`, no positional self-join),
+    each followed by a map-side-combined min/count hash aggregate to
+    the DISTINCT-TERM grain; the decile roll-ups are ≤{10}-row tables
+    and the cumulative window orders {10} rows on one partition —
+    driver-bounded by construction. The decile cut is integer
+    arithmetic (doc_id·10 div N) on BOTH engines, so no float
+    boundary can move a document between buckets."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    dec = (F.expr(f"doc_id * {T45_DECILES} DIV {n}") + 1).cast("int")
+    base = scoped_persist(
+        docs.select(
+            dec.alias("decile"),
+            F.filter(tokens_col(F.col("text")), lambda x: x != "").alias("ts"),
+        )
+    )
+    tok = base.select("decile", F.explode("ts").alias("tok"))
+    big = base.select(
+        "decile",
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, size(ts) - 1), "
+                "(x, i) -> concat(x, ' ', ts[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    nv = (
+        tok.groupBy("tok")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+    )
+    nb = (
+        big.groupBy("bg")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("bigram_new"))
+    )
+    tc = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("toks"))
+    dc = base.groupBy("decile").agg(F.count(F.lit(1)).alias("docs"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        dc.join(tc, "decile", "left")
+        .join(nv, "decile", "left")
+        .join(nb, "decile", "left")
+        .select(
+            "decile",
+            F.sum("docs").over(w).cast("bigint").alias("docs_cum"),
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("vocab_new"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab_cum"),
+            F.sum(F.coalesce(F.col("bigram_new"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("bigram_vocab_cum"),
+        )
+        .orderBy("decile")
+    )

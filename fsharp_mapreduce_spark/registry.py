@@ -268,6 +268,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "t24_bm25_ranking": "t19_tfidf_top_terms",
     # (t42, the pairwise source-overlap Jaccard matrix, rotated INTO
     # the gate window in r8 — VERDICT r7 "Next round" #1.)
+    # ...and t45 (Heaps'-law vocabulary-growth audit: cumulative
+    # docs/tokens/unigram/bigram vocabulary at ingestion-order decile
+    # boundaries — t37's novelty generalized to the whole-corpus
+    # trajectory; round-8 addition, pytest-only per the cadence) rides
+    # the corpus-statistics family slot
+    "t45_vocab_growth": "t19_tfidf_top_terms",
     # quantized-ANN family (r8 rotation): s19 (IVF-PQ — both
     # quantizers composed) becomes the family capstone; s14 (product
     # quantization, driver-green r6–r7), s08 (int8 two-stage,

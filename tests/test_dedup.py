@@ -1295,3 +1295,52 @@ def test_t44_heavy_hitter_ranking_and_spreads(spark):
     # ranking: boiler first (orderBy n_occurrences DESC is pre-limit;
     # re-sort client-side since the driver compare sorts anyway)
     assert sorted(rows, key=lambda r: -r["n_occurrences"])[0]["sample_block"] == boiler
+
+
+def test_t45_vocab_growth_planted_curve(spark):
+    """Heaps-curve semantics on a planted 10-doc corpus (N=10 → one
+    doc per decile): doc i introduces exactly one NEW unigram beyond
+    doc 0's base vocabulary, so vocab_cum grows by 1 per decile after
+    the first; bigram novelty and token totals follow exactly; a
+    decile introducing nothing new adds 0."""
+    from fsharp_mapreduce_spark.functions.text import t45_vocab_growth
+    from fsharp_mapreduce_spark.registry import table as _table  # noqa: F401
+
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    # docs: doc 0 = "a b", doc i>=1 = "a w<i>" except doc 5 repeats
+    # doc 4's text verbatim (a decile with ZERO new vocabulary)
+    texts = ["a b"]
+    for i in range(1, 10):
+        texts.append("a w4" if i == 5 else f"a w{i}")
+    d = scratch_dir("fsmr_t45_fix_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(10)),
+                "text": texts,
+                "lang": ["en"] * 10,
+                "source": ["s"] * 10,
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r.decile: r for r in t45_vocab_growth(spark, d).collect()}
+    assert sorted(rows) == list(range(1, 11))
+    assert [rows[i].docs_cum for i in range(1, 11)] == list(range(1, 11))
+    assert [rows[i].tokens_cum for i in range(1, 11)] == [2 * i for i in range(1, 11)]
+    # unigrams: {a,b} then +1 new word per doc, except doc 5 (+0)
+    assert [rows[i].vocab_cum for i in range(1, 11)] == [
+        2, 3, 4, 5, 6, 6, 7, 8, 9, 10
+    ]
+    # bigrams: each doc has exactly one bigram; doc 5's repeats doc 4's
+    assert [rows[i].bigram_vocab_cum for i in range(1, 11)] == [
+        1, 2, 3, 4, 5, 5, 6, 7, 8, 9
+    ]
