@@ -108,6 +108,7 @@ HEADLINE = [
     "t42_source_overlap",
     "t43_stratified_exact_k",
     "t44_boilerplate_blocks",
+    "t45_vocab_growth",
     "s01_knn_bruteforce",
     "s02_knn_lsh",
     "s03_embedding_stats",
@@ -123,6 +124,7 @@ HEADLINE = [
     "s19_knn_ivf_pq",
     "s20_ivf_index_delete",
     "s21_knn_lsh_multiprobe",
+    "s22_ivf_index_rebalance",
     "st01_stream_tumbling_agg",
     "st04_stream_stateful_running_max",
     "st05_stream_stream_join",
