@@ -323,6 +323,180 @@ def _kept_pair_counts(e: DataFrame, hot: DataFrame | None) -> DataFrame:
     )
 
 
+T02_BLOCK_DOCS = 8192
+
+
+def _kept_pair_counts_blocked(
+    hsets: DataFrame, hot: DataFrame | None, block_docs: int = T02_BLOCK_DOCS
+) -> DataFrame:
+    """(doc_a, doc_b, kept_shared) for every pair whose exact Jaccard
+    can still reach {0.5} — the co-occurrence mass computed WITHOUT
+    any pair row ever crossing an exchange.
+
+    Why this exists (round-8 sf2.0 decade probe): the fixture's
+    3-gram vocabulary SATURATES (31-word grammar → all 29,791
+    possible shingles present by sf1.0), after which every posting
+    list grows ∝ corpus and the pair-join mass Σ df² grows ∝ n² while
+    every shingle stays far below the hot cap — measured 2.8M (sf0.1)
+    → 247M (sf1.0) → 982M (sf2.0) with max df 238 vs cap 1024. The
+    join+agg formulation shuffles that mass as ~1B narrow rows
+    (101 s at sf2.0, per-row 1.44×); here it never leaves numpy.
+
+    Shape — s06's blocked decomposition applied to SPARSE postings:
+    the corpus is cut into doc-id blocks of ≤{8192}; each pass
+    broadcasts ONE block's kept postings (shingle-sorted arrays, a
+    few MB) and a mapInPandas over the cached shingle-set table
+    counts, per Arrow batch, each batch-doc's shared-shingle counts
+    against the whole block via grouped-cartesian expansion +
+    sort-based unique — C-speed work proportional to exactly the
+    same Σ df_batch·df_block mass the join paid, with zero pair
+    shuffle. A pair (u < v) is emitted by exactly one (batch-doc=u,
+    block∋v) combination. Only pairs passing the OPTIMISTIC threshold
+    bound (kept_shared + min(nh_a, nh_b) — shared is at most that,
+    and Jaccard is increasing in shared) survive to the exchange, so
+    the emitted stream is output-sized, not mass-sized; the exact
+    hot-patch + final threshold downstream are unchanged.
+
+    Driver/broadcast bound: one block's postings must fit a broadcast
+    (the s06 contract — this is the EXACT family member, a
+    verification-scale path; t03/t34's banded candidates are the
+    100 TB dedup path). Passes = ceil(id-range / block_docs)."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    spark = hsets.sparkSession
+    ensure_package_shipped(spark)
+    sc = spark.sparkContext
+
+    hot_ids = (
+        np.sort(np.array([r.shingle for r in hot.collect()], dtype=np.int64))
+        if hot is not None
+        else np.array([], dtype=np.int64)
+    )
+
+    def _hot_mask(x: np.ndarray) -> np.ndarray:
+        if len(hot_ids) == 0:
+            return np.zeros(len(x), dtype=bool)
+        ix = np.searchsorted(hot_ids, x)
+        ix[ix == len(hot_ids)] = 0
+        return hot_ids[ix] == x
+
+    t = JACCARD_THRESHOLD
+    bounds = hsets.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], "doc_a long, doc_b long, kept_shared long")
+
+    branches = []
+    for blk_lo in range(bounds["lo"], bounds["hi"] + 1, block_docs):
+        rows = hsets.where(
+            F.col("doc_id").between(blk_lo, blk_lo + block_docs - 1)
+        ).collect()
+        if not rows:
+            continue
+        rows.sort(key=lambda r: r.doc_id)
+        bdoc = np.array([r.doc_id for r in rows], dtype=np.int64)
+        arrs = [np.asarray(r.hs, dtype=np.int64) for r in rows]
+        bn = np.array([len(a) for a in arrs], dtype=np.int64)
+        flat = (
+            np.concatenate(arrs) if arrs else np.array([], dtype=np.int64)
+        )
+        bidx_all = np.repeat(np.arange(len(bdoc)), bn)
+        hm = _hot_mask(flat)
+        bnh = np.bincount(bidx_all[hm], minlength=len(bdoc)).astype(np.int64)
+        kept_s, kept_i = flat[~hm], bidx_all[~hm]
+        order = np.argsort(kept_s, kind="stable")
+        bc = sc.broadcast(
+            {
+                "bdoc": bdoc,
+                "bn": bn,
+                "bnh": bnh,
+                "bs": kept_s[order],
+                "bi": kept_i[order],
+            }
+        )
+
+        def make_gen(bcast):
+            def gen(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                blk = bcast.value
+                bs, bi = blk["bs"], blk["bi"]
+                bdoc_, bn_, bnh_ = blk["bdoc"], blk["bn"], blk["bnh"]
+                nblk = len(bdoc_)
+                for pdf in batches:
+                    docs = pdf["doc_id"].to_numpy()
+                    hs_col = [
+                        _np.asarray(a, dtype=_np.int64) for a in pdf["hs"]
+                    ]
+                    out_a, out_b, out_k = [], [], []
+                    chunk = 512  # caps the per-chunk key space
+                    for s0 in range(0, len(docs), chunk):
+                        cd = docs[s0 : s0 + chunk]
+                        ca = hs_col[s0 : s0 + chunk]
+                        lens = _np.array([len(a) for a in ca], dtype=_np.int64)
+                        if lens.sum() == 0 or len(bs) == 0:
+                            continue
+                        shin = _np.concatenate(ca)
+                        pidx = _np.repeat(_np.arange(len(cd)), lens)
+                        hm_ = _hot_mask(shin)
+                        nh_p = _np.bincount(
+                            pidx[hm_], minlength=len(cd)
+                        ).astype(_np.int64)
+                        shin_k, pidx_k = shin[~hm_], pidx[~hm_]
+                        # grouped-cartesian expansion: every (batch
+                        # posting, equal-shingle block posting) pair
+                        left = _np.searchsorted(bs, shin_k, "left")
+                        right = _np.searchsorted(bs, shin_k, "right")
+                        cnt = right - left
+                        total = int(cnt.sum())
+                        if total == 0:
+                            continue
+                        rep_p = _np.repeat(pidx_k, cnt)
+                        offs = _np.repeat(_np.cumsum(cnt) - cnt, cnt)
+                        bpos = _np.repeat(left, cnt) + (
+                            _np.arange(total) - offs
+                        )
+                        rep_b = bi[bpos]
+                        keys = rep_p * nblk + rep_b
+                        uk, ks = _np.unique(keys, return_counts=True)
+                        pi, bix = uk // nblk, uk % nblk
+                        da, db = cd[pi], bdoc_[bix]
+                        na = lens[pi]
+                        nb = bn_[bix]
+                        shared_hi = ks + _np.minimum(nh_p[pi], bnh_[bix])
+                        shared_min = t * (na + nb) / (1.0 + t)
+                        keep = (da < db) & (shared_hi >= shared_min - 1e-9)
+                        out_a.append(da[keep])
+                        out_b.append(db[keep])
+                        out_k.append(ks[keep])
+                    if out_a:
+                        yield _pd.DataFrame(
+                            {
+                                "doc_a": _np.concatenate(out_a),
+                                "doc_b": _np.concatenate(out_b),
+                                "kept_shared": _np.concatenate(out_k),
+                            }
+                        )
+
+            return gen
+
+        branches.append(
+            hsets.mapInPandas(
+                make_gen(bc), "doc_a long, doc_b long, kept_shared long"
+            )
+        )
+    if not branches:
+        return spark.createDataFrame([], "doc_a long, doc_b long, kept_shared long")
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, cap: int = STOP_SHINGLE_MAX_POSTINGS
 ) -> DataFrame:
@@ -351,7 +525,13 @@ def ngram_jaccard_pairs(
     # enter the plan only when hot shingles actually exist. Measured
     # 3.0s → 2.2s at sf0.1 (the fixture has no hot shingles).
     has_hot = bool(hot.head(1))
-    pairs = _kept_pair_counts(e, hot) if has_hot else _kept_pair_counts(e, None)
+    # Blocked sparse counting (round 8): the join+agg formulation
+    # (_kept_pair_counts) shuffles the full Σ df² co-occurrence mass
+    # as pair rows — ∝ n² once the fixture's finite shingle vocabulary
+    # saturates (measured 982M at sf2.0, 101 s). The blocked path
+    # computes identical kept counts inside numpy per broadcast block
+    # and only output-bound pairs reach an exchange.
+    pairs = _kept_pair_counts_blocked(hsets, hot if has_hot else None)
 
     sz = hsets.select("doc_id", F.size("hs").alias("n"))
     ja = pairs.join(

@@ -1344,3 +1344,92 @@ def test_t45_vocab_growth_planted_curve(spark):
     assert [rows[i].bigram_vocab_cum for i in range(1, 11)] == [
         1, 2, 3, 4, 5, 5, 6, 7, 8, 9
     ]
+
+
+def test_t02_blocked_counts_equal_join_formulation(spark):
+    """The round-8 blocked sparse-counting rewrite must be
+    OUTPUT-IDENTICAL to the join+agg formulation it replaced — on a
+    corpus WITH hot shingles (tiny cap) and a block size small enough
+    to force multiple blocks and cross-block pairs, and including the
+    optimistic-bound pre-filter (a pair that passes the threshold
+    ONLY via its hot remainder must survive to the patch)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions import dedup as D
+
+    # 30 docs over a tiny vocab: heavy shared boilerplate (hot under
+    # cap=3) + planted near-dup pairs
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = []
+    for i in range(30):
+        if i % 3 == 0:
+            texts.append(base + f" tail{i // 3}")  # near-dups of base
+        else:
+            texts.append(f"doc {i} unique words w{i}a w{i}b w{i}c " + base)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def run(blocked: bool, cap: int):
+        hsets = D.hashed_shingle_sets(docs)
+        e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
+        hot = D._hot_shingles(e, cap)
+        has_hot = bool(hot.head(1))
+        h = hot if has_hot else None
+        if blocked:
+            pairs = D._kept_pair_counts_blocked(hsets, h, block_docs=7)
+        else:
+            pairs = D._kept_pair_counts(e, h)
+        return pairs
+
+    for cap in (3, 1024):
+        got = {
+            (r.doc_a, r.doc_b): r.kept_shared
+            for r in run(True, cap).collect()
+        }
+        want = {
+            (r.doc_a, r.doc_b): r.kept_shared
+            for r in run(False, cap).collect()
+        }
+        # blocked emits only bound-passing pairs; every blocked pair
+        # must carry the exact join-path count, and every pair the
+        # bound admits in the join path that can reach the threshold
+        # must be present in the blocked output
+        for k, v in got.items():
+            assert want[k] == v, (cap, k, v, want[k])
+        # end-to-end: the registered pipeline (which consumes the
+        # blocked counts) equals itself run over the join counts by
+        # construction — pin via the public function on both caps
+        full = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in D.ngram_jaccard_pairs(docs, cap=cap).collect()
+        }
+        if cap == 1024:
+            assert full, "planted near-dups must emit under the real cap"
+        # recompute expected jaccards from raw sets (exact ground truth)
+        hs = {
+            r.doc_id: set(r.hs)
+            for r in D.hashed_shingle_sets(docs).collect()
+        }
+        hot_set = {
+            r.shingle
+            for r in D._hot_shingles(
+                D.hashed_shingle_sets(docs).select(
+                    "doc_id", F.explode("hs").alias("shingle")
+                ),
+                cap,
+            ).collect()
+        }
+        expected = set()
+        ids = sorted(hs)
+        for i in ids:
+            for j in ids:
+                if i >= j:
+                    continue
+                if not (hs[i] & hs[j]) - hot_set:
+                    continue  # no kept co-occurrence → never a candidate
+                inter = len(hs[i] & hs[j])
+                jac = inter / (len(hs[i]) + len(hs[j]) - inter)
+                if jac >= D.JACCARD_THRESHOLD:
+                    expected.add((i, j, round(jac, 6)))
+        assert full == expected, (cap, full ^ expected)
