@@ -490,6 +490,7 @@ def measure_group(
     runs: int,
     _run_once=None,
     _snapshot=None,
+    _deadline_passed=None,
 ) -> tuple[dict[str, float], dict, dict]:
     """Self-adjudicating group measurement (VERDICT r7 #3): the r7
     driver record carried 8 s-group rows inflated 1.6-8.2× because the
@@ -503,7 +504,22 @@ def measure_group(
     (contention only inflates). If no attempt ran quiet, the group's
     contention record carries a machine-readable ``contended: true`` so
     downstream comparisons can exclude it without re-deriving the
-    verdict from floor_ms. Returns (timings, spread, contention_meta).
+    verdict from floor_ms.
+
+    The POST-group criterion is the floor probe ONLY (VERDICT r8 #2):
+    load1 is a 1-minute average that still carries the group's OWN
+    just-exited local[32] JVM, so gating on it self-triggers re-runs of
+    every long group — exactly what timed out the round-8 driver run
+    (rc=124: post floor 70 ms quiet, post load1 > 8 from the bench
+    itself). The instantaneous floor probe has no history to
+    contaminate. load1 still gates the PRE snapshot, where it is
+    genuinely external.
+
+    ``_deadline_passed`` (test seam; wired to the global wall-clock
+    budget in main) suppresses re-run attempts once the budget is
+    spent: a budget-truncated group keeps its first attempt's minima
+    and is flagged contended rather than re-running into the driver's
+    kill window. Returns (timings, spread, contention_meta).
     ``_run_once``/``_snapshot`` are test seams."""
     if _run_once is None:
         _run_once = lambda: _last_json_obj(  # noqa: E731
@@ -511,6 +527,8 @@ def measure_group(
         )
     if _snapshot is None:
         _snapshot = _contention_snapshot
+    if _deadline_passed is None:
+        _deadline_passed = lambda: False  # noqa: E731
     attempts: list[dict] = []
     payloads: list[dict] = []
     quiet = False
@@ -527,10 +545,19 @@ def measure_group(
                 "sum_s": round(sum(payload["queries"].values()), 4),
             }
         )
-        quiet = _snapshot_quiet(pre) and _snapshot_quiet(
-            {"load1": post["load1"], "floor_ms": post["floor_ms"]}
+        quiet = (
+            _snapshot_quiet(pre)
+            and post["floor_ms"] < FLOOR_PROBE_QUIET_MS
         )
         if quiet:
+            break
+        if _deadline_passed():
+            print(
+                f"# group {label} contended but wall-clock budget spent — "
+                "keeping per-query minima, no re-run",
+                file=sys.stderr,
+                flush=True,
+            )
             break
         print(
             f"# group {label} ran contended (pre floor={pre['floor_ms']}ms "
@@ -545,12 +572,19 @@ def measure_group(
         spread = dict(chosen.get("spread", {}))
     else:
         # no clean attempt: per-query minimum across attempts is the
-        # quiet-box estimator (same reasoning as the anchor's min)
-        timings = {
-            n: min(p["queries"][n] for p in payloads if n in p["queries"])
-            for n in payloads[0]["queries"]
-        }
-        spread = dict(payloads[-1].get("spread", {}))
+        # quiet-box estimator (same reasoning as the anchor's min).
+        # Spread comes from the SAME attempt that supplied each
+        # minimum (ADVICE r8 #4: last-attempt spread could disagree
+        # with the minima it qualifies).
+        timings, spread = {}, {}
+        for n in payloads[0]["queries"]:
+            best = min(
+                (p for p in payloads if n in p["queries"]),
+                key=lambda p: p["queries"][n],
+            )
+            timings[n] = best["queries"][n]
+            if n in best.get("spread", {}):
+                spread[n] = best["spread"][n]
     meta = {**attempts[-1], "attempts": attempts, "contended": not quiet}
     meta.pop("sum_s", None)
     return timings, spread, meta
@@ -637,11 +671,26 @@ def main() -> None:
         # measured in a quiet JVM while expression-heavy pipelines
         # still amortize their JIT warm-up within their own group.
         timings, spread = {}, {}
+        # Global wall-clock budget (VERDICT r8 #1b): bounded re-runs
+        # can still multiply into the driver's kill window (the r8
+        # driver run died at rc=124 mid-re-run). Once the budget is
+        # spent, groups stop re-running (they keep first-attempt
+        # minima, flagged contended) and — should a kill still arrive —
+        # the detail file below is flushed after EVERY group, so a
+        # timeout always leaves a parseable partial record.
+        budget_s = float(
+            os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500")
+        )
+        t_start = time.monotonic()
+        deadline_passed = lambda: time.monotonic() - t_start > budget_s  # noqa: E731
+        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
         for label, group in _headline_groups(names):
             # self-adjudicating group run (VERDICT r7 #3): re-runs a
             # group whose floor probe left the calibrated band, records
             # every attempt, flags `contended: true` if none ran quiet
-            got, got_spread, meta = measure_group(label, group, args.runs)
+            got, got_spread, meta = measure_group(
+                label, group, args.runs, _deadline_passed=deadline_passed
+            )
             contention[label] = meta
             spread.update(got_spread)
             print(
@@ -650,6 +699,19 @@ def main() -> None:
                 file=sys.stderr,
             )
             timings.update(got)
+            if not args.child:
+                # incremental flush: parseable partial table of record
+                # even if the surrounding process is killed mid-run
+                partial = {
+                    "partial": True,
+                    "queries": {n: timings[n] for n in names if n in timings},
+                    "spread": {n: spread[n] for n in timings if n in spread},
+                    "contention": contention,
+                    "sf": sf,
+                }
+                if dice is not None:
+                    partial["dice_mr_compat_5m"] = dice
+                detail_path.write_text(json.dumps(partial) + "\n")
         timings = {n: timings[n] for n in names if n in timings}
     else:
         spread = {}
@@ -692,8 +754,12 @@ def main() -> None:
     # the driver's bounded stdout-tail capture always parses it.
     full = json.dumps(result)
     print(full)
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(full + "\n")
+    if args.queries is None:
+        # Detail file is the committed table of record — written ONLY
+        # by full-HEADLINE runs (VERDICT r8 #3: a one-query --queries
+        # smoke run clobbered the committed 98-row r7 table, a79f9ac).
+        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        detail_path.write_text(full + "\n")
     print(json.dumps(summary_obj(result)))
 
 

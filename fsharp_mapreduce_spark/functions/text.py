@@ -2529,7 +2529,10 @@ def t45_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile",
         F.explode(
             F.expr(
-                "transform(slice(ts, 1, size(ts) - 1), "
+                # greatest(..., 0): slice length -1 on a zero-token doc
+                # raises INVALID_PARAMETER_VALUE; the oracle's
+                # generate_series(1, -1) yields an empty list instead
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)), "
                 "(x, i) -> concat(x, ' ', ts[i + 1]))"
             )
         ).alias("bg"),

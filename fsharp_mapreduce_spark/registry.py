@@ -97,6 +97,30 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+class _ScopedBroadcast:
+    """Adapter so a Broadcast rides the scoped-cache release list: at
+    release time the handle is destroy()ed (not merely unpersisted) —
+    a query-scoped broadcast is never reused after its query, so both
+    the executor blocks AND the driver copy should go (ADVICE r8:
+    per-block posting broadcasts in t02's blocked counter otherwise
+    accumulate O(corpus) residency over the job lifetime)."""
+
+    def __init__(self, bc):
+        self._bc = bc
+
+    def unpersist(self):
+        self._bc.destroy()
+
+
+def scoped_broadcast(bc):
+    """Record a Broadcast for release when the next registered query
+    builds (same lifecycle as scoped_persist — the broadcast must stay
+    alive until the CALLER materializes the returned plan)."""
+    with _SCOPED_CACHES_LOCK:
+        _SCOPED_CACHES.append(_ScopedBroadcast(bc))
+    return bc
+
+
 def release_scoped_caches() -> None:
     """Unpersist every scoped cache recorded since the last release.
     Safe to call at any time: already-collected results are plain

@@ -1433,3 +1433,81 @@ def test_t02_blocked_counts_equal_join_formulation(spark):
                 if jac >= D.JACCARD_THRESHOLD:
                     expected.add((i, j, round(jac, 6)))
         assert full == expected, (cap, full ^ expected)
+
+
+def test_t02_blocked_counts_sparse_hashed_ids(spark):
+    """Blocks must chunk the sorted distinct doc-id SET, not stride
+    the raw id range (VERDICT r8 #5): with md5-scale sparse ids
+    (spread over ~2^60) the old range-stride enumeration would launch
+    ~2^47 empty filter+collect jobs — this test would hang. Pass count
+    is ceil(n_docs / block_docs) regardless of id sparsity, and the
+    pair counts must equal the join formulation on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(20):
+        # sparse, non-uniform 60-bit-ish ids (deterministic)
+        doc_id = (i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1)
+        text = base + f" tail{i // 4}" if i % 4 == 0 else (
+            f"doc {i} unique words w{i}a w{i}b " + base
+        )
+        rows.append((doc_id, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hsets = D.hashed_shingle_sets(docs)
+    e = hsets.select("doc_id", F.explode("hs").alias("shingle"))
+    got = {
+        (r.doc_a, r.doc_b): r.kept_shared
+        for r in D._kept_pair_counts_blocked(
+            hsets, None, block_docs=6
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b): r.kept_shared
+        for r in D._kept_pair_counts(e, None).collect()
+    }
+    assert got, "planted near-dups must co-occur"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+
+
+def test_t45_vocab_growth_zero_token_docs(spark):
+    """ADVICE r8 (medium): a zero-token document (empty or
+    whitespace-only text) must yield an EMPTY bigram list — the raw
+    `slice(ts, 1, size(ts)-1)` got length -1 and raised
+    INVALID_PARAMETER_VALUE, while the DuckDB oracle's
+    generate_series(1, -1) yields empty. Single-token docs (no
+    bigram) are covered for the same guard."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fsharp_mapreduce_spark.functions.text import t45_vocab_growth
+    from fsharp_mapreduce_spark.scratch import scratch_dir
+
+    texts = ["a b", "", "   ", "solo", "a c"]
+    d = scratch_dir("fsmr_t45_empty_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r.decile: r for r in t45_vocab_growth(spark, d).collect()}
+    # 5 docs → docs 0..4 land in deciles 1,3,5,7,9 (doc_id*10 div 5 +1)
+    last = rows[max(rows)]
+    # unigrams: a, b, solo, c ; bigrams: "a b", "a c" — the empty and
+    # whitespace-only docs contribute nothing and nothing crashes
+    assert last.vocab_cum == 4
+    assert last.bigram_vocab_cum == 2
+    assert last.docs_cum == 5
+    assert last.tokens_cum == 5

@@ -250,3 +250,111 @@ def test_group_self_adjudication():
         }
     )
     assert summary["contended_groups"] == ["s"]
+
+
+def test_group_post_criterion_is_floor_only():
+    """VERDICT r8 #2 — the r8 driver kill: post-group load1 still
+    carries the group's OWN just-exited local[32] JVM, so a load1 gate
+    there self-triggers re-runs of every long group. The POST
+    criterion is floor-only: quiet pre + (floor-quiet, load-high) post
+    must be accepted WITHOUT a re-run. Pre keeps the load1 gate (there
+    the load is genuinely external)."""
+    import bench
+
+    quiet = {"load1": 1.0, "load5": 1.0, "floor_ms": 80.0}
+    # the exact r8 driver tail: post floor 70ms (quiet), post load1
+    # 5.1+ (the bench's own work) — under the old AND-criterion this
+    # re-ran; it must not
+    self_load = {"load1": 14.0, "load5": 9.0, "floor_ms": 70.0}
+    snaps = iter([quiet, self_load])
+    runs = iter([{"queries": {"a": 1.0}, "spread": {}}])
+    t, _, meta = bench.measure_group(
+        "stm", ["a"], 1,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"a": 1.0}
+    assert meta["contended"] is False
+    assert len(meta["attempts"]) == 1
+
+    # but a genuinely-pressured post floor STILL re-runs
+    busy_floor = {"load1": 2.0, "load5": 2.0, "floor_ms": 300.0}
+    snaps = iter([quiet, busy_floor, quiet, quiet])
+    runs = iter(
+        [{"queries": {"a": 5.0}, "spread": {}},
+         {"queries": {"a": 1.1}, "spread": {}}]
+    )
+    t, _, meta = bench.measure_group(
+        "stm", ["a"], 1,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"a": 1.1}
+    assert len(meta["attempts"]) == 2
+
+
+def test_group_budget_suppresses_reruns():
+    """VERDICT r8 #1b: once the global wall-clock budget is spent, a
+    contended group keeps its first attempt (flagged contended)
+    instead of re-running into the driver's kill window."""
+    import bench
+
+    busy = {"load1": 14.5, "load5": 12.0, "floor_ms": 300.0}
+    snaps = iter([busy] * 2)
+    runs = iter([{"queries": {"a": 8.2}, "spread": {}}])
+    t, _, meta = bench.measure_group(
+        "s", ["a"], 1,
+        _run_once=lambda: next(runs),
+        _snapshot=lambda: dict(next(snaps)),
+        _deadline_passed=lambda: True,
+    )
+    assert t == {"a": 8.2}
+    assert meta["contended"] is True
+    assert len(meta["attempts"]) == 1
+
+
+def test_contended_spread_follows_minimum_attempt():
+    """ADVICE r8 #4: on an exhausted-retries group the recorded value
+    is the per-query MIN across attempts — the spread must come from
+    the attempt that supplied each minimum, not the last attempt."""
+    import bench
+
+    busy = {"load1": 14.5, "load5": 12.0, "floor_ms": 300.0}
+    snaps = iter([busy] * 2 * bench.GROUP_MAX_ATTEMPTS)
+    runs = iter(
+        [
+            {"queries": {"a": 8.2, "b": 3.0},
+             "spread": {"a": [8.0, 8.4], "b": [2.9, 3.1]}},
+            {"queries": {"a": 6.5, "b": 3.5},
+             "spread": {"a": [6.4, 6.6], "b": [3.4, 3.6]}},
+            {"queries": {"a": 7.0, "b": 2.9},
+             "spread": {"a": [6.9, 7.1], "b": [2.8, 3.0]}},
+        ]
+    )
+    t, spread, meta = bench.measure_group(
+        "s", ["a", "b"], 1,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"a": 6.5, "b": 2.9}
+    assert spread == {"a": [6.4, 6.6], "b": [2.8, 3.0]}
+    assert meta["contended"] is True
+
+
+def test_partial_run_never_writes_detail_file(tmp_path, monkeypatch):
+    """VERDICT r8 #3: a --queries smoke run must NOT clobber
+    BENCH_DETAIL.json — commit a79f9ac reduced the committed 98-row
+    table of record to one row exactly this way. Only full-HEADLINE
+    runs own the detail file."""
+    import sys
+
+    import bench
+
+    detail = bench.Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json"
+    before = detail.read_text() if detail.exists() else None
+    monkeypatch.setattr(
+        bench, "run_spark", lambda sf_dir, runs, names, spread: {"a": 1.0}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--queries", "a", "--runs", "1"]
+    )
+    bench.main()
+    after = detail.read_text() if detail.exists() else None
+    assert after == before
