@@ -102,8 +102,36 @@ def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_TABLES = 4  # LSH tables (L)
-PLANES_PER_TABLE = 4  # sign bits per table (k) → 16 buckets/table
+PLANES_PER_TABLE = 4  # floor sign bits per table (k) → 16 buckets/table
 MAX_DIM = 64  # plane components precomputed up to this dimensionality
+
+# Density-adaptive k for the PROBE family (s02/s12/s15/s21/st14 —
+# VERDICT r8 #2): with a fixed k=4 every table has 16 buckets, so
+# expected occupancy grows ∝ n/16 and each probe's candidate GEMM
+# approaches a constant FRACTION of the corpus at 100× — an ANN index
+# degenerating toward fractional brute force (the same disease the
+# r7 s07 curve showed for the kNN JOIN, fixed by the capacity rule at
+# `adaptive_planes_per_table`). Target 125 rows/bucket puts the
+# 2000-vector bench fixture (sf0.1) exactly at the k=4 floor —
+# gate/bench tuning unchanged — while the decade fixtures adapt to
+# k=7/8/9 (sf0.5/1.0/2.0). Ceiling 16 keeps L·k ≤ MAX_DIM precomputed
+# plane rows. Both engines derive k from the same corpus cardinality:
+# the Spark side from a count, the oracle FACTORY from the parquet
+# footer — bucket-for-bucket identical at every SF (the s07 pattern).
+S02_TARGET_BUCKET_ROWS = 125
+S02_MAX_PLANES = 16
+
+
+def s02_planes_for(n_vectors: int) -> int:
+    """Sign bits per table for the s02 probe family at corpus size
+    ``n_vectors``: the shared capacity rule with the s02 floor (the
+    registered 4×4 tuning point) and the MAX_DIM-bound ceiling."""
+    return adaptive_planes_per_table(
+        n_vectors,
+        target_bucket_rows=S02_TARGET_BUCKET_ROWS,
+        min_planes=PLANES_PER_TABLE,
+        max_planes=S02_MAX_PLANES,
+    )
 
 
 def _plane_component(p: int, d: int) -> float:
@@ -185,14 +213,17 @@ def lsh_tagged_sql(n_tables: int, planes_per_table: int) -> str:
     )"""
 
 
-def _lsh_probe_oracle(extra_cand_join: str = "") -> str:
+def _lsh_probe_oracle(
+    extra_cand_join: str = "", planes_per_table: int = PLANES_PER_TABLE
+) -> str:
     """The shared LSH probe replica (bucket candidates → exact cosine →
     per-query top-k). ``extra_cand_join`` lets variants restrict the
     candidate corpus (s15's metadata pre-filter) without duplicating
     the q/cand/scored/ranked CTEs — one source of truth for the
-    ranking SQL (review r5b)."""
+    ranking SQL (review r5b). ``planes_per_table`` is the density-
+    adaptive k — factories pass `s02_planes_for(footer count)`."""
     return f"""
-    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
+    WITH {lsh_tagged_sql(N_TABLES, planes_per_table)},
     q AS (
       SELECT vec_id AS query_id, tbl, bucket FROM tagged
       WHERE vec_id < {N_QUERIES}
@@ -222,10 +253,20 @@ def _lsh_probe_oracle(extra_cand_join: str = "") -> str:
 """
 
 
-_S02_ORACLE = _lsh_probe_oracle()
+def _s02_planes_for_dir(sf_dir: str) -> int:
+    """Oracle-factory side of the probe family's adaptive k: the
+    parquet FOOTER count of the same corpus the Spark side count()s,
+    so both engines derive the identical plane set per SF."""
+    return s02_planes_for(parquet_num_rows(f"{sf_dir}/embeddings.parquet"))
 
 
-@register("s02_knn_lsh", oracle=_S02_ORACLE, tags=("similarity", "lsh", "ann"))
+def _s02_oracle_for(sf_dir: str) -> str:
+    return _lsh_probe_oracle(planes_per_table=_s02_planes_for_dir(sf_dir))
+
+
+@register(
+    "s02_knn_lsh", oracle_factory=_s02_oracle_for, tags=("similarity", "lsh", "ann")
+)
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH:
     {4} independent tables of {4} sign bits each; a corpus vector is a
@@ -240,7 +281,10 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized form of that path is `build_lsh_index` +
     `knn_lsh_probe`: the same pipeline against a `write_bucketed`
     managed table, probing with zero index-side exchanges (plan-pinned
-    in tests/test_similarity.py)."""
+    in tests/test_similarity.py). k is density-adaptive
+    (`s02_planes_for`, VERDICT r8 #2): occupancy stays ≈ the target as
+    the corpus grows instead of every probe's candidate set becoming a
+    constant fraction of the corpus."""
     emb = table(spark, sf_dir, "embeddings")
 
     # one row per (vector, table): posexplode the L bucket ids — a
@@ -250,7 +294,7 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe side and the corpus side of the join read it. At real
     # scale this materialization is the LSH index itself, written out
     # bucketed by (tbl, bucket) rather than cached.
-    bucket_ids = _lsh_bucket_udf()
+    bucket_ids = _lsh_bucket_udf(N_TABLES, s02_planes_for(emb.count()))
     indexed = scoped_persist(
         emb.select("vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs"))
     )
@@ -284,12 +328,16 @@ def _bucket_candidates(tagged: DataFrame, q: DataFrame) -> DataFrame:
     ).select("query_id", "qe", F.col("vec_id").alias("neighbor_id"), "embedding")
 
 
-def tag_corpus_buckets(emb: DataFrame) -> DataFrame:
+def tag_corpus_buckets(
+    emb: DataFrame, planes_per_table: int = PLANES_PER_TABLE
+) -> DataFrame:
     """(vec_id, embedding, tbl, bucket): one row per (vector, LSH
     table) — the corpus-side shape `_bucket_candidates` consumes.
     Shared by s15 and any caller tagging a filtered/ad-hoc corpus
-    (review r5b: one definition of the explode shape)."""
-    bucket_ids = _lsh_bucket_udf()
+    (review r5b: one definition of the explode shape). Callers on a
+    sized corpus pass the adaptive ``planes_per_table``; the probe
+    side of the same query must pass the SAME value."""
+    bucket_ids = _lsh_bucket_udf(N_TABLES, planes_per_table)
     return emb.select(
         "vec_id",
         "embedding",
@@ -297,11 +345,14 @@ def tag_corpus_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
-def tag_probe_buckets(queries: DataFrame) -> DataFrame:
+def tag_probe_buckets(
+    queries: DataFrame, planes_per_table: int = PLANES_PER_TABLE
+) -> DataFrame:
     """(query_id, qe, qtbl, qbucket): the probe-side shape
     `_bucket_candidates` consumes, from raw (vec_id, embedding) rows.
-    Shared by s15 and st14's per-micro-batch probe."""
-    bucket_ids = _lsh_bucket_udf()
+    Shared by s15 and st14's per-micro-batch probe. ``planes_per_table``
+    must equal the value the corpus/index side was tagged with."""
+    bucket_ids = _lsh_bucket_udf(N_TABLES, planes_per_table)
     return queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -330,7 +381,7 @@ def build_lsh_index(
     emb: DataFrame,
     table_name: str,
     n_tables: int = N_TABLES,
-    planes_per_table: int = PLANES_PER_TABLE,
+    planes_per_table: int | None = None,
     n_storage_buckets: int = 16,
 ) -> None:
     """Materialize the LSH index s02 computes on the fly: one bucketed
@@ -361,6 +412,13 @@ def build_lsh_index(
     if wh.scheme in ("", "file"):
         shutil.rmtree(os.path.join(wh.path, table_name.lower()), ignore_errors=True)
 
+    if planes_per_table is None:
+        # density-adaptive default (VERDICT r8 #2): one count at
+        # index-build time; probes read the stored (tbl, bucket) tags,
+        # so consumers probing FROM the index need no k at all, and
+        # external probe vectors must be tagged with the same k the
+        # builder used (st14 passes it through explicitly)
+        planes_per_table = s02_planes_for(emb.count())
     bucket_ids = _lsh_bucket_udf(n_tables, planes_per_table)
     tagged = emb.select(
         "vec_id", "embedding", F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
@@ -383,7 +441,7 @@ def knn_lsh_probe(
 
 @register(
     "s12_knn_lsh_index_probe",
-    oracle=_S02_ORACLE,
+    oracle_factory=_s02_oracle_for,
     tags=("similarity", "lsh", "ann", "index"),
 )
 def s12_knn_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,9 +453,10 @@ def s12_knn_lsh_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is paid once at build time (plan-pinned by
     tests/test_similarity.py::test_lsh_index_probe_plan_exchange_free).
     Results are identical to s02's inline pipeline (equivalence-
-    tested), so it shares s02's static hyperplane-literal oracle —
-    valid at every SF (the planes are deterministic constants, not
-    data-derived)."""
+    tested), so it shares s02's oracle FACTORY — the hyperplanes are
+    deterministic literals and the density-adaptive k replays from the
+    parquet footer count per SF; the probe side reads its buckets from
+    the stored index, so build and probe cannot drift on k."""
     import hashlib
     import re
 
@@ -1968,11 +2027,16 @@ def s14_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 FILTER_LABEL = 3
 
 
+def _s15_oracle_for(sf_dir: str) -> str:
+    return _lsh_probe_oracle(
+        f"JOIN embeddings lf ON t.vec_id = lf.vec_id AND lf.label = {FILTER_LABEL}",
+        planes_per_table=_s02_planes_for_dir(sf_dir),
+    )
+
+
 @register(
     "s15_knn_filtered",
-    oracle=_lsh_probe_oracle(
-        f"JOIN embeddings lf ON t.vec_id = lf.vec_id AND lf.label = {FILTER_LABEL}"
-    ),
+    oracle_factory=_s15_oracle_for,
     tags=("similarity", "ann", "lsh", "filtered"),
 )
 def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1992,10 +2056,21 @@ def s15_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on the corpus scan (plan-pinned) — with the s12
     materialized index, filter columns ride the index table and prune
     before the bucket join; selectivity makes filtered ANN CHEAPER
-    than unfiltered, never costlier."""
+    than unfiltered, never costlier.
+
+    k derives from the FULL store cardinality (one count), not the
+    filtered subset: the index is sized once for the store and every
+    predicate selects within it — and the oracle factory's footer
+    count sees the full table, so both engines stay bucket-identical
+    for any predicate."""
     emb = table(spark, sf_dir, "embeddings")
-    corpus = tag_corpus_buckets(emb.where(F.col("label") == FILTER_LABEL))
-    probes = tag_probe_buckets(emb.where(F.col("vec_id") < N_QUERIES))
+    k = s02_planes_for(emb.count())
+    corpus = tag_corpus_buckets(
+        emb.where(F.col("label") == FILTER_LABEL), planes_per_table=k
+    )
+    probes = tag_probe_buckets(
+        emb.where(F.col("vec_id") < N_QUERIES), planes_per_table=k
+    )
     return _exact_topk(_bucket_candidates(corpus, probes))
 
 
@@ -2680,17 +2755,23 @@ def s20_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- s21: multi-probe LSH — recall without more tables ----------------------
 
-MULTIPROBE_MASKS = [0] + [1 << j for j in range(PLANES_PER_TABLE)]
+
+def multiprobe_masks(planes_per_table: int) -> list[int]:
+    """The own-bucket mask plus every single-sign-bit flip — derived
+    from the DENSITY-ADAPTIVE k (VERDICT r8 #2: the old module
+    constant hardcoded PLANES_PER_TABLE, silently probing only the
+    first 4 bit positions of a wider adaptive bucket id)."""
+    return [0] + [1 << j for j in range(planes_per_table)]
 
 
-def _s21_oracle() -> str:
+def _s21_oracle(planes_per_table: int = PLANES_PER_TABLE) -> str:
     """s02's probe replica with the q CTE expanded by the single-bit
     flip masks — candidate generation, exact scoring and ranking
     otherwise identical (the masks are the ONLY delta, so a hash
     match isolates the multi-probe expansion)."""
-    mask_rows = ", ".join(f"({m})" for m in MULTIPROBE_MASKS)
+    mask_rows = ", ".join(f"({m})" for m in multiprobe_masks(planes_per_table))
     return f"""
-    WITH {lsh_tagged_sql(N_TABLES, PLANES_PER_TABLE)},
+    WITH {lsh_tagged_sql(N_TABLES, planes_per_table)},
     masks(m) AS (VALUES {mask_rows}),
     q AS (
       SELECT vec_id AS query_id, tbl,
@@ -2722,9 +2803,13 @@ def _s21_oracle() -> str:
 """
 
 
+def _s21_oracle_for(sf_dir: str) -> str:
+    return _s21_oracle(_s02_planes_for_dir(sf_dir))
+
+
 @register(
     "s21_knn_lsh_multiprobe",
-    oracle=_s21_oracle(),
+    oracle_factory=_s21_oracle_for,
     tags=("similarity", "lsh", "ann", "multiprobe"),
 )
 def s21_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2744,9 +2829,12 @@ def s21_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests. The corpus side is untouched: same tagged index, same
     broadcast-probe equi-join, no new exchange (the probe expansion
     happens inside the broadcast-side explode). Oracle = s02's
-    replica with ONLY the mask expansion added."""
+    replica with ONLY the mask expansion added. k is density-adaptive
+    (shared with s02) and the flip-mask set widens with it — k+1
+    probes per table at every SF, not a fixed 5."""
     emb = table(spark, sf_dir, "embeddings")
-    bucket_ids = _lsh_bucket_udf()
+    k = s02_planes_for(emb.count())
+    bucket_ids = _lsh_bucket_udf(N_TABLES, k)
     indexed = scoped_persist(
         emb.select("vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs"))
     )
@@ -2755,7 +2843,7 @@ def s21_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q0 = _probe_set(tagged)
     flips = F.array(
-        *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in MULTIPROBE_MASKS]
+        *[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in multiprobe_masks(k)]
     )
     q = q0.select(
         "query_id", "qe", "qtbl", F.explode(flips).alias("qbucket")

@@ -662,16 +662,16 @@ def st13_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from fsharp_mapreduce_spark.functions.similarity import _S02_ORACLE  # noqa: E402
+from fsharp_mapreduce_spark.functions.similarity import _s02_oracle_for  # noqa: E402
 
 
 @register(
     "st14_stream_ann_probe",
     # the streamed probe answers the SAME queries as s02/s12, against
-    # the same index, with the same exact re-scoring — so the static
-    # SF-agnostic hyperplane-literal s02 oracle checks it
-    # value-for-value
-    oracle=_S02_ORACLE,
+    # the same index, with the same exact re-scoring — so s02's oracle
+    # FACTORY checks it value-for-value (hyperplane literals static,
+    # density-adaptive k replayed from the parquet footer per SF)
+    oracle_factory=_s02_oracle_for,
     tags=("streaming", "ann", "lsh", "index", "stream_static_join"),
 )
 def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -701,12 +701,17 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_candidates,
         _exact_topk,
         build_lsh_index,
+        s02_planes_for,
         tag_probe_buckets,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     index_table = "fsmr_lsh_index_st14_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    build_lsh_index(emb, index_table)
+    # density-adaptive k, derived ONCE at index-build time; the
+    # per-micro-batch probe tagging below must use the SAME k or the
+    # probe buckets silently stop matching the stored index tags
+    k = s02_planes_for(emb.count())
+    build_lsh_index(emb, index_table, planes_per_table=k)
     tagged = spark.table(index_table)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding")
@@ -717,7 +722,7 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = scratch_dir("fsmr_st14_")
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
-        q = tag_probe_buckets(batch_df)
+        q = tag_probe_buckets(batch_df, planes_per_table=k)
         _exact_topk(_bucket_candidates(tagged, q)).write.mode("append").parquet(
             sink_dir
         )

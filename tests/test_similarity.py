@@ -944,3 +944,64 @@ def test_s22_rebalance_moves_vectors_and_matches_fresh_build(spark):
     }
     reg = {tuple(r) for r in s22_ivf_index_rebalance(spark, SF_SMOKE).collect()}
     assert reg == fresh_probe
+
+
+def test_s02_probe_family_adaptive_k(spark):
+    """VERDICT r8 #2: the s02 probe family (s02/s12/s15/s21/st14)
+    follows the shared capacity rule — the fixture SFs stay at the
+    registered 4-bit floor (gate/bench tuning point unchanged), the
+    decade corpora widen k so expected occupancy stays ≈ the target
+    instead of every probe's candidate set becoming a constant
+    fraction of the corpus, the multiprobe mask set widens with k,
+    and measured occupancy on real bucket assignments stays within
+    2× target across 8× corpus growth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        MAX_DIM,
+        N_TABLES,
+        S02_MAX_PLANES,
+        S02_TARGET_BUCKET_ROWS,
+        _lsh_bucket_udf,
+        multiprobe_masks,
+        s02_planes_for,
+    )
+
+    # the rule's shape: floor at fixture scales, log growth, clamp
+    assert s02_planes_for(0) == 4
+    assert s02_planes_for(500) == 4       # sf0.001 / sf0.01 fixtures
+    assert s02_planes_for(2000) == 4      # sf0.1 bench fixture
+    assert s02_planes_for(10_000) == 7    # generated sf0.5
+    assert s02_planes_for(20_000) == 8    # generated sf1.0
+    assert s02_planes_for(40_000) == 9    # generated sf2.0
+    assert s02_planes_for(10**12) == S02_MAX_PLANES
+    # the clamp keeps every precomputed plane row in range
+    assert N_TABLES * S02_MAX_PLANES <= MAX_DIM
+
+    # multiprobe masks derive from the adaptive k (the old module
+    # constant hardcoded 4 bit positions regardless of bucket width)
+    assert multiprobe_masks(4) == [0, 1, 2, 4, 8]
+    assert multiprobe_masks(6) == [0, 1, 2, 4, 8, 16, 32]
+
+    # measured occupancy: mean rows/bucket within 2× target across 8×
+    # corpus growth (random normals ⇒ near-uniform sign buckets)
+    rng = np.random.RandomState(11)
+    for n in (1000, 8000):
+        k = s02_planes_for(n)
+        x = rng.normal(size=(n, 16))
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+        bucket_ids = _lsh_bucket_udf(N_TABLES, k)
+        occ = (
+            df.select(
+                F.posexplode(bucket_ids(F.col("embedding"))).alias("tbl", "bucket")
+            )
+            .groupBy("tbl", "bucket")
+            .count()
+            .agg(F.avg("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert occ <= 2 * S02_TARGET_BUCKET_ROWS, (n, k, occ)
