@@ -177,6 +177,12 @@ FAMILY_COVERAGE = {
     # a null filter on the join OUTPUT) rides st20's right_outer row —
     # same two-source watermarked state-store machinery per trigger
     "st21_stream_anti_join": "st20_stream_right_outer_join",
+    # r9 rotate-ins without their own HEADLINE rows: q61's CDC delta
+    # rides the q58 merge-upsert lifecycle row (same snapshot-compare
+    # machinery); s13's append-then-probe rides the s11 materialized-
+    # index probe row (same probe, one incremental write more)
+    "q61_snapshot_diff": "q58_merge_upsert_lifecycle",
+    "s13_ivf_index_append": "s11_knn_ivf_index_probe",
 }
 
 

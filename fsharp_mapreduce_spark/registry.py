@@ -180,6 +180,49 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
+    # ROTATION #6 (r9, VERDICT r8 "Next round" #3): rotate-ins are the
+    # judge's priority list of never-driver-checked queries — s22 + t45
+    # (the r8 additions), st18/st19 (the last streaming cells), t33
+    # (leakage-safe split), s13 (the one unchecked lifecycle stage),
+    # q61/q63/q65, m06 (codec single). Folding out to make room:
+    # multi-round-driver-green family members whose operator families
+    # keep exposed representatives.
+    # corpus-statistics family slot handoff: t45 (Heaps'-law audit,
+    # rotate-in) takes the slot; t19 (TF-IDF, driver-green r1-r8)
+    # folds to it with the whole chain re-pointed above
+    "t19_tfidf_top_terms": "t45_vocab_growth",
+    # cluster family handoff: t33 (leakage-safe split, rotate-in)
+    # takes the slot; t23 (star contraction, driver-green r3-r8)
+    # folds — t33 consumes exactly the cluster labels t23/t12 emit
+    "t23_dedup_clusters_star": "t33_leakage_safe_split",
+    # arbitrary-stateful family handoff: st18 (decayed activity,
+    # rotate-in) takes the slot; st04 (running max, driver-green
+    # r1-r8) folds — same applyInPandasWithState keyed contract
+    "st04_stream_stateful_running_max": "st18_stream_decayed_activity",
+    # banded-fingerprint candidate family: t22 (winnowing containment,
+    # gate-green r5-r8) keeps the slot; t11 (simhash banded pairs,
+    # driver-green r2-r8) folds — same band-bucket candidate join with
+    # in-band verification
+    "t11_simhash_neardup_pairs": "t22_winnow_containment_pairs",
+    # LSH-probe family: s02 (driver-green r1-r8, re-verified this
+    # round with the density-adaptive k) keeps the slot; s05 (range
+    # search, driver-green r1-r8) folds — the same broadcast-probe
+    # scoring pipeline with a threshold cut instead of top-k
+    "s05_range_search": "s02_knn_lsh",
+    # map-only per-doc text-scoring family: t20 (repetition rules)
+    # keeps the slot; t05 (language ID, driver-green r1-r8) folds —
+    # same single-scan expression-only per-document classification
+    "t05_language_id": "t20_repetition_filter",
+    # BPE family: t40 (train) keeps the slot; t41 (encode,
+    # driver-green r7-r8) folds — the encoder replays t40's merge
+    # table, so the train row transitively covers it
+    "t41_bpe_encode": "t40_bpe_merges",
+    # Arrow-decode family: the m10 capstone keeps the slot; m05
+    # (visual kNN, driver-green r1-r8) and m13 (transcode,
+    # driver-green r7-r8) fold — m06 (rotate-in) plus m10/m11/m12
+    # keep four decode rows exposed
+    "m05_visual_knn": "m10_codec_dispatch",
+    "m13_transcode_to_png": "m10_codec_dispatch",
     # ROTATION #5 (r8, VERDICT r7 "Next round" #1): the 10 rotate-ins
     # are the judge's never-driver-checked priority list — st20/st21
     # (join-matrix cells), t44, q69/q70, s20, q62, m11/m12, t42.
@@ -215,7 +258,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "t06_quality_score": "t20_repetition_filter",
     # token-statistics family: t19's tf staging is the per-(doc,token)
     # count table; t07 is the per-language roll-up of the same counts
-    "t07_token_count": "t19_tfidf_top_terms",
+    "t07_token_count": "t45_vocab_growth",
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
     "t08_fingerprint": "t22_winnow_containment_pairs",
@@ -226,7 +269,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # cluster-split family: t23 (star contraction) / t12 hold the
     # clustering slots; t33 consumes the same cluster labels for the
     # leakage-safe split audit (round-5 addition, pytest-only)
-    "t33_leakage_safe_split": "t23_dedup_clusters_star",
     # MinHash-band family (r6 rotation): t30 (batch-vs-corpus
     # incremental-ingestion dedup — the production-ingest variant of
     # the banding + exact-verify pipeline) takes the slot; t03
@@ -234,7 +276,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "t03_minhash_lsh_pairs": "t30_incremental_dedup",
     # clustering family: t23 (star contraction) holds the slot; t12 is
     # the min-label sibling on the same edge set (driver-green r2–r3)
-    "t12_dedup_clusters": "t23_dedup_clusters_star",
+    "t12_dedup_clusters": "t33_leakage_safe_split",
     # deterministic-hash sampling family (r8 rotation): t29
     # (sequence packing — exactly-k per-lane hash ranks) becomes the
     # family slot-holder; t27 (mixture rebalance, driver-green
@@ -265,18 +307,18 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # corpus-statistics family: t19 (TF-IDF) holds the slot; t17 is
     # the bigram-PMI sibling (driver-green r1–r3), same
     # explode→hash-agg→broadcast-join shape
-    "t17_bigram_pmi": "t19_tfidf_top_terms",
+    "t17_bigram_pmi": "t45_vocab_growth",
     # ...and t31 (count-min heavy hitters) is the sketch member of the
     # same token-statistics family (round-5 addition, pytest-only)
-    "t31_count_min_heavy_hitters": "t19_tfidf_top_terms",
+    "t31_count_min_heavy_hitters": "t45_vocab_growth",
     # keyword-extraction family: t19 (TF-IDF) holds the slot; t35 is
     # the graph-centrality sibling — TextRank over the co-occurrence
     # graph, join-based PageRank matvec (round-5 addition, pytest-only)
-    "t35_textrank_keywords": "t19_tfidf_top_terms",
+    "t35_textrank_keywords": "t45_vocab_growth",
     # ...and t36 (distribution-drift audit: PSI/KL over the same
     # vocabulary-grain count tables) is the batch-vs-corpus member of
     # the token-statistics family (round-5 addition, pytest-only)
-    "t36_distribution_drift": "t19_tfidf_top_terms",
+    "t36_distribution_drift": "t45_vocab_growth",
     # n-gram membership family: t37 (novelty rate — t25's
     # broadcast-gram-hash probe inverted) folds to t34, the r6
     # slot-holder for the gram-blocked candidate family
@@ -288,8 +330,8 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # broadcast-join pipeline, driver-green r3–r6) and t24 (BM25
     # ranking — the same tf/df staging as t19 with the probe-scoring
     # join on top, driver-green r3–r6)
-    "t21_bigram_lm_score": "t19_tfidf_top_terms",
-    "t24_bm25_ranking": "t19_tfidf_top_terms",
+    "t21_bigram_lm_score": "t45_vocab_growth",
+    "t24_bm25_ranking": "t45_vocab_growth",
     # (t42, the pairwise source-overlap Jaccard matrix, rotated INTO
     # the gate window in r8 — VERDICT r7 "Next round" #1.)
     # ...and t45 (Heaps'-law vocabulary-growth audit: cumulative
@@ -297,7 +339,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # boundaries — t37's novelty generalized to the whole-corpus
     # trajectory; round-8 addition, pytest-only per the cadence) rides
     # the corpus-statistics family slot
-    "t45_vocab_growth": "t19_tfidf_top_terms",
     # quantized-ANN family (r8 rotation): s19 (IVF-PQ — both
     # quantizers composed) becomes the family capstone; s14 (product
     # quantization, driver-green r6–r7), s08 (int8 two-stage,
@@ -343,7 +384,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # drifted index, hash-pinned REBALANCE ≡ REBUILD via s04's oracle;
     # round-8 addition, pytest-only per the cadence) completes the
     # lifecycle matrix build/append/delete/rebalance
-    "s22_ivf_index_rebalance": "s19_knn_ivf_pq",
     # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
     # over s02's index — recall without more tables; round-6
     # addition, pytest-only per the cadence) folds to the LSH family
@@ -351,7 +391,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
-    "s13_ivf_index_append": "s19_knn_ivf_pq",
     # retrieval-scoring family: s09 (MaxSim late interaction) holds
     # the slot; s16 fuses the t24 sparse and s01-style dense rankings
     # with reciprocal rank fusion (round-5 addition, pytest-only)
@@ -383,7 +422,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # st09 (RocksDB state-store provider — st04's query with the
     # provider conf flipped, driver-green r3–r6) rides the
     # arbitrary-stateful slot-holder...
-    "st09_stateful_rocksdb": "st04_stream_stateful_running_max",
+    "st09_stateful_rocksdb": "st18_stream_decayed_activity",
     # ...and st10 (TTL watermark dedup, driver-green r3–r6) folds to
     # the streaming-dedup family's r6 slot-holder st15 (LEFT ANTI
     # ingestion dedup — same drop-duplicates-by-key contract, static
@@ -392,7 +431,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # ...and st19 (LEFT SEMI — the membership cell: converted clicks
     # emit once, eagerly, with no fan-out; round-6 addition,
     # pytest-only per the cadence) completes the join matrix
-    "st19_stream_semi_join": "st17_stream_full_outer_join",
     # streaming-quality family (r6 rotation): st16 (streamed PSI/KL
     # drift audit — per-micro-batch count partials, oracle literally
     # t36's SQL) takes the slot; st12 (quality-filtered stream,
@@ -403,7 +441,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # same keyed pandas state contract, with re-anchoring algebra
     # instead of running totals (round-6 addition, pytest-only per
     # the cadence)
-    "st18_stream_decayed_activity": "st04_stream_stateful_running_max",
     # stream-static join family (r6 rotation): st15 (LEFT ANTI
     # ingestion dedup against a static corpus — broadcast anti join
     # re-planned per trigger, no state store) takes the slot; st07
@@ -421,7 +458,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m03_frame_sample": "m10_codec_dispatch",
     # m06 BMP (driver-green r5), m07 WAV, m08 AVI, m09 PNG — each a
     # single-codec member whose decode path m10 exercises end-to-end
-    "m06_bmp_decode_stats": "m10_codec_dispatch",
     "m07_wav_decode_stats": "m10_codec_dispatch",
     "m08_avi_decode_stats": "m10_codec_dispatch",
     "m09_png_decode_stats": "m10_codec_dispatch",
@@ -448,7 +484,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # queries): t11 (the banded pair join, driver-green r2–r5) keeps
     # the slot; t04, which emits the signatures t11 pairs on
     # (driver-green r1–r5), folds
-    "t04_simhash": "t11_simhash_neardup_pairs",
+    "t04_simhash": "t22_winnow_containment_pairs",
     # embedding-neardup family (r6, same reason): t10 — the
     # hyperplane-LSH scale path — keeps the slot; t09, its exact
     # blocked-GEMM verifier twin (driver-green r1–r5), folds
@@ -551,9 +587,8 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # cohort retention matrix (round-5 addition, q-family fold;
         # q01 keeps the aggregation-family slot)
         "q57_cohort_retention",
-        # snapshot diff / CDC delta (round-6 addition, q-family fold;
-        # q58's merge lifecycle keeps the CDC-family slot)
-        "q61_snapshot_diff",
+        # (q61, the snapshot-diff/CDC delta, rotated INTO the gate
+        # window in r9 — VERDICT r8 "Next round" #3.)
         # (q62, the sole-late-supplier TPC-H Q21 shape — non-vacuous
         # at every generated SF since the r7 fixture fix — rotated
         # INTO the gate window in r8, VERDICT r7 "Next round" #1.)
@@ -569,19 +604,17 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         # r6–r7; q58 merge-upsert keeps the lifecycle slot):
         "q59_zorder_lifecycle",
         "q60_schema_evolution_read",
-        # running distinct cardinality (round-6 addition, q-family
-        # fold; q13-q16/q31 keep the window-family slots). The
-        # window-DISTINCT aggregate Spark lacks, via the
-        # first-occurrence rewrite — oracle keeps the native form.
-        "q63_running_distinct",
+        # (q63, the running-distinct window rewrite, rotated INTO the
+        # gate window in r9; it takes over the window-family slot from
+        # q31, which folds below.)
+        # scalable global ranks (driver-green r2-r8): q63's
+        # first-occurrence running-distinct rewrite exercises the same
+        # window machinery and holds the family slot from r9
+        "q31_global_ranks_scalable",
         # q64 (incremental JOIN-view maintenance) rotated INTO the
         # gate window in r7 (VERDICT r6 #1).
-        # value concentration / TPC-H Q11 shape (round-6 addition,
-        # q-family fold; q01 keeps the aggregation-family slot). A
-        # grouped aggregate filtered by a broadcast global scalar of
-        # itself; mean-relative threshold for scale-invariant
-        # selectivity.
-        "q65_value_concentration",
+        # (q65, the value-concentration TPC-H Q11 shape, rotated INTO
+        # the gate window in r9 — VERDICT r8 "Next round" #3.)
         # q66 (GROUPED_AGG pandas UDAF), q67 (bag set ops — the
         # set-op family's new gate representative, ADVICE r6 #3) and
         # q68 (interval-overlap join) rotated INTO the gate window in
