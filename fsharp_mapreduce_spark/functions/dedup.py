@@ -229,7 +229,20 @@ def t26_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expansion at the pair-expansion bound the engine already obeys.
 # MATERIALIZED pins shared CTEs: DuckDB inlines plain CTEs per
 # consumer.
-_NGRAM_ORACLE = f"""
+def _t02_oracle(slice_mod: int | None = None, residue: int = 0) -> str:
+    """t02's oracle SQL, optionally restricted to a doc_a residue
+    slice (the t22 sampled-slice protocol, VERDICT r8 #4): with
+    ``slice_mod`` the ks self-join keeps only doc_a % mod = residue
+    LEFT endpoints while every upstream stage (postings, hot set,
+    sizes) still covers the FULL corpus — so a hash match against the
+    engine's full run filtered to the same slice is exact value
+    evidence under the full-scale candidate structure. The slice also
+    divides the join mass Σdf² by ~mod, which is what makes the
+    sf2.0 replay (~982M pair rows unsliced) tractable."""
+    ks_slice = (
+        f"AND a.doc_id % {slice_mod} = {residue}" if slice_mod else ""
+    )
+    return f"""
     WITH w AS MATERIALIZED (
       SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
     ),
@@ -251,6 +264,7 @@ _NGRAM_ORACLE = f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS kept_shared
       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+           {ks_slice}
       GROUP BY 1, 2
     ),
     he AS MATERIALIZED (SELECT e.doc_id, e.s FROM e SEMI JOIN hot USING (s)),
@@ -274,6 +288,9 @@ _NGRAM_ORACLE = f"""
     JOIN sz zb ON doc_b = zb.doc_id
     WHERE shared * 1.0 / (za.n + zb.n - shared) >= {JACCARD_THRESHOLD}
 """
+
+
+_NGRAM_ORACLE = _t02_oracle()
 
 
 def shingle_candidate_pairs(hsets: DataFrame, cap: int) -> DataFrame:

@@ -80,3 +80,70 @@ def test_ivf_index_suffix_paths_are_exit_registered(spark):
     p = _ivf_index_dir(spark, SF_SMOKE, "_hygiene_probe")
     assert p.endswith("_hygiene_probe")
     assert p in scratch._EXIT_PATHS
+
+
+def test_s22_generation_dirs_safe_on_repeated_invocation(spark):
+    """VERDICT r8 #7: s22's g1/g2 generation dirs are stable
+    exit-registered paths (keyed by fixture + applicationId), so a
+    SECOND in-process invocation overwrites still-registered paths —
+    the overwrite must be safe: identical results both times (the
+    stale g1 index must not accumulate a second append batch), and
+    nothing new outside the cleanup set."""
+    from fsharp_mapreduce_spark import scratch
+    from fsharp_mapreduce_spark.registry import (
+        QUERIES,
+        load_all_query_modules,
+        release_scoped_caches,
+    )
+
+    load_all_query_modules()
+    before = _fsmr_entries()
+    fn = QUERIES["s22_ivf_index_rebalance"].fn
+
+    def run():
+        rows = sorted(tuple(r) for r in fn(spark, SF_SMOKE).collect())
+        release_scoped_caches()
+        return rows
+
+    first, second = run(), run()
+    assert first == second, "repeat s22 invocation diverged — stale "\
+        "generation state leaked into the rebuild"
+
+    new = _fsmr_entries() - before
+    allowed = set()
+    if scratch._SCRATCH_ROOT:
+        allowed.add(os.path.basename(scratch._SCRATCH_ROOT))
+    allowed |= {os.path.basename(p) for p in scratch._EXIT_PATHS}
+    stray = {
+        e
+        for e in new
+        if e not in allowed and not e.startswith(_PERSISTENT_OK_PREFIXES)
+    }
+    assert not stray, f"s22 re-invocation left stray /tmp entries: {sorted(stray)}"
+
+
+def test_bench_child_jvm_leaves_tmp_clean(tmp_path, monkeypatch):
+    """VERDICT r8 #7 (bench path): a bench --queries child is its OWN
+    process with its OWN scratch root + atexit hook — after it exits,
+    nothing of its scratch footprint may survive. The child runs with
+    a PRIVATE TMPDIR so the check is immune to concurrent fsmr
+    processes on the box (a shared-/tmp snapshot diff races against
+    any parallel probe/bench run)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    private_tmp = tmp_path / "child_tmp"
+    private_tmp.mkdir()
+    monkeypatch.setenv("TMPDIR", str(private_tmp))
+    # q02 is the cheapest scratch-free headline query; the child still
+    # initializes the full session + scratch machinery
+    out = bench._run_child(["--queries", "q02_filter_project"], 1)
+    assert bench._last_json_obj(out)["queries"]
+    leftovers = [
+        e
+        for e in os.listdir(private_tmp)
+        if e.startswith("fsmr") and not e.startswith(_PERSISTENT_OK_PREFIXES)
+    ]
+    assert not leftovers, f"bench child JVM left tmp entries: {leftovers}"
