@@ -450,7 +450,7 @@ def summary_obj(result: dict) -> dict:
 
 
 def measure_dice_anchor(
-    runs: int, _measure_once=None
+    runs: int, _measure_once=None, _snapshot=None
 ) -> tuple[float, list[dict]]:
     """Self-adjudicating anchor (VERDICT r6 #2): the committed
     quiet-box band replaces the post-hoc judge/builder A/B. An
@@ -463,12 +463,37 @@ def measure_dice_anchor(
         _measure_once = lambda: _last_json_obj(  # noqa: E731
             _run_child(["--dice-only"], runs)
         )["dice_mr_compat_5m"]
+    if _snapshot is None:
+        _snapshot = _contention_snapshot
     attempts: list[dict] = []
     for _ in range(DICE_ANCHOR_MAX_ATTEMPTS):
-        snap = _contention_snapshot()
+        snap = _snapshot()
         val = _measure_once()
-        attempts.append({"value": val, **snap})
+        post = _snapshot()
+        attempts.append(
+            {"value": val, **snap, "post_floor_ms": post["floor_ms"]}
+        )
         if DICE_ANCHOR_BAND[0] <= val <= DICE_ANCHOR_BAND[1]:
+            break
+        if (
+            snap["floor_ms"] < FLOOR_PROBE_QUIET_MS
+            and post["floor_ms"] < FLOOR_PROBE_QUIET_MS
+        ):
+            # Out of band but the floor probe was quiet before AND
+            # after the run: the reading is this box's honest speed
+            # (the band is committed from other hosts — the r9 box
+            # read 2.75s at load1=0.21/floor=72ms), not contention.
+            # Re-running cannot improve it and only leaves our own
+            # JVM's load1 for the next group's snapshot.
+            attempts[-1]["out_of_band_quiet"] = True
+            print(
+                f"# dice anchor {val}s outside committed band "
+                f"{DICE_ANCHOR_BAND} but floor-quiet "
+                f"(pre={snap['floor_ms']}ms, post={post['floor_ms']}ms)"
+                " — accepting as host speed",
+                file=sys.stderr,
+                flush=True,
+            )
             break
         print(
             f"# dice anchor {val}s outside committed band "
@@ -512,14 +537,21 @@ def measure_group(
     downstream comparisons can exclude it without re-deriving the
     verdict from floor_ms.
 
-    The POST-group criterion is the floor probe ONLY (VERDICT r8 #2):
-    load1 is a 1-minute average that still carries the group's OWN
-    just-exited local[32] JVM, so gating on it self-triggers re-runs of
-    every long group — exactly what timed out the round-8 driver run
-    (rc=124: post floor 70 ms quiet, post load1 > 8 from the bench
-    itself). The instantaneous floor probe has no history to
-    contaminate. load1 still gates the PRE snapshot, where it is
-    genuinely external.
+    BOTH the PRE and POST criteria are the floor probe ONLY (VERDICT
+    r8 #2, completed r9): load1 is a 1-minute average that still
+    carries a just-exited local[32] JVM, so gating on it self-triggers
+    re-runs. r8 dropped it from POST (the group's own JVM — the rc=124
+    kill loop), but the r9 full run showed the SAME disease one slot
+    later: the PRE snapshot of every group after the first carries the
+    PREVIOUS group's (or the dice anchor's) just-exited JVM (observed:
+    "group q pre load1=16.75, pre floor=78.5ms" right after the anchor,
+    on an otherwise idle box), so every group re-ran and the whole
+    table was flagged contended. The instantaneous floor probe has no
+    history to contaminate and is the only signal that measures what
+    actually matters — scheduler pressure AT measurement time. load1
+    still gates the STARTUP wait (`_wait_for_quiet_box`), which runs
+    before any of the bench's own JVMs and is genuinely external; in
+    the per-group snapshots it is recorded as evidence, not adjudicated.
 
     ``_deadline_passed`` (test seam; wired to the global wall-clock
     budget in main) suppresses re-run attempts once the budget is
@@ -552,7 +584,7 @@ def measure_group(
             }
         )
         quiet = (
-            _snapshot_quiet(pre)
+            pre["floor_ms"] < FLOOR_PROBE_QUIET_MS
             and post["floor_ms"] < FLOOR_PROBE_QUIET_MS
         )
         if quiet:

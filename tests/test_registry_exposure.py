@@ -156,10 +156,14 @@ def test_dice_anchor_self_adjudication():
     import bench
 
     lo, hi = bench.DICE_ANCHOR_BAND
+    busy = {"load1": 14.5, "load5": 12.0, "floor_ms": 9999.9}
+    busy_snap = lambda: dict(busy)  # noqa: E731
 
     # in-band first reading: one attempt, value passed through
     readings = iter([lo + 0.1])
-    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    val, attempts = bench.measure_dice_anchor(
+        3, _measure_once=lambda: next(readings), _snapshot=busy_snap
+    )
     assert val == lo + 0.1
     assert len(attempts) == 1
     assert {"value", "load1", "load5", "floor_ms"} <= set(attempts[0])
@@ -167,7 +171,9 @@ def test_dice_anchor_self_adjudication():
     # contention-inflated first reading, quiet re-run: stops at the
     # first in-band attempt, records both, returns the min
     readings = iter([hi * 2, lo + 0.2, lo + 0.5])
-    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    val, attempts = bench.measure_dice_anchor(
+        3, _measure_once=lambda: next(readings), _snapshot=busy_snap
+    )
     assert val == lo + 0.2
     assert len(attempts) == 2
 
@@ -175,9 +181,44 @@ def test_dice_anchor_self_adjudication():
     # records the minimum inflated reading (the explicit-adjudication
     # path — main() adds dice_anchor_adjudication to the payload)
     readings = iter([hi * 3, hi * 2.5, hi * 2.1, hi * 9])
-    val, attempts = bench.measure_dice_anchor(3, _measure_once=lambda: next(readings))
+    val, attempts = bench.measure_dice_anchor(
+        3, _measure_once=lambda: next(readings), _snapshot=busy_snap
+    )
     assert len(attempts) == bench.DICE_ANCHOR_MAX_ATTEMPTS
     assert val == hi * 2.1
+
+
+def test_dice_anchor_accepts_out_of_band_on_quiet_floor():
+    """r9: an out-of-band reading with floor-quiet pre AND post probes
+    is this HOST's honest speed (the band is committed from other
+    hosts), not contention — accepted on the first attempt, flagged
+    ``out_of_band_quiet``, so re-runs don't burn budget or leave our
+    own JVM's load1 for the next group's snapshot. A busy floor on
+    either side still re-runs."""
+    import bench
+
+    lo, hi = bench.DICE_ANCHOR_BAND
+    quiet = {"load1": 0.2, "load5": 0.3, "floor_ms": 72.0}
+    readings = iter([hi + 0.7, hi + 0.5, hi + 0.6])
+    val, attempts = bench.measure_dice_anchor(
+        3, _measure_once=lambda: next(readings), _snapshot=lambda: dict(quiet)
+    )
+    assert val == hi + 0.7
+    assert len(attempts) == 1
+    assert attempts[0]["out_of_band_quiet"] is True
+
+    # quiet pre but busy post floor (contention arrived mid-run):
+    # NOT accepted — re-runs and takes the min
+    snaps = iter(
+        [quiet, {"load1": 9.0, "load5": 4.0, "floor_ms": 9999.9}, quiet, quiet]
+    )
+    readings = iter([hi + 2.0, hi + 0.4])
+    val, attempts = bench.measure_dice_anchor(
+        3, _measure_once=lambda: next(readings), _snapshot=lambda: dict(next(snaps))
+    )
+    assert val == hi + 0.4
+    assert len(attempts) == 2
+    assert "out_of_band_quiet" not in attempts[0]
 
 
 def test_group_self_adjudication():
@@ -257,8 +298,7 @@ def test_group_post_criterion_is_floor_only():
     carries the group's OWN just-exited local[32] JVM, so a load1 gate
     there self-triggers re-runs of every long group. The POST
     criterion is floor-only: quiet pre + (floor-quiet, load-high) post
-    must be accepted WITHOUT a re-run. Pre keeps the load1 gate (there
-    the load is genuinely external)."""
+    must be accepted WITHOUT a re-run."""
     import bench
 
     quiet = {"load1": 1.0, "load5": 1.0, "floor_ms": 80.0}
@@ -288,6 +328,48 @@ def test_group_post_criterion_is_floor_only():
         _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
     )
     assert t == {"a": 1.1}
+    assert len(meta["attempts"]) == 2
+
+
+def test_group_pre_criterion_is_floor_only():
+    """VERDICT r8 #2 completed (r9): the PRE snapshot of every group
+    after the first carries the PREVIOUS group's (or the dice
+    anchor's) just-exited local[32] JVM in load1 — the r9 full run
+    showed 'group q pre load1=16.75, pre floor=78.5ms' right after the
+    anchor on an otherwise idle box, so every group re-ran and the
+    whole table was flagged contended (the r8 kill loop, one slot
+    later). A (floor-quiet, load-high) PRE must be accepted without a
+    re-run; load1 stays in the snapshot as recorded evidence."""
+    import bench
+
+    # the exact r9 observation: floor well inside the band, load1 from
+    # the anchor JVM that exited moments earlier
+    inherited_load = {"load1": 16.75, "load5": 8.0, "floor_ms": 78.5}
+    quiet = {"load1": 1.0, "load5": 1.0, "floor_ms": 80.0}
+    snaps = iter([inherited_load, quiet])
+    runs = iter([{"queries": {"a": 1.0}, "spread": {}}])
+    t, _, meta = bench.measure_group(
+        "q", ["a"], 1,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"a": 1.0}
+    assert meta["contended"] is False
+    assert len(meta["attempts"]) == 1
+    assert meta["attempts"][0]["load1"] == 16.75  # evidence recorded
+
+    # a genuinely-pressured PRE floor still re-runs
+    busy_floor = {"load1": 2.0, "load5": 2.0, "floor_ms": 300.0}
+    snaps = iter([busy_floor, quiet, quiet, quiet])
+    runs = iter(
+        [{"queries": {"a": 5.0}, "spread": {}},
+         {"queries": {"a": 1.1}, "spread": {}}]
+    )
+    t, _, meta = bench.measure_group(
+        "q", ["a"], 1,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"a": 1.1}
+    assert meta["contended"] is False
     assert len(meta["attempts"]) == 2
 
 
