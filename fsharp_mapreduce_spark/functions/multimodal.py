@@ -2076,3 +2076,239 @@ def m13_transcode_to_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-filter). Map-only ≤1 exchange."""
     media = documents_as_real_media(spark, sf_dir)
     return transcode_images_to_png(media)
+
+
+# --- m14: perceptual-hash near-duplicate detection over REAL image
+# bytes — the multimodal member of the dedup family (t03's band-bucket
+# LSH shape applied to a dHash computed from DECODED pixels) ---
+M14_SIDE = 16          # bag-of-bigrams image side (16x16 = 256 cells)
+M14_GRID = 8           # dHash grid after 2x2 block-SUM downsample
+M14_BANDS = 4          # 64 hash bits → 4 bands of 16 bits
+M14_HAM_MAX = 4        # near-dup hamming threshold (measured: the
+# fixture's planted near-dups all land ≤4 with bigram-Jaccard ≥0.9,
+# and the next background pair sits at hamming 9 — a clean gap)
+M14_MIN_TOKENS = 5     # docs below this many BIGRAMS are too sparse
+
+M14_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [
+        T.StructField(f"b{i}", T.IntegerType(), False)
+        for i in range(M14_BANDS)
+    ]
+)
+
+
+def dhash_bands(cells_df: DataFrame) -> DataFrame:
+    """(doc_id, cells:[(cell, cnt)]) → (doc_id, b0..b3): build the
+    16x16 bag-of-bigrams image, round-trip it through the REAL BMP
+    codec (encode_bmp_gray → decode_bmp — header walk, palette map,
+    bottom-up rows), 2x2 block-SUM to 8x8 (SUM, not mean: cell counts
+    are sparse small integers, and a floor-div-4 mean collapses most
+    blocks to 0, erasing the gradient signal — measured on the
+    fixture), then the row-wraparound dHash: bit k(=8r+c) is
+    g[r][c] > g[r][(c+1)%8], packed into four 16-bit bands. Computing
+    the hash on the DECODED array makes the oracle a codec check too
+    (the m06 property). mapInPandas, zero exchanges."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(cells_df.sparkSession)
+    side, grid, n_bands = M14_SIDE, M14_GRID, M14_BANDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[] for _ in range(n_bands)]
+            for did, cells in zip(pdf["doc_id"], pdf["cells"]):
+                img = np.zeros(side * side, dtype=np.uint8)
+                for entry in cells:
+                    img[entry["cell"]] = min(int(entry["cnt"]), 255)
+                dec = decode_bmp(encode_bmp_gray(img.reshape(side, side)))
+                g = dec.astype(np.int64).reshape(grid, 2, grid, 2).sum(axis=(1, 3))
+                bits = (g > np.roll(g, -1, axis=1)).flatten()  # k = 8r+c
+                ids.append(did)
+                for b in range(n_bands):
+                    val = 0
+                    for k in range(b * 16, (b + 1) * 16):
+                        if bits[k]:
+                            val |= 1 << (k % 16)
+                    bands[b].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    **{
+                        f"b{b}": pd.array(bands[b], dtype="int32")
+                        for b in range(n_bands)
+                    },
+                }
+            )
+
+    return cells_df.mapInPandas(run, M14_SCHEMA)
+
+
+def _m14_oracle() -> str:
+    """Analytic replica: reconstruct the bag-of-bigrams pixels from
+    the bigram→cell counts (cell = first md5 byte), replay the 2x2
+    integer block-SUM, the wraparound dHash bit algebra, the 16-bit
+    band packing, the band-bucket candidate join, and the hamming cut
+    — all in integer arithmetic, so any codec/downsample/packing
+    defect on the Spark side breaks the value hash."""
+    side, grid = M14_SIDE, M14_GRID
+    hexpos = "(strpos('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
+    cell = f"({hexpos.format(p=1)} * 16 + {hexpos.format(p=2)})"
+    band_cols = ", ".join(
+        f"MAX(CASE WHEN band_idx = {b} THEN band_val END) AS b{b}"
+        for b in range(M14_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.b{b}, sb.b{b}))" for b in range(M14_BANDS)
+    )
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 2 THEN
+               [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts) - 1)]
+             ELSE [] END) AS tk
+      FROM tok0
+    ),
+    docs_ok AS (
+      SELECT doc_id FROM tok GROUP BY doc_id
+      HAVING COUNT(*) >= {M14_MIN_TOKENS}
+    ),
+    cells AS (
+      SELECT doc_id, {cell} AS cell, COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2
+    ),
+    grid_cells AS (
+      SELECT d.doc_id, g.cell
+      FROM docs_ok d CROSS JOIN
+           (SELECT unnest(generate_series(0, {side * side - 1})) AS cell) g
+    ),
+    px AS (
+      SELECT gc.doc_id, gc.cell,
+             LEAST(COALESCE(c.cnt, 0), 255) AS p
+      FROM grid_cells gc
+      LEFT JOIN cells c ON c.doc_id = gc.doc_id AND c.cell = gc.cell
+    ),
+    ds AS (
+      SELECT doc_id,
+             ((cell // {side}) // 2) * {grid} + (cell % {side}) // 2 AS g_idx,
+             SUM(p) AS g
+      FROM px GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.doc_id, a.g_idx AS k,
+             CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+      FROM ds a JOIN ds b
+        ON b.doc_id = a.doc_id
+       AND b.g_idx = (a.g_idx // {grid}) * {grid}
+                     + ((a.g_idx % {grid}) + 1) % {grid}
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (k % 16))) AS INTEGER) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON y.band_idx = x.band_idx AND y.band_val = x.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE {ham} <= {M14_HAM_MAX}
+"""
+
+
+@register(
+    "m14_image_dhash_neardup",
+    oracle=_m14_oracle(),
+    tags=("multimodal", "dedup", "phash", "lsh"),
+)
+def m14_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection — the multimodal member
+    of the dedup family (reference has no image ops; this is the
+    100 TB-pipeline extension the brief asks for: near-dup IMAGE
+    removal with the same banded-LSH scale shape as t03's MinHash).
+
+    Pipeline: each document becomes a 16x16 bag-of-BIGRAMS image
+    (cell = first md5 byte of the adjacent-token bigram, intensity =
+    clipped count — a locality-preserving rasterization: near-dup
+    texts differ in few cells, so their images are close in hamming
+    space, unlike a digest tiling whose avalanche would destroy
+    similarity). Bigrams, not unigrams, on purpose: over a small
+    Zipfian vocabulary every document's unigram image converges to
+    the SAME global-frequency picture and the hash stops
+    discriminating (measured on the fixture: 44k candidate pairs from
+    500 docs with unigram cells vs 25 — all planted near-dups,
+    bigram-Jaccard ≥0.9 — with bigram cells). The image round-trips
+    through the REAL BMP codec, the dHash is computed on the DECODED
+    pixels (2x2 block-SUM to 8x8, row-wraparound gradient bits), and
+    the 64-bit hash splits into 4 x 16-bit bands. Near-dup candidates
+    share a band value (exact-hamming verified, ≤ {4}); the band join
+    is the standard banded-LSH candidate shape — bucket-bounded,
+    never all-pairs.
+
+    Scale shape: token→cell counting is a partial-agg groupBy; the
+    image build + codec round-trip + dHash is one Arrow batch pass
+    (mapInPandas, zero exchanges); the candidate join shuffles on
+    (band_idx, band_val) whose occupancy is n/2^16 per band — at 10^9
+    images ~15k rows per bucket, and genuinely-identical hash blocks
+    (exact dupes) are output-bound, the same argument as t03. A
+    per-bucket cap is the documented skew valve if a degenerate corpus
+    (all-identical images) concentrates one bucket."""
+    from fsharp_mapreduce_spark.functions.text import bigram_strings_col
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ws"),
+    ).select("doc_id", F.explode(bigram_strings_col("ws")).alias("tk"))
+    counts = tok.groupBy(
+        "doc_id",
+        F.conv(F.substring(F.md5("tk"), 1, 2), 16, 10).cast("int").alias("cell"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("cell", "cnt")).alias("cells"),
+            F.sum("cnt").alias("n_tok"),
+        )
+        .where(F.col("n_tok") >= M14_MIN_TOKENS)
+        .select("doc_id", "cells")
+    )
+    sig = dhash_bands(per_doc)
+    buckets = sig.select(
+        "doc_id",
+        *[f"b{i}" for i in range(M14_BANDS)],
+        F.posexplode(F.array(*[f"b{i}" for i in range(M14_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                F.expr(f"bit_count(a.b{i} ^ b.b{i})") for i in range(M14_BANDS)
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= M14_HAM_MAX).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -53,9 +53,9 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "s01_knn_bruteforce",
-    oracle=f"""
+# s01's replica, shared with s23's recall audit (which reuses it as a
+# CTE against the LSH probe replica)
+_S01_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -72,7 +72,12 @@ def _cosine_sql(a: str, b: str) -> str:
     )
     SELECT query_id, neighbor_id, rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rank <= {TOP_K}
-    """,
+"""
+
+
+@register(
+    "s01_knn_bruteforce",
+    oracle=_S01_ORACLE,
     tags=("similarity", "knn"),
 )
 def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2849,3 +2854,71 @@ def s21_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "qe", "qtbl", F.explode(flips).alias("qbucket")
     )
     return _exact_topk(_bucket_candidates(tagged, q))
+
+
+def _s23_oracle_for(sf_dir: str) -> str:
+    """Recall audit replica: the exact replica (s01) and the adaptive-k
+    LSH probe replica (s02) as CTEs, hit-counted per query. Both
+    sub-replicas are the SAME strings the s01/s02 oracles run, so the
+    audit cannot drift from the queries it audits."""
+    approx = _lsh_probe_oracle(planes_per_table=_s02_planes_for_dir(sf_dir))
+    return f"""
+    WITH ex AS ({_S01_ORACLE}),
+    ap AS ({approx}),
+    base AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex GROUP BY query_id
+    ),
+    hits AS (
+      SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ex JOIN ap
+        ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+      GROUP BY ex.query_id
+    )
+    SELECT b.query_id, b.n_exact,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / b.n_exact, 6) AS recall
+    FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
+@register(
+    "s23_recall_audit",
+    oracle_factory=_s23_oracle_for,
+    tags=("similarity", "recall", "audit"),
+)
+def s23_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit: recall@{TOP_K} of the adaptive-k LSH probe
+    (s02) against the exact baseline (s01), per query — the number a
+    production ANN deployment watches before swapping an index
+    generation live (the acceptance check for s22's REBALANCE ≡
+    REBUILD invariant, measured on the probe path instead of pinned on
+    the build path). Composes the two REGISTERED pipelines unchanged
+    and joins their top-k sets on (query_id, neighbor_id), so the
+    audit measures exactly what users run, not a private replica.
+
+    Scale shape: both sides end in per-query top-k (≤ k rows per query
+    survive), so the audit join is over |queries|·k rows — trivially
+    broadcast, zero corpus-keyed exchanges beyond what s01/s02 already
+    do. At 100 TB you'd sample the probe set; the per-query recall
+    algebra is unchanged."""
+    exact = s01_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = s02_knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -180,6 +180,15 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
+    # ROUND-9 ADDITIONS (registered this round, locally oracle-verified
+    # every pytest run; rotation candidates for r10):
+    # m14 is the multimodal member of the dedup family — dHash over
+    # DECODED pixels with t03's banded-LSH candidate shape; the m10
+    # capstone keeps the decode-family gate slot
+    "m14_image_dhash_neardup": "m10_codec_dispatch",
+    # s23 audits the s02 probe (recall@k vs the s01 exact baseline);
+    # s02 holds the probe-family gate slot
+    "s23_recall_audit": "s02_knn_lsh",
     # ROTATION #6 (r9, VERDICT r8 "Next round" #3): rotate-ins are the
     # judge's priority list of never-driver-checked queries — s22 + t45
     # (the r8 additions), st18/st19 (the last streaming cells), t33

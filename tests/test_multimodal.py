@@ -726,3 +726,44 @@ def test_m12_silence_structure_varies_across_fixture(spark):
         assert r["n_onsets"] <= r["n_silent"], r
         assert r["peak_window_energy"] * 16 >= r["total_energy"], r
         assert (r["n_silent"] == 16) == (r["total_energy"] == 0), r
+
+
+def test_m14_planted_neardups(spark, tmp_path):
+    """m14 semantics on a planted corpus: an exact duplicate pairs at
+    hamming 0; a lightly-perturbed copy (one token substituted) pairs
+    within the threshold; an unrelated document does not pair with the
+    base; a 3-token doc is excluded by the sparsity guard. The hash is
+    computed on pixels that round-tripped the REAL BMP codec, so this
+    also exercises encode_bmp_gray/decode_bmp on the bag-of-words
+    image."""
+    import random
+
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base_tokens = [rng.choice(vocab) for _ in range(60)]
+    base = " ".join(base_tokens)
+    perturbed_tokens = list(base_tokens)
+    perturbed_tokens[7] = "zzz"  # one substitution → few cells differ
+    perturbed = " ".join(perturbed_tokens)
+    unrelated = " ".join(f"x{i}" for i in range(60))
+    rows = [
+        (0, base, "en", "synth", len(base)),
+        (1, base, "en", "synth", len(base)),
+        (2, perturbed, "en", "synth", len(perturbed)),
+        (3, unrelated, "en", "synth", len(unrelated)),
+        (4, "a b c", "en", "synth", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["m14_image_dhash_neardup"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((0, 1)) == 0, pairs  # identical text → identical image
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 4, pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs, pairs
+    assert all(4 not in p for p in pairs), pairs  # sparsity guard

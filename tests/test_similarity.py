@@ -1005,3 +1005,28 @@ def test_s02_probe_family_adaptive_k(spark):
             .collect()[0]["m"]
         )
         assert occ <= 2 * S02_TARGET_BUCKET_ROWS, (n, k, occ)
+
+
+def test_s23_recall_audit_matches_independent_recall(spark):
+    """The audit's algebra: one row per probe, n_exact = TOP_K,
+    0 <= n_hits <= n_exact, recall = round(n_hits/n_exact, 6), and the
+    numbers agree with a recall computed independently from the two
+    REGISTERED pipelines it composes."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        s01_knn_bruteforce,
+        s02_knn_lsh,
+        s23_recall_audit,
+    )
+
+    exact = _pairs(s01_knn_bruteforce(spark, SF_SMOKE))
+    approx = _pairs(s02_knn_lsh(spark, SF_SMOKE))
+    out = {r.query_id: r for r in s23_recall_audit(spark, SF_SMOKE).collect()}
+    assert len(out) == N_QUERIES
+    for qid, r in out.items():
+        want_hits = len({p for p in exact if p[0] == qid}
+                        & {p for p in approx if p[0] == qid})
+        assert r.n_exact == TOP_K
+        assert r.n_hits == want_hits, (qid, r.n_hits, want_hits)
+        assert abs(r.recall - round(want_hits / TOP_K, 6)) < 1e-9
