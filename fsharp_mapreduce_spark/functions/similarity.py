@@ -1129,6 +1129,11 @@ def s05_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_JOIN_K = 3
+# Certified-prune margin for s06 (see the in-query comment): the
+# fold-vs-GEMM association error on unit 64-dim cosines is <= ~2e-14;
+# 1e-12 is ~25x that bound while being ~10 orders below any real
+# similarity gap, so the prune keeps essentially exactly k rows.
+S06_PRUNE_MARGIN = 1e-12
 
 # s07 LSH tuning — wide-OR (k=2 bits → 4 buckets/table, L=8 tables),
 # the same regime t10 uses: the fixture's true neighbors sit at cosine
@@ -1284,45 +1289,80 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # otherwise emit the (v, v) self-pair, which re-scores to
             # cosine 1.0 and displaces a true neighbor.
             if sims.shape[1] == 0:
-                return ids_l[:0], ids_r[:0]
+                return ids_l[:0], ids_r[:0], sims[:0, :0].ravel()
             kk = min(k, sims.shape[1])
             # stable sort, ids_r ascending by column ⇒ tied sims keep
             # ascending neighbor_id (argpartition has no tie order)
             part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
             li = np.repeat(np.arange(len(ids_l)), kk)
             a, b = ids_l[li], ids_r[part.ravel()]
-            keep = np.isfinite(sims[li, part.ravel()])
-            return a[keep], b[keep]
+            s = sims[li, part.ravel()]
+            keep = np.isfinite(s)
+            return a[keep], b[keep], s[keep]
 
         if p == q:
             sims = unit @ unit.T
             np.fill_diagonal(sims, -np.inf)
-            a, b = topk_rows(ids, ids, sims)
+            a, b, s = topk_rows(ids, ids, sims)
         else:
             mask = (ids // bs) == p
             ua, ub = unit[mask], unit[~mask]
             ia, ib = ids[mask], ids[~mask]
             sims = ua @ ub.T
-            a1, b1 = topk_rows(ia, ib, sims)
-            a2, b2 = topk_rows(ib, ia, sims.T)
+            a1, b1, s1 = topk_rows(ia, ib, sims)
+            a2, b2, s2 = topk_rows(ib, ia, sims.T)
             a, b = np.concatenate([a1, a2]), np.concatenate([b1, b2])
-        return pd.DataFrame({"vec_id": a, "neighbor_id": b})
+            s = np.concatenate([s1, s2])
+        return pd.DataFrame({"vec_id": a, "neighbor_id": b, "gemm_sim": s})
 
     cands = (
         routed.groupBy("p", "q")
-        .applyInPandas(block_pair_topk, "vec_id long, neighbor_id long")
+        .applyInPandas(
+            block_pair_topk, "vec_id long, neighbor_id long, gemm_sim double"
+        )
         # belt and braces vs the oracle's a.vec_id <> b.vec_id — the
         # in-UDF -inf mask already drops self-pairs, this pins it in
         # the plan at negligible cost (candidates are k·n_blocks rows).
         .where(F.col("vec_id") != F.col("neighbor_id"))
         .distinct()
     )
+    # Numerically-certified prune (r9 — the sf5.0 probe caught the
+    # cost crossing 1.0x per-row): of the k·n_blocks candidates per
+    # vector, only the global top-k can reach the output, yet ALL of
+    # them used to flow through two embedding joins (64-float arrays
+    # shuffled twice) and the interpreted fold re-score — at sf5.0
+    # that stream is ~30M wide rows and dominated the 93.6s reading.
+    # The GEMM score rides along from the UDF instead, and candidates
+    # more than S06_PRUNE_MARGIN below the per-vector k-th GEMM score
+    # are dropped BEFORE the joins. This cannot change the exact
+    # result: the fold re-score and the unit-normalized GEMM compute
+    # the same 64-term cosine with different association/normalization
+    # order, so |fold - gemm| <= ~64·3·eps ≈ 2e-14 per score (unit
+    # vectors, |terms| <= 1); a rank inversion across the prune
+    # boundary needs two scores 2·2e-14 apart in opposite directions —
+    # the 1e-12 margin is 25x that bound, and exact TIES (duplicate
+    # vectors) sit well inside the margin, so both survive to the
+    # fold + neighbor_id tie-break, which matches the oracle
+    # (test_s06_prune_keeps_exact_ties). The pruned stream is ~k rows
+    # per vector: the joins and the fold touch O(n·k), not
+    # O(n·k·n_blocks) — per-row cost back to flat.
+    wv = W.partitionBy("vec_id")
+    rnk = F.row_number().over(
+        wv.orderBy(F.col("gemm_sim").desc(), "neighbor_id")
+    )
+    kth = F.min(F.when(F.col("g_rnk") <= k, F.col("gemm_sim"))).over(wv)
+    pruned = (
+        cands.withColumn("g_rnk", rnk)
+        .withColumn("kth_sim", kth)
+        .where(F.col("gemm_sim") >= F.col("kth_sim") - S06_PRUNE_MARGIN)
+        .select("vec_id", "neighbor_id")
+    )
     ea = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"))
     eb = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
     )
     rescored = (
-        cands.join(ea, "vec_id")
+        pruned.join(ea, "vec_id")
         .join(eb, "neighbor_id")
         .withColumn("sim_raw", cosine(F.col("ea"), F.col("eb")))
     )

@@ -1030,3 +1030,50 @@ def test_s23_recall_audit_matches_independent_recall(spark):
         assert r.n_exact == TOP_K
         assert r.n_hits == want_hits, (qid, r.n_hits, want_hits)
         assert abs(r.recall - round(want_hits / TOP_K, 6)) < 1e-9
+
+
+def test_s06_prune_keeps_exact_ties(spark, tmp_path):
+    """The r9 certified prune must not break exact-tie semantics: with
+    duplicate embeddings the k-boundary cosines tie EXACTLY (1.0), the
+    GEMM scores tie too, so every duplicate survives the margin prune
+    and the fold + neighbor_id window decides — byte-identical to the
+    DuckDB oracle on the same planted corpus. Five exact copies of one
+    vector guarantee more tied candidates than k on both sides of the
+    boundary."""
+    import duckdb
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import s06_knn_join
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(12, 8)).astype(np.float32)
+    for dup in (5, 6, 7, 8, 9):  # five exact copies of vector 1
+        base[dup] = base[1]
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i % 3)) for i in range(len(base))
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = s06_knn_join(spark, str(tmp_path))
+    got = sorted(
+        (r.vec_id, r.neighbor_id, r.rank, round(r.sim, 6)) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    want = sorted(
+        (a, b, c, round(d, 6))
+        for a, b, c, d in con.execute(QUERIES["s06_knn_join"].oracle).fetchall()
+    )
+    con.close()
+    assert got == want
+    # non-vacuity: vector 1's duplicates produced exact 1.0 ties and
+    # the smallest neighbor_ids won the boundary
+    v1 = [(n, r) for v, n, r, s in got if v == 1 and s == 1.0]
+    assert len(v1) == 3 and [n for n, _ in sorted(v1, key=lambda x: x[1])] == [5, 6, 7]
