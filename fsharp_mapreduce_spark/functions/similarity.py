@@ -2941,7 +2941,12 @@ def s23_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, zero corpus-keyed exchanges beyond what s01/s02 already
     do. At 100 TB you'd sample the probe set; the per-query recall
     algebra is unchanged."""
-    exact = s01_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # exact feeds two consumers (the per-query base counts and the
+    # hit join); persist the RESULT — |queries|·k rows, trivial — so
+    # the broadcast-scored corpus scan behind it runs once, not twice
+    exact = scoped_persist(
+        s01_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
     approx = s02_knn_lsh(spark, sf_dir).select("query_id", "neighbor_id")
     base = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
