@@ -2284,7 +2284,14 @@ def m14_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tok") >= M14_MIN_TOKENS)
         .select("doc_id", "cells")
     )
-    sig = dhash_bands(per_doc)
+    # persist the signature table: BOTH sides of the band-bucket
+    # self-join read it, and without the persist Catalyst rebuilds
+    # the full rasterize→codec→dHash pipeline (scan, token agg,
+    # MapInPandas) once per side — plan-audited at r9. At real scale
+    # this materialization is the image-signature index itself,
+    # written out bucketed by (band_idx, band_val) instead of cached
+    # (the s02/build_lsh_index pattern).
+    sig = scoped_persist(dhash_bands(per_doc))
     buckets = sig.select(
         "doc_id",
         *[f"b{i}" for i in range(M14_BANDS)],
