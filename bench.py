@@ -149,6 +149,10 @@ HEADLINE = [
     "m11_scene_cut_detection",
     "m12_audio_silence_segmentation",
     "m13_transcode_to_png",
+    # r9 additions (pytest-only this round, rotation candidates for
+    # r10) — benched from day one so their curves have history
+    "m14_image_dhash_neardup",
+    "s23_recall_audit",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its
