@@ -153,6 +153,7 @@ HEADLINE = [
     # r10) — benched from day one so their curves have history
     "m14_image_dhash_neardup",
     "s23_recall_audit",
+    "t46_lsh_recall_audit",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2302,3 +2302,85 @@ def t44_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t26's (hash-green there), so the oracle pins the heavy-hitter
     ranking, the spread counts AND the k-boundary tiebreak."""
     return boilerplate_blocks(fan_out(table(spark, sf_dir, "documents")))
+
+
+def _t46_oracle() -> str:
+    """Audit replica: the t02 exact-Jaccard replica and the t03
+    MinHash-LSH replica as CTEs — the SAME strings those oracles run,
+    so the audit cannot drift from the pipelines it audits (the s23
+    pattern) — left-joined and bucketed into 0.05-wide Jaccard bands.
+    Both engines bucket the identical 6-dp-rounded double with the
+    identical FP expression, so boundary values land in the same
+    bucket bit-for-bit."""
+    return f"""
+    WITH tru AS ({_t02_oracle()}),
+    fnd AS ({_t03_oracle()}),
+    j AS (
+      SELECT t.jaccard,
+             CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+      FROM tru t
+      LEFT JOIN fnd f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((jaccard - 0.5) * 20) AS INTEGER), 9) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(found) AS BIGINT) AS n_found
+      FROM j GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(ROUND(0.5 + bucket * 0.05, 2) AS DOUBLE) AS jaccard_lo,
+           n_true, n_found,
+           ROUND(n_found * 1.0 / n_true, 6) AS recall
+    FROM b
+"""
+
+
+@register(
+    "t46_lsh_recall_audit",
+    oracle=_t46_oracle(),
+    tags=("dedup", "audit", "lsh", "minhash"),
+)
+def t46_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH S-curve, MEASURED: per 0.05-wide Jaccard band,
+    how many of the exact near-dup pairs (t02's ground truth) did the
+    MinHash+LSH pipeline (t03) surface? This is the dedup twin of
+    s23's ANN recall audit — the acceptance number a production dedup
+    deployment watches when retuning (bands x rows) or shingle size:
+    banding theory says recall follows 1-(1-j^r)^b, so misses
+    concentrate in the lowest band and the top band must read 1.0
+    (identical docs share every band signature). Composes the two
+    REGISTERED pipelines unchanged; precision is structurally 1
+    (t03 exact-verifies its candidates), so the audit reports the
+    recall axis only.
+
+    Scale shape: both inputs are output-bound pair sets (capped
+    postings / bucket-bounded candidates), the audit join is on those
+    pairs — O(|true pairs|), trivially small next to either input
+    pipeline — and the rollup is a 10-row partial agg. At 100 TB
+    you'd sample doc_a residues (the t22/t02 slice protocol) rather
+    than replay the full ground truth; the per-band algebra is
+    unchanged."""
+    tru = t02_ngram_jaccard_pairs(spark, sf_dir)
+    fnd = (
+        t03_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("found", F.lit(1))
+    )
+    joined = tru.join(fnd, ["doc_a", "doc_b"], "left")
+    bucket = F.least(
+        F.floor((F.col("jaccard") - 0.5) * 20).cast("int"), F.lit(9)
+    )
+    return (
+        joined.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_true"),
+            F.sum(F.coalesce(F.col("found"), F.lit(0))).cast("bigint").alias("n_found"),
+        )
+        .select(
+            "bucket",
+            F.round(0.5 + F.col("bucket") * 0.05, 2).alias("jaccard_lo"),
+            "n_true",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
+        )
+    )

@@ -189,6 +189,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # s23 audits the s02 probe (recall@k vs the s01 exact baseline);
     # s02 holds the probe-family gate slot
     "s23_recall_audit": "s02_knn_lsh",
+    # t46 audits the minhash-LSH banding curve (t03 vs t02's exact
+    # ground truth, per Jaccard band); t30 holds the minhash-family
+    # gate slot that t03 itself folds to
+    "t46_lsh_recall_audit": "t30_incremental_dedup",
     # ROTATION #6 (r9, VERDICT r8 "Next round" #3): rotate-ins are the
     # judge's priority list of never-driver-checked queries — s22 + t45
     # (the r8 additions), st18/st19 (the last streaming cells), t33

@@ -1511,3 +1511,26 @@ def test_t45_vocab_growth_zero_token_docs(spark):
     assert last.bigram_vocab_cum == 2
     assert last.docs_cum == 5
     assert last.tokens_cum == 5
+
+
+def test_t46_recall_curve_structure(spark, synth_docs_dir):
+    """The audit's algebra on the planted corpus: buckets in [0,9],
+    n_found <= n_true per band, Σn_true = |t02 ground truth|, and —
+    since the planted pairs sit far above the banding knee — every
+    band present reads recall 1.0 with the top band populated
+    (identical docs share every band signature)."""
+    from fsharp_mapreduce_spark.functions.dedup import (
+        t02_ngram_jaccard_pairs,
+        t46_lsh_recall_audit,
+    )
+
+    truth = t02_ngram_jaccard_pairs(spark, synth_docs_dir).count()
+    rows = t46_lsh_recall_audit(spark, synth_docs_dir).collect()
+    assert rows, "planted corpus must produce at least one band"
+    assert all(0 <= r.bucket <= 9 for r in rows)
+    assert all(r.n_found <= r.n_true for r in rows)
+    assert sum(r.n_true for r in rows) == truth
+    assert all(abs(r.jaccard_lo - (0.5 + r.bucket * 0.05)) < 1e-9 for r in rows)
+    # planted near-dups are all recalled (test_minhash_recall's pin,
+    # restated through the registered audit)
+    assert all(r.recall == 1.0 for r in rows), rows
