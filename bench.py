@@ -239,8 +239,7 @@ def _wait_for_quiet_box(max_wait_s: float = 120.0) -> list[dict]:
     while True:
         snap = _contention_snapshot()
         waited.append(snap)
-        quiet = snap["load1"] < 8.0 and snap["floor_ms"] < FLOOR_PROBE_QUIET_MS
-        if quiet or time.monotonic() >= deadline:
+        if _snapshot_quiet(snap) or time.monotonic() >= deadline:
             return waited
         print(
             f"# box busy (load1={snap['load1']}, floor={snap['floor_ms']}ms)"
@@ -471,6 +470,7 @@ def measure_dice_anchor(
     if _snapshot is None:
         _snapshot = _contention_snapshot
     attempts: list[dict] = []
+    quiet_oob = 0
     for _ in range(DICE_ANCHOR_MAX_ATTEMPTS):
         snap = _snapshot()
         val = _measure_once()
@@ -488,18 +488,32 @@ def measure_dice_anchor(
             # after the run: the reading is this box's honest speed
             # (the band is committed from other hosts — the r9 box
             # read 2.75s at load1=0.21/floor=72ms), not contention.
-            # Re-running cannot improve it and only leaves our own
-            # JVM's load1 for the next group's snapshot.
+            # ADVICE r9 #1: a burst that starts after the pre probe
+            # and ends before the post probe is invisible to both, so
+            # ONE quiet out-of-band reading is not proof — require a
+            # confirming re-run and record the MIN of two floor-quiet
+            # readings. Bounds the cost at one extra run while
+            # restoring protection against mid-run bursts.
             attempts[-1]["out_of_band_quiet"] = True
+            quiet_oob += 1
+            if quiet_oob >= 2:
+                print(
+                    f"# dice anchor {val}s outside committed band "
+                    f"{DICE_ANCHOR_BAND} but floor-quiet twice "
+                    f"(pre={snap['floor_ms']}ms, post={post['floor_ms']}ms)"
+                    " — accepting min as host speed",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                break
             print(
                 f"# dice anchor {val}s outside committed band "
-                f"{DICE_ANCHOR_BAND} but floor-quiet "
-                f"(pre={snap['floor_ms']}ms, post={post['floor_ms']}ms)"
-                " — accepting as host speed",
+                f"{DICE_ANCHOR_BAND} but floor-quiet — one confirming "
+                "re-run before accepting as host speed",
                 file=sys.stderr,
                 flush=True,
             )
-            break
+            continue
         print(
             f"# dice anchor {val}s outside committed band "
             f"{DICE_ANCHOR_BAND} (load1={snap['load1']}, "
@@ -514,9 +528,13 @@ GROUP_MAX_ATTEMPTS = 3
 
 
 def _snapshot_quiet(snap: dict) -> bool:
-    """The quiet-box criterion shared by the start-up wait and the
-    per-group adjudication: run-queue pressure below the Spark worker
-    count AND the floor probe inside the calibrated band."""
+    """The STARTUP-wait quiet-box criterion (`_wait_for_quiet_box`):
+    run-queue pressure below the Spark worker count AND the floor probe
+    inside the calibrated band. load1 is legitimate here — the wait
+    runs before any of the bench's own JVMs, so the 1-minute average is
+    genuinely external pressure. The per-group/anchor adjudication
+    deliberately does NOT use this (floor-probe-only there; see
+    measure_group's docstring for the r9 self-trigger history)."""
     return snap["load1"] < 8.0 and snap["floor_ms"] < FLOOR_PROBE_QUIET_MS
 
 
@@ -633,6 +651,28 @@ def measure_group(
     return timings, spread, meta
 
 
+def _detail_target(will_have_duckdb: bool) -> Path:
+    """Where a full-HEADLINE run writes its detail payload.
+
+    No-degrade rule (VERDICT r9 #3): a full run WITHOUT --duckdb must
+    not overwrite a committed record that carries a duckdb_queries map
+    — the r9 driver run (no --duckdb) dropped the committed 104-row
+    table's baseline column this way. Such runs write the sibling
+    ``BENCH_DETAIL_driver.json`` instead; --duckdb runs (the builder's
+    table-of-record runs) own ``BENCH_DETAIL.json``. Resolved ONCE per
+    run and shared by the incremental per-group flush and the final
+    write, so partial flushes can't clobber the record either."""
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    if not will_have_duckdb and detail_path.exists():
+        try:
+            prior = json.loads(detail_path.read_text())
+        except Exception:
+            prior = {}
+        if prior.get("duckdb_queries"):
+            return detail_path.with_name("BENCH_DETAIL_driver.json")
+    return detail_path
+
+
 def _run_child(child_args: list[str], runs: int) -> str:
     import subprocess
 
@@ -726,7 +766,7 @@ def main() -> None:
         )
         t_start = time.monotonic()
         deadline_passed = lambda: time.monotonic() - t_start > budget_s  # noqa: E731
-        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        detail_path = _detail_target(args.duckdb)
         for label, group in _headline_groups(names):
             # self-adjudicating group run (VERDICT r7 #3): re-runs a
             # group whose floor probe left the calibrated band, records
@@ -801,7 +841,9 @@ def main() -> None:
         # Detail file is the committed table of record — written ONLY
         # by full-HEADLINE runs (VERDICT r8 #3: a one-query --queries
         # smoke run clobbered the committed 98-row r7 table, a79f9ac).
-        detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+        # `detail_path` was resolved by _detail_target above (shared
+        # with the incremental flush), so a no-duckdb run never touches
+        # a committed --duckdb record.
         detail_path.write_text(full + "\n")
     print(json.dumps(summary_obj(result)))
 

@@ -2304,6 +2304,20 @@ def t44_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_blocks(fan_out(table(spark, sf_dir, "documents")))
 
 
+# t46 band math, derived from JACCARD_THRESHOLD (ADVICE r9 #3: the
+# bucket origin was hard-coded 0.5 in BOTH the Spark expression and
+# the oracle, so a threshold move would shift bands on both sides
+# simultaneously and the value hash would stay green while the audit
+# silently drifted). Width 0.05 → integer scale 20; both engines use
+# the SAME (j - origin) * scale multiplication so boundary doubles
+# land in the same bucket bit-for-bit. Low side clamped to 0: the
+# ground truth only emits j >= threshold, but an FP hair below the
+# origin must not produce bucket -1.
+_T46_BUCKET_W = 0.05
+_T46_BUCKET_SCALE = round(1 / _T46_BUCKET_W)  # 20
+_T46_N_BUCKETS = round((1.0 - JACCARD_THRESHOLD) / _T46_BUCKET_W)  # 10
+
+
 def _t46_oracle() -> str:
     """Audit replica: the t02 exact-Jaccard replica and the t03
     MinHash-LSH replica as CTEs — the SAME strings those oracles run,
@@ -2322,13 +2336,16 @@ def _t46_oracle() -> str:
       LEFT JOIN fnd f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
     ),
     b AS (
-      SELECT LEAST(CAST(FLOOR((jaccard - 0.5) * 20) AS INTEGER), 9) AS bucket,
+      SELECT LEAST(GREATEST(CAST(FLOOR(
+               (jaccard - {JACCARD_THRESHOLD}) * {_T46_BUCKET_SCALE}
+             ) AS INTEGER), 0), {_T46_N_BUCKETS - 1}) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_true,
              CAST(SUM(found) AS BIGINT) AS n_found
       FROM j GROUP BY 1
     )
     SELECT bucket,
-           CAST(ROUND(0.5 + bucket * 0.05, 2) AS DOUBLE) AS jaccard_lo,
+           CAST(ROUND({JACCARD_THRESHOLD} + bucket * {_T46_BUCKET_W}, 2)
+                AS DOUBLE) AS jaccard_lo,
            n_true, n_found,
            ROUND(n_found * 1.0 / n_true, 6) AS recall
     FROM b
@@ -2359,16 +2376,35 @@ def t46_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — and the rollup is a 10-row partial agg. At 100 TB
     you'd sample doc_a residues (the t22/t02 slice protocol) rather
     than replay the full ground truth; the per-band algebra is
-    unchanged."""
-    tru = t02_ngram_jaccard_pairs(spark, sf_dir)
-    fnd = (
+    unchanged.
+
+    Each input pipeline is MATERIALIZED (scoped persist + count()
+    barrier) before the audit join fans out — VERDICT r9 #1: both
+    pipelines carry scoped persists whose partitions the join's two
+    subtrees would otherwise race to compute concurrently before
+    either populates the cache (the t30 r7 broadcast-race disease;
+    the driver's r9 bench run read t46 bimodal at 3.8-10.4s for
+    exactly this reason). The pair sets are output-bound and tiny, so
+    the barrier costs ~nothing and t46 prices at t02+t03+ε, every
+    run."""
+    tru = scoped_persist(t02_ngram_jaccard_pairs(spark, sf_dir))
+    tru.count()  # barrier: t02's staging computed by ONE consumer
+    fnd = scoped_persist(
         t03_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("found", F.lit(1))
     )
+    fnd.count()  # barrier: t03's staging computed by ONE consumer
     joined = tru.join(fnd, ["doc_a", "doc_b"], "left")
     bucket = F.least(
-        F.floor((F.col("jaccard") - 0.5) * 20).cast("int"), F.lit(9)
+        F.greatest(
+            F.floor(
+                (F.col("jaccard") - F.lit(JACCARD_THRESHOLD))
+                * _T46_BUCKET_SCALE
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(_T46_N_BUCKETS - 1),
     )
     return (
         joined.groupBy(bucket.alias("bucket"))
@@ -2378,7 +2414,9 @@ def t46_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "bucket",
-            F.round(0.5 + F.col("bucket") * 0.05, 2).alias("jaccard_lo"),
+            F.round(
+                F.lit(JACCARD_THRESHOLD) + F.col("bucket") * _T46_BUCKET_W, 2
+            ).alias("jaccard_lo"),
             "n_true",
             "n_found",
             F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
