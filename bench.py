@@ -154,6 +154,14 @@ HEADLINE = [
     "m14_image_dhash_neardup",
     "s23_recall_audit",
     "t46_lsh_recall_audit",
+    # rotation-#7 rotate-ins (r10): own rows so the gate-exposed set
+    # keeps measured curves (st14 rides st15's stream-static row via
+    # FAMILY_COVERAGE — one more trigger-floored streaming row would
+    # fight the streaming-floor goal, VERDICT r9 #7)
+    "m07_wav_decode_stats",
+    "m08_avi_decode_stats",
+    "t31_count_min_heavy_hitters",
+    "t35_textrank_keywords",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its
@@ -188,6 +196,12 @@ FAMILY_COVERAGE = {
     # index probe row (same probe, one incremental write more)
     "q61_snapshot_diff": "q58_merge_upsert_lifecycle",
     "s13_ivf_index_append": "s11_knn_ivf_index_probe",
+    # r10 rotation-#7: st14's per-trigger probe of the materialized
+    # LSH index is the stream-static join family — it rides st15's
+    # anti-join row (same broadcast static side re-planned per
+    # trigger) rather than adding another ~10-trigger scheduling
+    # floor to the streaming total (VERDICT r9 #7)
+    "st14_stream_ann_probe": "st15_stream_anti_join_dedup",
 }
 
 

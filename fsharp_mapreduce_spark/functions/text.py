@@ -2063,22 +2063,63 @@ def _bpe_merge_expr(s: Column, lft: str, rgt: str) -> Column:
     return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
 
 
-def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+# Above this many distinct words the merge loop stays distributed;
+# below it the vocabulary is collected once and the rounds run
+# driver-side. 2M words ≈ 100-200 MB of driver heap — the artifact
+# every production tokenizer trainer (SentencePiece, HF tokenizers)
+# holds in memory by design.
+BPE_DRIVER_VOCAB_CAP = 2_000_000
+
+
+def _greedy_list_merge(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right pair merge on a symbol list — the textbook
+    BPE definition, the same algebra `_bpe_merge_expr` reproduces as
+    string replacement (property-tested equal exhaustively ≤6 symbols,
+    tests/test_dedup.py::test_bpe_merge_formula_equals_list_merge)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    driver_vocab_cap: int = BPE_DRIVER_VOCAB_CAP,
+) -> DataFrame:
     """Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch
     2016, ACL — "Neural Machine Translation of Rare Words with Subword
-    Units") as a distributed pipeline. The corpus-scale work happens
-    ONCE: explode to whitespace words and hash-aggregate to a
-    (word, count) table — the only fact-sized shuffle. Every merge
-    round then runs on the DISTINCT-WORD table (≈10⁷ rows at web
-    scale, independent of corpus size — the property that makes BPE
-    trainable on 100 TB at all): count adjacent symbol pairs weighted
-    by word frequency (slice+zip_with, JVM-side), pick the argmax with
-    a deterministic (count DESC, pair ASC) tie-break — a 1-row bounded
-    collect per round, the same audited scalar-collect pattern as the
-    sketch audits — and rewrite the symbol strings with
-    `_bpe_merge_expr` (a narrow map; no shuffle per round). No
-    end-of-word marker (the documented variant): merges never cross
-    word boundaries because each row IS one word.
+    Units"). The corpus-scale work happens ONCE and is always
+    distributed: explode to whitespace words and hash-aggregate to a
+    (word, count) table — the only fact-sized shuffle. The merge
+    rounds then run on the DISTINCT-WORD table, whose size is bounded
+    by the vocabulary, independent of corpus size — the property that
+    makes BPE trainable on 100 TB at all.
+
+    Where the rounds run is a size decision (r10, VERDICT r9 #4): a
+    vocabulary under ``driver_vocab_cap`` is collected once and the
+    rounds run driver-side in pure Python — the reference algorithm
+    the whole family is property-tested against — because each
+    distributed round costs a full Spark job (~0.2 s scheduling floor)
+    to scan a table that fits in L2 cache; 8 rounds of job floor was
+    most of t40's bench price. This is how every production tokenizer
+    trainer works: corpus counting scales out, the merge loop is a
+    small in-memory artifact build. Vocabularies above the cap use
+    the distributed per-round pipeline (pair counts via slice+zip_with
+    JVM-side, 1-row bounded collect per round, `_bpe_merge_expr`
+    rewrite — no shuffle per round). Both paths implement the same
+    deterministic (count DESC, pair ASC) argmax — Python tuple order
+    equals Spark/DuckDB binary string order because UTF-8 byte order
+    preserves code-point order — and are pinned equal by
+    tests/test_dedup.py. No end-of-word marker (the documented
+    variant): merges never cross word boundaries because each row IS
+    one word.
 
     Returns the trained merge table — (round_id, left_sym, right_sym,
     merged, pair_count), ``rounds`` rows — i.e. the tokenizer itself,
@@ -2097,7 +2138,27 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         )
     )
     words = scoped_persist(words)
+    out_schema = (
+        "round_id bigint, left_sym string, right_sym string, "
+        "merged string, pair_count bigint"
+    )
     out_rows: list[tuple[int, str, str, str, int]] = []
+    if words.count() <= driver_vocab_cap:
+        vocab = [(r["s"].split(" "), int(r["cnt"])) for r in words.collect()]
+        for r in range(1, rounds + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for syms, cnt in vocab:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pc[k] = pc.get(k, 0) + cnt
+            if not pc:
+                break
+            (lft, rgt), best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            out_rows.append((r, lft, rgt, lft + rgt, int(best)))
+            vocab = [
+                (_greedy_list_merge(syms, lft, rgt), cnt) for syms, cnt in vocab
+            ]
+        return spark.createDataFrame(out_rows, out_schema)
     cur = words
     for r in range(1, rounds + 1):
         pairs = cur.select(
@@ -2121,11 +2182,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         lft, rgt, pc = best[0]["lft"], best[0]["rgt"], int(best[0]["pc"])
         out_rows.append((r, lft, rgt, lft + rgt, pc))
         cur = cur.select(_bpe_merge_expr(F.col("s"), lft, rgt).alias("s"), "cnt")
-    return spark.createDataFrame(
-        out_rows,
-        "round_id bigint, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
-    )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def _t40_oracle(rounds: int = BPE_ROUNDS) -> str:
@@ -2231,37 +2288,75 @@ def _doc_symbol_string(text: Column) -> Column:
 def bpe_encode(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     """Tokenizer APPLICATION — the other half of t40's training: learn
     the merge table once (`bpe_train`, ``rounds`` bounded 1-row
-    collects), then encode EVERY document by replaying the merges in
-    priority order as a chain of ``rounds`` narrow `_bpe_merge_expr`
-    projections over the doc-level symbol string. No explode, no
-    shuffle: at 100 TB the encode pass is embarrassingly parallel map
-    work whose cost is ``rounds`` string replaces per document — the
-    shape of every production tokenizer job (the trained table is
-    driver-side by definition: a tokenizer IS a small artifact).
-    Emits per-document symbol counts before/after plus an md5 slice
-    of the encoded string, so a single wrong merge anywhere in
-    training OR application shifts a digest and breaks the oracle."""
+    collects), then encode EVERY document in ONE fused Arrow pass
+    (VERDICT r9 #4: the previous chain of ``rounds`` nested
+    `_bpe_merge_expr` column expressions rewrote the full doc-level
+    symbol string once per round per OUTPUT expression — Catalyst does
+    not CSE the chain across the token-count and digest projections,
+    so the 8-round string algebra ran multiple times per document and
+    the decade curve read 1.02×, flat). The fused encoder builds the
+    symbol string JVM-side once (`_doc_symbol_string` — keeps the
+    Unicode lower/split semantics that are hash-pinned against DuckDB
+    out of Python), ships it through mapInPandas, and applies the
+    merges in priority order with C-speed leftmost-non-overlapping
+    str.replace — the SAME double-space algebra `_bpe_merge_expr`
+    uses, property-tested equal to greedy list-merge exhaustively ≤6
+    symbols (tests/test_dedup.py::test_bpe_merge_formula_equals_list_merge),
+    so the unrolled MATERIALIZED-CTE oracle is unchanged. No explode,
+    no shuffle: at 100 TB the encode pass is embarrassingly parallel
+    map work (the trained table is driver-side by definition: a
+    tokenizer IS a small artifact). Emits per-document symbol counts
+    before/after plus an md5 slice of the encoded string, so a single
+    wrong merge anywhere in training OR application shifts a digest
+    and breaks the oracle."""
     merges = [
         (r["left_sym"], r["right_sym"])
         for r in bpe_train(docs, rounds).orderBy("round_id").collect()
     ]
-    s = _doc_symbol_string(F.col("text"))
-    pre = s
-    for lft, rgt in merges:
-        s = _bpe_merge_expr(s, lft, rgt)
+    sep = BPE_SEP
+    id_type = dict(docs.dtypes)["doc_id"]
+    staged = docs.select("doc_id", _doc_symbol_string(F.col("text")).alias("s0"))
 
-    def n_syms(col: Column) -> Column:
-        toks = F.filter(
-            F.split(col, " "),
-            lambda t: (t != F.lit("")) & (t != F.lit(BPE_SEP)),
-        )
-        return F.size(toks).cast("bigint")
+    def encode_batches(batches):
+        import hashlib
 
-    return docs.select(
-        "doc_id",
-        n_syms(pre).alias("n_sym_chars"),
-        n_syms(s).alias("n_tokens_bpe"),
-        F.substring(F.md5(s), 1, 16).alias("enc_digest"),
+        import pandas as pd
+
+        def ntok(x):
+            return sum(1 for t in x.split(" ") if t and t != sep)
+
+        for pdf in batches:
+            s0 = pdf["s0"].fillna("")
+            enc = s0
+            for lft, rgt in merges:
+                pat, rep = f" {lft}  {rgt} ", f" {lft}{rgt} "
+                enc = (
+                    (" " + enc + " ")
+                    .str.replace(" ", "  ", regex=False)
+                    .str.replace(pat, rep, regex=False)
+                    .str.replace("  ", " ", regex=False)
+                    # trim SPACES only (Spark trim / DuckDB trim): a
+                    # leading newline/tab is a real symbol char and
+                    # must survive
+                    .str.strip(" ")
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_sym_chars": s0.map(ntok).astype("int64"),
+                    "n_tokens_bpe": enc.map(ntok).astype("int64"),
+                    "enc_digest": enc.map(
+                        lambda x: hashlib.md5(x.encode("utf-8")).hexdigest()[:16]
+                    ),
+                }
+            )
+
+    return staged.mapInPandas(
+        encode_batches,
+        schema=(
+            f"doc_id {id_type}, n_sym_chars bigint, "
+            "n_tokens_bpe bigint, enc_digest string"
+        ),
     )
 
 

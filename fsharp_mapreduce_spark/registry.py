@@ -180,19 +180,31 @@ GATE_SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF_DIR", "/root/testdata/sf0.01")
 # operator only stays off the gate when a same-namespace sibling
 # covering the same operator family holds a slot.
 PYTEST_ONLY_FAMILY: dict[str, str] = {
-    # ROUND-9 ADDITIONS (registered this round, locally oracle-verified
-    # every pytest run; rotation candidates for r10):
-    # m14 is the multimodal member of the dedup family — dHash over
-    # DECODED pixels with t03's banded-LSH candidate shape; the m10
-    # capstone keeps the decode-family gate slot
-    "m14_image_dhash_neardup": "m10_codec_dispatch",
-    # s23 audits the s02 probe (recall@k vs the s01 exact baseline);
-    # s02 holds the probe-family gate slot
-    "s23_recall_audit": "s02_knn_lsh",
-    # t46 audits the minhash-LSH banding curve (t03 vs t02's exact
-    # ground truth, per Jaccard band); t30 holds the minhash-family
-    # gate slot that t03 itself folds to
-    "t46_lsh_recall_audit": "t30_incremental_dedup",
+    # ROTATION #7 (r10, VERDICT r9 "Next round" #1): the ten rotate-ins
+    # are the judge's never-driver-checked priority list — the r9
+    # additions m14/s23/t46 plus s21, st14, m07, m08, m09, t31, t35
+    # (each probed green at sf0.01 in a vanilla session before
+    # exposure, the standing discipline). Folding out to make room:
+    # multi-round-driver-green members whose operator families keep
+    # exposed representatives — m11/m12 (r8-r9 green) ride the m10
+    # capstone that decodes the same AVI/WAV containers; s02 (green
+    # r2-r9) folds to s21, the strictly-more-general multi-probe of
+    # the SAME LSH pipeline (and stays driver-exercised through the
+    # exposed s21/s23/st14, all of which run its probe machinery);
+    # s10 (green r5-r9) folds to s09, the same broadcast-join +
+    # array-math aggregate shape; t22 (green r4-r9) folds to t34, the
+    # same capped-postings candidate join with in-band verification;
+    # t28 (green r5-r9) folds to t20, the same map-only single-scan
+    # per-document text pass; t30 (green r6-r9) folds to t46, whose
+    # audit runs the full t03 banding pipeline every check; plus three
+    # q-family folds (q17/q64/q68) per the declared exposure policy.
+    "m11_scene_cut_detection": "m10_codec_dispatch",
+    "m12_audio_silence_segmentation": "m10_codec_dispatch",
+    "s02_knn_lsh": "s21_knn_lsh_multiprobe",
+    "s10_label_cohesion": "s09_maxsim_late_interaction",
+    "t22_winnow_containment_pairs": "t34_fuzzy_match",
+    "t28_preprocess_funnel": "t20_repetition_filter",
+    "t30_incremental_dedup": "t46_lsh_recall_audit",
     # ROTATION #6 (r9, VERDICT r8 "Next round" #3): rotate-ins are the
     # judge's priority list of never-driver-checked queries — s22 + t45
     # (the r8 additions), st18/st19 (the last streaming cells), t33
@@ -216,12 +228,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # gate-green r5-r8) keeps the slot; t11 (simhash banded pairs,
     # driver-green r2-r8) folds — same band-bucket candidate join with
     # in-band verification
-    "t11_simhash_neardup_pairs": "t22_winnow_containment_pairs",
+    "t11_simhash_neardup_pairs": "t34_fuzzy_match",
     # LSH-probe family: s02 (driver-green r1-r8, re-verified this
     # round with the density-adaptive k) keeps the slot; s05 (range
     # search, driver-green r1-r8) folds — the same broadcast-probe
     # scoring pipeline with a threshold cut instead of top-k
-    "s05_range_search": "s02_knn_lsh",
+    "s05_range_search": "s21_knn_lsh_multiprobe",
     # map-only per-doc text-scoring family: t20 (repetition rules)
     # keeps the slot; t05 (language ID, driver-green r1-r8) folds —
     # same single-scan expression-only per-document classification
@@ -274,7 +286,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "t07_token_count": "t45_vocab_growth",
     # fingerprint family: t22 (winnowing containment) holds the slot;
     # t08 is the whole-doc rolling-hash sibling (driver-green r1–r3)
-    "t08_fingerprint": "t22_winnow_containment_pairs",
+    "t08_fingerprint": "t34_fuzzy_match",
     # exact-dedup family: t26 (paragraph-block dedup — the same
     # sha2-groupBy pipeline at sub-document grain, driver-green
     # r5–r6) rides the r8 slot-holder t44 with t01
@@ -286,7 +298,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # incremental-ingestion dedup — the production-ingest variant of
     # the banding + exact-verify pipeline) takes the slot; t03
     # (within-corpus LSH pairs, driver-green r1–r5) folds
-    "t03_minhash_lsh_pairs": "t30_incremental_dedup",
+    "t03_minhash_lsh_pairs": "t46_lsh_recall_audit",
     # clustering family: t23 (star contraction) holds the slot; t12 is
     # the min-label sibling on the same edge set (driver-green r2–r3)
     "t12_dedup_clusters": "t33_leakage_safe_split",
@@ -315,19 +327,17 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # map-only text-transform family (r5 rotation): t28 (the composed
     # funnel whose stage 1 IS t18's cleaning rule fused on one scan)
     # takes the slot; t18 (driver-green r1–r4) and t16 fold
-    "t18_clean_text": "t28_preprocess_funnel",
-    "t16_token_chunking": "t28_preprocess_funnel",
+    "t18_clean_text": "t20_repetition_filter",
+    "t16_token_chunking": "t20_repetition_filter",
     # corpus-statistics family: t19 (TF-IDF) holds the slot; t17 is
     # the bigram-PMI sibling (driver-green r1–r3), same
     # explode→hash-agg→broadcast-join shape
     "t17_bigram_pmi": "t45_vocab_growth",
     # ...and t31 (count-min heavy hitters) is the sketch member of the
     # same token-statistics family (round-5 addition, pytest-only)
-    "t31_count_min_heavy_hitters": "t45_vocab_growth",
     # keyword-extraction family: t19 (TF-IDF) holds the slot; t35 is
     # the graph-centrality sibling — TextRank over the co-occurrence
     # graph, join-based PageRank matvec (round-5 addition, pytest-only)
-    "t35_textrank_keywords": "t45_vocab_growth",
     # ...and t36 (distribution-drift audit: PSI/KL over the same
     # vocabulary-grain count tables) is the batch-vs-corpus member of
     # the token-statistics family (round-5 addition, pytest-only)
@@ -361,7 +371,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "s01_knn_bruteforce": "s19_knn_ivf_pq",
     # filtered-ANN: s15 is s02's pipeline under a metadata predicate
     # (pre-filtered candidate corpus; round-5 addition, pytest-only)
-    "s15_knn_filtered": "s02_knn_lsh",
+    "s15_knn_filtered": "s21_knn_lsh_multiprobe",
     # ...s08 is the int8 member of the same candidate → exact-re-rank
     # shape (folds per the cadence after two driver-green rounds)...
     "s08_knn_quantized": "s19_knn_ivf_pq",
@@ -376,11 +386,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # audit — s03's array-math aggregate shape + broadcast
     # representative join) takes the slot; s03 (driver-green r1–r4)
     # folds
-    "s03_embedding_stats": "s10_label_cohesion",
+    "s03_embedding_stats": "s09_maxsim_late_interaction",
     # LSH-index family: s02 (inline LSH ANN) holds the slot; s12 is
     # the materialized bucketed-table probe of the same pipeline
     # (round-5 addition, pytest-only this round per the cadence)
-    "s12_knn_lsh_index_probe": "s02_knn_lsh",
+    "s12_knn_lsh_index_probe": "s21_knn_lsh_multiprobe",
     # IVF family (r5 rotation, VERDICT r4 #5): s11 — the SAME pipeline
     # as s04 but probing the materialized cell-partitioned index
     # (equivalence-tested result identity, shared oracle factory) —
@@ -400,7 +410,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # ...and s21 (multi-probe LSH: single-bit-flip probe expansion
     # over s02's index — recall without more tables; round-6
     # addition, pytest-only per the cadence) folds to the LSH family
-    "s21_knn_lsh_multiprobe": "s02_knn_lsh",
     # IVF lifecycle: s13 appends a new batch to the s11-built index
     # with the existing centroids — same probe machinery, s11 holds
     # the slot (round-5 addition, pytest-only per the cadence)
@@ -461,7 +470,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # ANN-serving variant probing the materialized LSH index per
     # batch) fold
     "st07_stream_static_join": "st15_stream_anti_join_dedup",
-    "st14_stream_ann_probe": "st15_stream_anti_join_dedup",
     # Arrow-decode family (r6 rotation): m10 — the capstone that
     # decodes a heterogeneous table through ALL FOUR real codecs
     # (BMP/WAV/AVI/PNG) routed by magic bytes in one Arrow pass —
@@ -471,9 +479,6 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     "m03_frame_sample": "m10_codec_dispatch",
     # m06 BMP (driver-green r5), m07 WAV, m08 AVI, m09 PNG — each a
     # single-codec member whose decode path m10 exercises end-to-end
-    "m07_wav_decode_stats": "m10_codec_dispatch",
-    "m08_avi_decode_stats": "m10_codec_dispatch",
-    "m09_png_decode_stats": "m10_codec_dispatch",
     # (m11 scene-cut detection and m12 audio silence segmentation —
     # the real-media temporal analyses — rotated INTO the gate window
     # in r8, VERDICT r7 "Next round" #1.) In exchange m01 (metadata
@@ -497,7 +502,7 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # queries): t11 (the banded pair join, driver-green r2–r5) keeps
     # the slot; t04, which emits the signatures t11 pairs on
     # (driver-green r1–r5), folds
-    "t04_simhash": "t22_winnow_containment_pairs",
+    "t04_simhash": "t34_fuzzy_match",
     # embedding-neardup family (r6, same reason): t10 — the
     # hyperplane-LSH scale path — keeps the slot; t09, its exact
     # blocked-GEMM verifier twin (driver-green r1–r5), folds
@@ -506,6 +511,19 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
     {
+        # ROTATION #7 q-family folds (r10, VERDICT r9 "Next round"
+        # #1), each driver-green for 3+ rounds, each family still
+        # represented: q17 global top-k (green r1-r9; the
+        # TakeOrderedAndProject plan stays pinned by its property
+        # tests and t29's exactly-k windows keep ordered-limit
+        # machinery driver-checked), q64 incremental JOIN-view
+        # maintenance (green r7-r9; joins keep q03/q62 and the q58
+        # lifecycle keeps incremental maintenance), q68
+        # interval-overlap join (green r7-r9; q62's multi-join shape
+        # and q03 keep the join family):
+        "q17_topk_global",
+        "q64_incremental_join",
+        "q68_interval_overlap_join",
         "q04_revenue_by_nation",
         "q05_semi_join",
         "q06_anti_join",

@@ -1136,6 +1136,31 @@ def test_t40_bpe_matches_pure_python_reference(spark):
     assert got == expected, (got, expected)
 
 
+def test_bpe_train_driver_and_distributed_paths_agree(spark):
+    """r10: bpe_train's driver-side merge loop (vocabulary under
+    BPE_DRIVER_VOCAB_CAP, the default path on every fixture) and the
+    distributed per-round pipeline (forced with driver_vocab_cap=0)
+    must emit the IDENTICAL merge table — same argmax, same
+    tie-breaks, same pair counts, every round. The planted corpus has
+    real ties ('low'/'lower'/'lowest' share prefixes), so a tie-break
+    divergence between Python tuple order and Spark's binary string
+    order would surface here."""
+    from fsharp_mapreduce_spark.functions.text import bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest wide wider widest",
+        "low newer low wider newest lowest",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    as_rows = lambda df: [  # noqa: E731
+        tuple(r) for r in df.orderBy("round_id").collect()
+    ]
+    fast = as_rows(bpe_train(docs, rounds=6))
+    slow = as_rows(bpe_train(docs, rounds=6, driver_vocab_cap=0))
+    assert fast == slow and len(fast) == 6, (fast, slow)
+
+
 def test_t41_bpe_encode_matches_pure_python_reference(spark):
     """bpe_encode on the planted corpus == tokenizing each document
     with a from-scratch Python BPE (train with the same tie-break,
