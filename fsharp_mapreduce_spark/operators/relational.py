@@ -2267,14 +2267,6 @@ def q69_exact_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 Q70_P = 0.5
-# Fail-fast bound on the group-key catalog: the bisection holds one
-# (lo, hi, k) driver row per group, so a high-cardinality group column
-# must be rejected loudly rather than silently building an O(groups)
-# driver dict per round. 100k groups ≈ a few MB of driver state.
-Q70_MAX_GROUPS = 100_000
-# Cap on ONE exact-resolution collect (values across the groups being
-# finished in that chunk): ~1M doubles ≈ 16 MB of driver memory.
-Q70_EXACT_CHUNK_ROWS = 1 << 20
 
 
 def grouped_exact_percentile(
@@ -2283,246 +2275,205 @@ def grouped_exact_percentile(
     val_col: str,
     p: float = Q70_P,
     buckets: int = Q69_BUCKETS,
-) -> list[tuple[object, int, float]]:
-    """Exact per-group k-th smallest (k = ceil(p·n_g)) with O(groups ×
-    buckets) aggregation state — every group bisects SIMULTANEOUSLY:
-    one keyed (group, bucket) histogram pass per round over only the
-    still-active groups' candidate rows, the driver walks each group's
-    cumulative counts, and a second keyed pass recovers the chosen
-    bucket's actual [min, max] per group. Groups converge (lo == hi)
-    independently and drop out of the scan predicate.
+) -> DataFrame:
+    """Exact per-group k-th smallest (k = ceil(p\u00b7n_g)) with O(groups \u00d7
+    buckets) aggregation state and — r10 (VERDICT r9 #6) — NO driver-
+    side per-group state at all: the (lo, hi, k) bisection state is a
+    DataFrame, the per-group cumulative-histogram walk is a window
+    function, and exact terminal resolution is a keyed row_number()
+    pick, so group cardinality is unbounded (the previous revision
+    held a driver dict per group behind a 100k fail-fast cap). Every
+    group bisects SIMULTANEOUSLY: one keyed (group, bucket) histogram
+    pass per round over only the still-active groups' candidate rows;
+    groups converge (lo == hi) independently and drop out.
 
     Soundness of the BETWEEN re-selection (the grouped version cannot
     chain per-group lineage the way q69 does): the chosen bucket's
-    [mn, mx] are member values; (v − lo)/w is monotone in v, and mn,
+    [mn, mx] are member values; (v \u2212 lo)/w is monotone in v, and mn,
     mx floor to the same bucket index, so every group row in
     [mn, mx] floors to that index too — BETWEEN mn AND mx selects
-    exactly the bucket's rows. The bucket INDEX itself is always
-    computed by the same JVM expression on both the histogram and the
-    min/max pass (bounds ride a broadcast per-group table), so driver
-    arithmetic never decides membership.
+    exactly the bucket's rows. The bucket INDEX is always computed by
+    the same JVM expression on both the histogram and the min/max
+    pass (bounds ride the state join), so nothing off-plan ever
+    decides membership; the bucket width (hi\u2212lo)/buckets is likewise
+    a JVM double expression on both passes.
 
     Scale contract: the per-round exchange is (group, bucket)-keyed
-    with map-side combine — state ≤ groups × {1024} cells regardless
+    with map-side combine — state \u2264 groups \u00d7 {1024} cells regardless
     of row count (q29's per-group ObjectAggregation state is O(n_g)
-    and OOMs at decade scale). The driver holds one (lo, hi, k) row
-    per group, so the GROUP key must be catalog-bounded — enforced
-    fail-fast at {Q70_MAX_GROUPS} distinct groups (ValueError), the
-    same boundedness q29's output already implies; rounds are shared
-    across groups (max over groups of the q69 bound, 2-4 typical).
+    and OOMs at decade scale). The driver sees only per-round scalars
+    (loop-control counts and bounded \u22645-row failure samples); the
+    state table joins against the base per round — broadcast while it
+    fits (AQE), shuffle when the catalog is genuinely huge. Rounds
+    are shared across groups (max over groups of the q69 bound, 2-4
+    typical).
 
     Convergence contract (mirrors q69): a group finishes either at
-    lo == hi, or via an exact sorted collect once its candidate set is
-    ≤ {Q69_EXACT_FALLBACK_ROWS} rows (collected in chunks of ≤
-    {Q70_EXACT_CHUNK_ROWS} values across groups); a group whose bucket
-    width underflows — or that exhausts the pass budget — with a
-    larger candidate set raises RuntimeError rather than silently
-    returning its current lower bound. The group key's Spark type is
-    taken from the input schema, so non-string keys round-trip the
-    broadcast bounds/pick tables without coercion."""
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
+    lo == hi, or via an exact keyed row_number pick once its
+    candidate set is \u2264 {Q69_EXACT_FALLBACK_ROWS} rows; a group whose
+    bucket width underflows — or that exhausts the pass budget — with
+    a larger candidate set raises RuntimeError rather than silently
+    returning its current lower bound.
+
+    Returns a DataFrame (g, k, value), ordered by g."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql.window import Window
 
     from fsharp_mapreduce_spark.registry import scoped_persist
 
-    import math
-
-    g_type = df.schema[group_col].dataType
-    bounds_schema = StructType(
-        [
-            StructField("g", g_type),
-            StructField("lo", DoubleType()),
-            StructField("hi", DoubleType()),
-            StructField("w", DoubleType()),
-        ]
-    )
-    pick_schema = StructType(
-        [StructField("g", g_type), StructField("pick", IntegerType())]
-    )
     base = scoped_persist(
         df.select(
             F.col(group_col).alias("g"), F.col(val_col).cast("double").alias("v")
         ).where(F.col("v").isNotNull())
     )
-    spark = df.sparkSession
-    agg_rows = (
+    init = scoped_persist(
         base.groupBy("g")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )
-        .limit(Q70_MAX_GROUPS + 1)
-        .collect()
+        .select(
+            "g",
+            "lo",
+            "hi",
+            F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(float(p)) * F.col("n")))
+            .cast("bigint")
+            .alias("k0"),
+        )
     )
-    if len(agg_rows) > Q70_MAX_GROUPS:
-        raise ValueError(
-            f"grouped_exact_percentile holds one (lo, hi, k) driver row per "
-            f"group: {group_col!r} has more than {Q70_MAX_GROUPS} distinct "
-            f"values — the group key must be catalog-bounded (use "
-            f"percentile_approx for high-cardinality keys)"
-        )
-    init = {
-        r["g"]: (r["lo"], r["hi"], max(1, math.ceil(p * r["n"])))
-        for r in agg_rows
-    }
-    state = {g: [lo, hi, k] for g, (lo, hi, k) in init.items()}
-    done: dict[object, float] = {}
+    init.count()
+    state = init.select("g", "lo", "hi", F.col("k0").alias("k"))
+    fallback = Q69_EXACT_FALLBACK_ROWS
+    done_parts: list[DataFrame] = []
+    rn_w = Window.partitionBy("g").orderBy("v")
+    cum_w = Window.partitionBy("g").orderBy("b")
 
-    def _bounds_df(groups):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(g, state[g][0], state[g][1], 0.0) for g in groups],
-                bounds_schema,
-            )
+    def _exact_part(scand: DataFrame, groups_df: DataFrame) -> DataFrame:
+        """(g, value): the remaining-rank-th smallest candidate of each
+        listed group — the definitional pick, keyed and distributed."""
+        return (
+            scand.join(groups_df.select("g"), "g", "left_semi")
+            .withColumn("rn", F.row_number().over(rn_w))
+            .where(F.col("rn") == F.col("k"))
+            .select("g", F.col("v").alias("value"))
         )
 
-    def _candidate_counts(groups) -> dict[object, int]:
-        return {
-            r["g"]: r["cnt"]
-            for r in base.join(_bounds_df(groups), "g")
-            .where(F.col("v").between(F.col("lo"), F.col("hi")))
-            .groupBy("g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-
-    def _resolve_exact(groups, counts: dict[object, int]) -> None:
-        """Finish groups whose candidate sets are individually ≤
-        Q69_EXACT_FALLBACK_ROWS with an exact sorted pick, collecting
-        in chunks bounded by Q70_EXACT_CHUNK_ROWS total values."""
-        pending = sorted(groups, key=repr)
-        while pending:
-            chunk, tally = [], 0
-            while pending and (
-                not chunk or tally + counts[pending[-1]] <= Q70_EXACT_CHUNK_ROWS
-            ):
-                g = pending.pop()
-                chunk.append(g)
-                tally += counts[g]
-            by_g: dict[object, list] = {}
-            for r in (
-                base.join(_bounds_df(chunk), "g")
-                .where(F.col("v").between(F.col("lo"), F.col("hi")))
-                .select("g", "v")
-                .collect()
-            ):
-                by_g.setdefault(r["g"], []).append(r["v"])
-            for g in chunk:
-                vals = sorted(by_g[g])
-                done[g] = vals[state[g][2] - 1]
-
-    def _fail_unconverged(too_big: dict[object, int], why: str):
-        sample = ", ".join(repr(g) for g in sorted(too_big, key=repr)[:5])
+    def _fail(bad_rows, why: str):
+        sample = ", ".join(repr(r["g"]) for r in bad_rows[:5])
+        cnts = sorted((int(r["cnt"]) for r in bad_rows), reverse=True)[:5]
         raise RuntimeError(
             f"grouped_exact_percentile: {why} for group(s) {sample} with "
-            f"candidate sets above {Q69_EXACT_FALLBACK_ROWS} rows "
-            f"(counts {sorted(too_big.values(), reverse=True)[:5]}); raise "
+            f"candidate sets above {fallback} rows (counts {cnts}); raise "
             f"buckets/passes for this distribution"
         )
 
     for _ in range(Q69_MAX_PASSES):
-        active = {g: s for g, s in state.items() if g not in done}
-        for g, (lo, hi, _k) in list(active.items()):
-            if lo == hi:
-                done[g] = lo
-                del active[g]
-        if not active:
-            break
-        # Groups whose bucket width underflowed to 0.0 (subnormal-width
-        # range) cannot bisect — the bucket expression would be NaN;
-        # finish them exactly or refuse loudly.
-        under = [
-            g
-            for g, s in active.items()
-            if not ((s[1] - s[0]) / buckets > 0.0 and math.isfinite((s[1] - s[0]) / buckets))
-        ]
-        if under:
-            counts = _candidate_counts(under)
-            too_big = {
-                g: c for g, c in counts.items() if c > Q69_EXACT_FALLBACK_ROWS
-            }
-            if too_big:
-                _fail_unconverged(too_big, "bucket width underflowed")
-            _resolve_exact(under, counts)
-            for g in under:
-                del active[g]
-            if not active:
-                continue
-        bounds = spark.createDataFrame(
-            [(g, s[0], s[1], (s[1] - s[0]) / buckets) for g, s in active.items()],
-            bounds_schema,
+        done_parts.append(
+            state.where(F.col("lo") == F.col("hi")).select(
+                "g", F.col("lo").alias("value")
+            )
         )
-        joined = base.join(F.broadcast(bounds), "g").where(
+        active = (
+            state.where(F.col("lo") != F.col("hi"))
+            .withColumn("w", (F.col("hi") - F.col("lo")) / F.lit(float(buckets)))
+            .withColumn(
+                # NOT (w > 0 AND finite): NaN is checked explicitly
+                # because Spark ORDERS NaN above every double, so a
+                # bare `w > 0` would wave NaN widths through
+                "uf",
+                F.isnan("w")
+                | (F.col("w") <= F.lit(0.0))
+                | (F.col("w") == F.lit(float("inf"))),
+            )
+        )
+        scand = base.join(active, "g").where(
             F.col("v").between(F.col("lo"), F.col("hi"))
+        )
+        counts = scoped_persist(
+            scand.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if counts.isEmpty():
+            break
+        bad = (
+            counts.join(active.where(F.col("uf")).select("g"), "g", "left_semi")
+            .where(F.col("cnt") > fallback)
+            .limit(6)
+            .collect()
+        )
+        if bad:
+            _fail(bad, "bucket width underflowed")
+        done_parts.append(
+            _exact_part(scand, counts.where(F.col("cnt") <= fallback))
+        )
+        # bisect the rest: per-group histogram, window cumulative walk,
+        # bucket min/max re-anchor — all keyed, nothing driver-side
+        bis = scand.where(~F.col("uf")).join(
+            counts.where(F.col("cnt") > fallback).select("g"), "g", "left_semi"
         )
         b_expr = F.least(
             F.floor((F.col("v") - F.col("lo")) / F.col("w")).cast("int"),
             F.lit(buckets - 1),
         )
-        hist: dict[object, list] = {}
-        for r in (
-            joined.groupBy("g", b_expr.alias("b"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        ):
-            hist.setdefault(r["g"], []).append((r["b"], r["cnt"]))
-        # Groups whose whole candidate set already fits the exact step
-        # finish now — this is what guarantees convergence for value
-        # distributions linear narrowing can't pin down.
-        totals = {g: sum(c for _, c in cells) for g, cells in hist.items()}
-        small = [g for g, t in totals.items() if t <= Q69_EXACT_FALLBACK_ROWS]
-        if small:
-            _resolve_exact(small, totals)
-            for g in small:
-                del active[g]
-        picks = {}
-        for g, cells in hist.items():
-            if g in done:
-                continue
-            cum, rem = 0, active[g][2]
-            for i, cnt in sorted(cells):
-                if cum + cnt >= rem:
-                    picks[g] = i
-                    active[g][2] = rem - cum
-                    break
-                cum += cnt
-        if not picks:
-            continue
-        pick_df = spark.createDataFrame(
-            [(g, i) for g, i in picks.items()], pick_schema
+        hist = bis.groupBy("g", "k", b_expr.alias("b")).agg(
+            F.count(F.lit(1)).alias("cnt")
         )
-        mm = (
-            joined.join(F.broadcast(pick_df), "g")
-            .where(b_expr == F.col("pick"))
-            .groupBy("g")
-            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-            .collect()
-        )
-        for r in mm:
-            state[r["g"]][0], state[r["g"]][1] = r["mn"], r["mx"]
-            state[r["g"]][2] = active[r["g"]][2]
-    stuck = []
-    for g, (lo, hi, _k) in state.items():
-        if g in done:
-            continue
-        if lo == hi:
-            done[g] = lo
-        else:
-            stuck.append(g)
-    if stuck:
-        counts = _candidate_counts(stuck)
-        too_big = {g: c for g, c in counts.items() if c > Q69_EXACT_FALLBACK_ROWS}
-        if too_big:
-            _fail_unconverged(
-                too_big, f"no convergence after {Q69_MAX_PASSES} passes"
+        pick = (
+            hist.withColumn("cb", F.sum("cnt").over(cum_w) - F.col("cnt"))
+            .where(
+                (F.col("cb") < F.col("k"))
+                & (F.col("k") <= F.col("cb") + F.col("cnt"))
             )
-        _resolve_exact(stuck, counts)
-    return [(g, init[g][2], done[g]) for g in sorted(init)]
+            .select("g", F.col("b").alias("pick"), (F.col("k") - F.col("cb")).alias("nk"))
+        )
+        # localCheckpoint (eager), not persist: each round's state plan
+        # embeds the previous round's several times over (active, scand,
+        # counts, bis all re-reference it), so without truncation the
+        # logical plan grows EXPONENTIALLY in rounds — a 24-round
+        # nonconvergence run OOM'd the JVM analyzing it. Same pattern as
+        # the CC loop (functions/dedup.py).
+        state = (
+            bis.join(pick, "g")
+            .where(b_expr == F.col("pick"))
+            .groupBy("g", "nk")
+            .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .select(
+                "g",
+                F.col("mn").alias("lo"),
+                F.col("mx").alias("hi"),
+                F.col("nk").alias("k"),
+            )
+            .localCheckpoint()
+        )
+        if state.count() == 0:
+            break
+    else:
+        # pass budget exhausted: finish converged / small groups, but a
+        # still-large candidate set must refuse loudly (never emit the
+        # current lower bound as if it were exact)
+        done_parts.append(
+            state.where(F.col("lo") == F.col("hi")).select(
+                "g", F.col("lo").alias("value")
+            )
+        )
+        rem = state.where(F.col("lo") != F.col("hi"))
+        scand = base.join(rem, "g").where(
+            F.col("v").between(F.col("lo"), F.col("hi"))
+        )
+        counts = scoped_persist(
+            scand.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        bad = counts.where(F.col("cnt") > fallback).limit(6).collect()
+        if bad:
+            _fail(bad, f"no convergence after {Q69_MAX_PASSES} passes")
+        done_parts.append(_exact_part(scand, counts))
+    done = _reduce(DataFrame.unionByName, done_parts)
+    return (
+        init.join(done, "g")
+        .select("g", F.col("k0").alias("k"), "value")
+        .orderBy("g")
+    )
 
 
 @register(
@@ -2550,13 +2501,15 @@ def grouped_exact_percentile(
 def q70_grouped_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`grouped_exact_percentile` over l_extendedprice by l_returnflag:
     the exact per-group discrete median with (groups × 1024)-bounded
-    aggregation state — what q29 becomes when a group's value set no
-    longer fits an ObjectAggregation buffer. Oracle = the per-group
-    ROW_NUMBER element lookup."""
-    rows = grouped_exact_percentile(
+    aggregation state and DataFrame-resident bisection state (r10 —
+    group cardinality unbounded) — what q29 becomes when a group's
+    value set no longer fits an ObjectAggregation buffer. Oracle = the
+    per-group ROW_NUMBER element lookup."""
+    out = grouped_exact_percentile(
         table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
     )
-    return spark.createDataFrame(
-        [(str(g), int(k), float(v)) for g, k, v in rows],
-        "l_returnflag string, k bigint, p50 double",
+    return out.select(
+        F.col("g").cast("string").alias("l_returnflag"),
+        F.col("k"),
+        F.col("value").alias("p50"),
     )
