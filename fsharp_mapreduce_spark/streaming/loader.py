@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from fsharp_mapreduce_spark.scratch import scratch_dir
@@ -122,22 +123,54 @@ def read_pull_stream(
     )
 
 
+# State/shuffle partition count for the bounded fixture replays. The
+# number of state-store instances a streaming query commits PER
+# TRIGGER equals spark.sql.shuffle.partitions at query start; with the
+# session default (32) each ~15k-row micro-batch paid 32 task launches
+# + 32 state-store commits per stateful stage per trigger — measured
+# 4.2s → 2.0s on st01 just by sizing this to 8 (VERDICT r9 #7: the
+# streaming bench rows were ~10 triggers × ~1.4s of exactly this).
+# This is the same sizing rule as everywhere else in the repo: fit
+# partitions to the data in flight, not to the box. A production
+# deployment at 100 TB sizes UP from its own trigger volume; results
+# are partition-count-invariant (stream-batch parity oracles + the
+# partition-invariance tests pin that).
+STREAM_FIXTURE_SHUFFLE_PARTITIONS = 8
+
+
+@contextmanager
+def stream_shuffle_sizing(
+    spark: SparkSession, n: int = STREAM_FIXTURE_SHUFFLE_PARTITIONS
+):
+    """Scope spark.sql.shuffle.partitions to a streaming run (the
+    count is baked into the query's state layout at start()); restores
+    the session value afterwards — same set/restore discipline as
+    st09's provider-class flip."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
     """Drive a bounded stream to exhaustion into an in-memory sink and
     return the final result table (the batch-equivalent answer). The
     reference's completion detection (ack counting,
     Orchestrator.fs:142-163) is Spark's processAllAvailable."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_sizing(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return stream_df.sparkSession.table(query_name)
 
 

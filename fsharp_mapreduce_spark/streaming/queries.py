@@ -28,6 +28,7 @@ from fsharp_mapreduce_spark.streaming.loader import (
     read_pull_stream,
     run_to_completion,
     stage_as_chunked_files,
+    stream_shuffle_sizing,
 )
 
 
@@ -288,15 +289,16 @@ def st08_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sink_dir)
         )
 
-    q = (
-        ev.writeStream.foreachBatch(handle_batch)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_sizing(spark):
+        q = (
+            ev.writeStream.foreachBatch(handle_batch)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     partials = spark.read.parquet(sink_dir)
     return partials.groupBy("event_type").agg(
@@ -727,15 +729,16 @@ def st14_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             sink_dir
         )
 
-    sq = (
-        qstream.writeStream.foreachBatch(probe_batch)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        sq.processAllAvailable()
-    finally:
-        sq.stop()
+    with stream_shuffle_sizing(spark):
+        sq = (
+            qstream.writeStream.foreachBatch(probe_batch)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            sq.processAllAvailable()
+        finally:
+            sq.stop()
     return spark.read.parquet(sink_dir)
 
 
@@ -846,15 +849,16 @@ def st16_stream_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(sink_dir)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(handle_batch)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle_sizing(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle_batch)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
 
     batch_counts = (
         spark.read.parquet(sink_dir)
