@@ -162,6 +162,9 @@ HEADLINE = [
     "m08_avi_decode_stats",
     "t31_count_min_heavy_hitters",
     "t35_textrank_keywords",
+    # r10 addition (pytest-only this round, rotation candidate for
+    # r11) — benched from day one so its curve has history
+    "t47_semantic_dedup",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2422,3 +2422,183 @@ def t46_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_found") / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t47: semantic dedup — cluster-then-prune (SemDeDup), the production
+# embedding-dedup path at corpus scale
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_cells: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus embeddings with the shared spherical k-means quantizer,
+    then find semantic duplicates WITHIN each cluster only and keep
+    the lowest-id member of every duplicate relation. This is the
+    third member of the embedding-dedup ladder and the one production
+    corpora run: t09 is the exact all-pairs verifier (quadratic), t10
+    prunes candidates by hyperplane-LSH bucket, t47 prunes by
+    semantic CELL — which is the grouping a curated-corpus pipeline
+    already maintains (the SemDeDup insight: k-means cells are where
+    semantic near-dups live, so the all-pairs problem factors into
+    K independent (n/K)^2 problems; cross-cell pairs are forgone BY
+    DESIGN — the paper's recall/cost trade).
+
+    Per cell, candidates come from ONE float64 GEMM in an Arrow batch
+    (t09's candidate/rescore split: GEMM at a 1e-6-loosened threshold
+    for vectorized decisions, survivors re-scored with the
+    sequential-fold `cosine` — the identical IEEE operation order the
+    DuckDB oracle executes, so emitted scores are bit-exact
+    cross-engine). Drop rule: vector v is dropped iff some same-cell
+    u < v has cosine(u, v) >= threshold; the emitted row carries the
+    smallest such u (`dup_of`), the duplicate count and the best
+    similarity — the audit columns a pruning run reports.
+
+    100 TB shape: the fit is sample-bounded (`_kmeans_centroids` —
+    md5-ordered per-partition top-N, a few MB to the driver);
+    assignment is the map-only Arrow-GEMM projection shared with the
+    whole IVF family (`_assign_cells` — zero corpus-keyed exchanges
+    before the single cell-keyed exchange that co-locates each cell);
+    per-cell work is an independent dense problem sized by n/K, and K
+    scales WITH the corpus (SemDeDup runs 50k+ clusters at
+    billion-doc scale, keeping cells roughly constant-sized; a hot
+    cell is the same skew hazard as an IVF cell and takes the same
+    remedy — s22's rebalance/split). Reference parity: composes the
+    reference's shuffle-group + per-key-reduce mechanism
+    (Worker.fs:39-43, 89-96) with the cell id as the key."""
+    import numpy as np
+    import pandas as pd
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        N_CELLS,
+        _assign_cells,
+        _kmeans_centroids,
+        cosine,
+    )
+
+    cents = _kmeans_centroids(emb, n_cells or N_CELLS)
+    assigned = scoped_persist(
+        _assign_cells(emb.select("vec_id", "embedding"), cents)
+    )
+    loose = threshold - 1e-6
+
+    def cell_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell_id"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= loose
+        va, vb = ids[ia[keep]], ids[ib[keep]]
+        lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+        return pd.DataFrame(
+            {"cell_id": np.full(len(lo), cell, dtype=np.int32), "vec_a": lo, "vec_b": hi}
+        )
+
+    cands = assigned.groupBy("cell_id").applyInPandas(
+        cell_candidates, "cell_id int, vec_a long, vec_b long"
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    scored = (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", cosine(F.col("ea"), F.col("eb")))
+        .where(F.col("sim") >= F.lit(threshold))
+    )
+    return (
+        scored.groupBy("vec_b", "cell_id")
+        .agg(
+            F.min("vec_a").alias("dup_of"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+            F.round(F.max("sim"), 6).alias("max_sim"),
+        )
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("cell_id").cast("int").alias("cell_id"),
+            "dup_of",
+            "n_dups",
+            "max_sim",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _t47_oracle_for(sf_dir: str) -> str | None:
+    """Data-derived oracle: replay the deterministic centroid fit from
+    parquet (`_replay_centroid_fit` — the s04 pattern), inline the
+    centroids as literals, replay assignment (argmax cosine, tie ->
+    lower cell) and the within-cell pair scan with the shared native
+    dot, and aggregate the identical drop rule. Valid only for the
+    sf_dir it was generated from (oracle_factory; the differential
+    suite regenerates per SF)."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        _DOT_SQL,
+        _replay_centroid_fit,
+        _seq_norm,
+    )
+
+    cents = _replay_centroid_fit(sf_dir)
+    cent_rows = ", ".join(
+        "({}, [{}], {})".format(
+            i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH cents(cell_id, ce, cn) AS (VALUES {cent_rows}),
+    en AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS a,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, e.a, e.nrm, c.cell_id,
+             (list_dot_product(e.a, CAST(c.ce AS DOUBLE[])) / (e.nrm * c.cn)) AS csim
+      FROM en e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, a, nrm, cell_id FROM (
+        SELECT vec_id, a, nrm, cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id ORDER BY csim DESC, cell_id
+               ) AS r
+        FROM scored_cells) WHERE r = 1
+    ),
+    pairs AS (
+      SELECT x.cell_id, x.vec_id AS vec_a, y.vec_id AS vec_b,
+             list_dot_product(x.a, y.a) / (x.nrm * y.nrm) AS sim
+      FROM assigned x
+      JOIN assigned y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+    )
+    SELECT vec_b AS vec_id,
+           CAST(cell_id AS INTEGER) AS cell_id,
+           MIN(vec_a) AS dup_of,
+           CAST(COUNT(*) AS BIGINT) AS n_dups,
+           ROUND(MAX(sim), 6) AS max_sim
+    FROM pairs WHERE sim >= {COSINE_DUP_THRESHOLD}
+    GROUP BY vec_b, cell_id
+"""
+
+
+@register(
+    "t47_semantic_dedup",
+    oracle_factory=_t47_oracle_for,
+    tags=("dedup", "embedding", "semantic", "kmeans"),
+)
+def t47_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`semantic_dedup` over the embeddings table: spherical-k-means
+    cells, within-cell cosine >= {COSINE_DUP_THRESHOLD} duplicate
+    relations, keep-lowest-id — each dropped vector reported with its
+    representative, duplicate count and best similarity. The
+    cluster-then-prune member of the embedding-dedup family (exact
+    t09 / LSH t10), oracle-checked value-for-value via the replayed
+    centroid fit."""
+    return semantic_dedup(table(spark, sf_dir, "embeddings"))

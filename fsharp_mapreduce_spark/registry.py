@@ -507,6 +507,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # hyperplane-LSH scale path — keeps the slot; t09, its exact
     # blocked-GEMM verifier twin (driver-green r1–r5), folds
     "t09_embedding_neardup": "t10_embedding_neardup_lsh",
+    # ...and t47 (SemDeDup cluster-then-prune — the k-means-cell
+    # member of the same embedding-dedup family; round-10 addition,
+    # pytest-only per the cadence, rotation candidate for r11)
+    "t47_semantic_dedup": "t10_embedding_neardup_lsh",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

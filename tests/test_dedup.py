@@ -1559,3 +1559,54 @@ def test_t46_recall_curve_structure(spark, synth_docs_dir):
     # planted near-dups are all recalled (test_minhash_recall's pin,
     # restated through the registered audit)
     assert all(r.recall == 1.0 for r in rows), rows
+
+
+def test_t47_semantic_dedup_planted_clusters(spark):
+    """semantic_dedup on planted structure: three well-separated
+    direction groups (k-means must put each group in one cell at
+    k >= 3), with (a) a triple of IDENTICAL vectors -> the two higher
+    ids dropped, both pointing dup_of at the LOWEST id with
+    max_sim 1.0 and the lowest id itself KEPT (absent from output);
+    (b) a near-dup pair -> higher id dropped; (c) isolated vectors
+    in a third direction -> kept. Pins the keep-lowest-id rule, the
+    within-cell scope, and the audit columns."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.dedup import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    dim = 8
+
+    def around(base, eps, n):
+        return [
+            (base + eps * rng.randn(dim)).tolist() for _ in range(n)
+        ]
+
+    ax_a = np.array([10.0] + [0.0] * (dim - 1))
+    ax_b = np.array([0.0, 10.0] + [0.0] * (dim - 2))
+    ax_c = np.array([0.0, 0.0, 10.0] + [0.0] * (dim - 3))
+    rows = []
+    # group A: ids 1, 5, 9 identical; 3 loose A-direction fillers
+    ident = (ax_a + 0.01 * rng.randn(dim)).tolist()
+    rows += [(1, ident), (5, ident), (9, ident)]
+    rows += [(i, v) for i, v in zip((12, 13, 14), around(ax_a, 6.0, 3))]
+    # group B: near-dup pair 20 < 21, plus a loose filler
+    nb = ax_b + 0.001 * rng.randn(dim)
+    rows += [(20, nb.tolist()), (21, (nb + 1e-4 * rng.randn(dim)).tolist())]
+    rows += [(25, (ax_b + 6.0 * rng.randn(dim)).tolist())]
+    # group C: isolated spread-out vectors
+    rows += [(i, v) for i, v in zip((30, 31, 32), around(ax_c, 6.0, 3))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["vec_id"]: (r["dup_of"], r["n_dups"], r["max_sim"])
+        for r in semantic_dedup(emb, threshold=0.95, n_cells=3).collect()
+    }
+    assert 5 in got and got[5][0] == 1 and got[5][2] == 1.0
+    assert 9 in got and got[9][0] in (1, 5) and got[9][2] == 1.0
+    assert 9 in got and got[9][0] == 1  # min over {1, 5}
+    assert got[9][1] == 2  # duplicates of both 1 and 5
+    assert 21 in got and got[21][0] == 20 and got[21][2] >= 0.999999
+    assert 1 not in got and 20 not in got  # lowest ids kept
+    for kept in (12, 13, 14, 25, 30, 31, 32):
+        assert kept not in got, (kept, got.get(kept))
