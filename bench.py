@@ -162,9 +162,10 @@ HEADLINE = [
     "m08_avi_decode_stats",
     "t31_count_min_heavy_hitters",
     "t35_textrank_keywords",
-    # r10 addition (pytest-only this round, rotation candidate for
-    # r11) — benched from day one so its curve has history
+    # r10 additions (pytest-only this round, rotation candidates for
+    # r11) — benched from day one so their curves have history
     "t47_semantic_dedup",
+    "t48_duplicate_spans",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2602,3 +2602,157 @@ def t47_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t09 / LSH t10), oracle-checked value-for-value via the replayed
     centroid fit."""
     return semantic_dedup(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# t48: duplicated-span extraction — exact SUBSTRING dedup at k-gram
+# granularity (the Lee et al. 2022 operation, hash-factored)
+# ---------------------------------------------------------------------------
+
+# Tokens per gram: duplicated text shorter than SPAN_GRAM tokens is
+# below the reporting floor (Lee et al. use 50 BPE tokens at web
+# scale; 8 fits the fixture's ~dozens-of-tokens documents while
+# keeping chance 8-gram collisions over the 31-word vocabulary
+# negligible — 31^8 ≈ 8.5e11 possible grams).
+SPAN_GRAM = 8
+
+
+def duplicate_spans(docs: DataFrame, k: int = SPAN_GRAM) -> DataFrame:
+    """Maximal duplicated token spans per document — the exact-
+    substring member of the dedup family (Lee et al. 2022,
+    arXiv:2107.06499: "deduplicating training data makes language
+    models better" removes repeated SUBSTRINGS, not just repeated
+    documents). Completes the granularity ladder: t01 dedups whole
+    documents, t26 paragraphs, t44 heavy-hitter blocks, t02/t03
+    score document PAIRS — t48 reports the duplicated CHARACTER of a
+    document itself: every maximal token interval all of whose
+    k-grams occur >= 2 times corpus-wide (within-doc repeats count,
+    as in the paper). The suffix-array step of the paper is factored
+    into hash algebra: a token interval is duplicated iff each of its
+    k-grams is, so (1) emit (doc, pos, md5(gram)) for every k-window
+    — map-only; (2) keep grams whose corpus occurrence count >= 2 —
+    one digest-keyed exchange with map-side partial aggregation, then
+    a co-partitioned semi-join (NOT a count-over-window: a boilerplate
+    gram hot in millions of documents would make WindowExec buffer
+    the whole partition; hash-agg + streamed join has no per-key
+    residency); (3) merge surviving positions into maximal spans with
+    the gaps-and-islands window per document — two fixed-length
+    intervals merge iff their starts differ by <= k, so one lag()
+    suffices. 100 TB shape: the only corpus-mass exchange is the
+    digest one (16-byte keys, the t03 argument); span assembly
+    shuffles only the duplicated residue, keyed by doc_id.
+
+    Reference parity: the shuffle-group + per-key-reduce mechanism
+    (Worker.fs:39-43, 89-96) with the gram digest as the key, then
+    doc_id as the key — two chained MapReduce rounds, which is
+    exactly how the reference would express it."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    # Both semi-join sides read the gram table; without the persist
+    # Catalyst recomputes the full scan + per-position md5 once per
+    # side. At real scale this staging is written out as the gram
+    # index (bucketed by digest — the m14 signature-table argument),
+    # not cached.
+    grams = scoped_persist(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+                ),
+            ).alias("hs"),
+        ).select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    )
+    dup_hashes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
+        F.col("c") >= 2
+    )
+    dup = grams.join(dup_hashes.select("h"), "h", "left_semi").select(
+        "doc_id", "pos"
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(wd))
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _t48_oracle() -> str:
+    """Analytic replica: the identical gram hashing (md5 over the
+    space-joined k-window — bijective because tokens cannot contain
+    the join character), occurrence counting, and island merge in
+    DuckDB SQL. Window-count here (the oracle runs at verification
+    scale); the engine side uses the skew-safe agg + semi-join."""
+    k = SPAN_GRAM
+    return f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(ws) - {k})) AS pos,
+             unnest([md5(list_aggregate(ws[i + 1 : i + {k}], 'string_agg', ' '))
+                     for i in generate_series(0, len(ws) - {k})]) AS h
+      FROM w WHERE len(ws) >= {k}
+    ),
+    occ AS (
+      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+    ),
+    dup AS (SELECT doc_id, pos FROM occ WHERE c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN LAG(pos) OVER w2 IS NULL
+                    OR pos - LAG(pos) OVER w2 > {k}
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup WINDOW w2 AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl2 GROUP BY doc_id, island
+"""
+
+
+@register(
+    "t48_duplicate_spans",
+    oracle=_t48_oracle(),
+    tags=("dedup", "substring", "spans", "ngram"),
+)
+def t48_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`duplicate_spans` over the documents table: every maximal
+    token interval whose {SPAN_GRAM}-grams all occur at least twice
+    corpus-wide, with its token extent and merged gram count — the
+    per-document duplicated-substring report an exact-substring
+    dedup pass consumes."""
+    return duplicate_spans(fan_out(table(spark, sf_dir, "documents")))

@@ -511,6 +511,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # member of the same embedding-dedup family; round-10 addition,
     # pytest-only per the cadence, rotation candidate for r11)
     "t47_semantic_dedup": "t10_embedding_neardup_lsh",
+    # ...and t48 (duplicated-span extraction — the exact-substring
+    # member of the duplicated-text-block family whose heavy-hitter
+    # representative t44 holds a slot; round-10 addition, pytest-only
+    # per the cadence, rotation candidate for r11)
+    "t48_duplicate_spans": "t44_boilerplate_blocks",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

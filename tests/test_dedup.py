@@ -1610,3 +1610,56 @@ def test_t47_semantic_dedup_planted_clusters(spark):
     assert 1 not in got and 20 not in got  # lowest ids kept
     for kept in (12, 13, 14, 25, 30, 31, 32):
         assert kept not in got, (kept, got.get(kept))
+
+
+def test_t48_duplicate_spans_planted(spark):
+    """duplicate_spans on planted structure, pinning every rule:
+    (a) a 12-token shared prefix merges its 5 overlapping dup grams
+    into ONE maximal span covering exactly the shared tokens; (b) a
+    WITHIN-doc repeated 10-token block yields two separate spans
+    (within-doc repeats count, as in Lee et al.); (c) an all-unique
+    doc yields no rows; (d) two dup grams exactly k positions apart
+    (islands touching, nothing duplicated in between crossing the
+    block boundary) MERGE — the adjacency rule; (e) span extent is
+    [start, last_gram_pos + k - 1]."""
+    from fsharp_mapreduce_spark.functions.dedup import SPAN_GRAM, duplicate_spans
+
+    assert SPAN_GRAM == 8  # the planted positions below assume k=8
+
+    def uniq(tag, n):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    shared12 = uniq("s", 12)
+    block10 = uniq("x", 10)
+    shared16 = uniq("y", 16)
+    a8, b8 = uniq("a", 8), uniq("b", 8)
+    rows = [
+        (1, shared12 + " " + uniq("p", 10)),
+        (2, shared12 + " " + uniq("q", 10)),
+        (3, block10 + " " + uniq("f", 10) + " " + block10),
+        (4, uniq("z", 25)),
+        (5, shared16 + " " + uniq("v", 5)),
+        (6, shared16 + " " + uniq("w", 5)),
+        (7, a8 + " " + b8),
+        (8, a8 + " " + uniq("c", 8)),
+        (9, uniq("d", 8) + " " + b8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start): (r.span_end, r.span_tokens, r.n_grams)
+        for r in duplicate_spans(docs).collect()
+    }
+    assert got[(1, 0)] == (11, 12, 5)  # shared prefix, 5 grams merged
+    assert got[(2, 0)] == (11, 12, 5)
+    assert got[(3, 0)] == (9, 10, 3)  # within-doc repeat: two islands
+    assert got[(3, 20)] == (29, 10, 3)
+    assert got[(5, 0)] == (15, 16, 9)
+    assert got[(6, 0)] == (15, 16, 9)
+    # doc 7: dup grams at pos 0 (A-block, shared with doc 8) and pos 8
+    # (B-block, shared with doc 9); boundary-crossing grams unique ->
+    # gap == k, islands MERGE into one 16-token span of 2 grams
+    assert got[(7, 0)] == (15, 16, 2)
+    assert got[(8, 0)] == (7, 8, 1)
+    assert got[(9, 8)] == (15, 8, 1)
+    assert not any(d == 4 for d, _ in got), got  # unique doc: no rows
+    assert len(got) == 9, got
