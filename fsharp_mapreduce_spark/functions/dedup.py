@@ -2617,6 +2617,57 @@ def t47_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_GRAM = 8
 
 
+T48_GRAM_SCHEMA = (
+    "doc_id long, pos int, h1 long, h2 long"
+)
+
+
+def _gram_digests(docs: DataFrame, k: int) -> DataFrame:
+    """Map-only Arrow pass: (doc_id, text) -> one row per k-token
+    window carrying the window's 128-bit md5 digest as two int64s.
+    A 64-bit key would collide at real corpus scale (~10^13 grams ->
+    millions of birthday collisions, each a false duplicated gram);
+    128 bits keeps the false-dup probability negligible at any
+    conceivable corpus size while shuffling 16 bytes/row. Python-side
+    hashing on purpose: the declarative formulation needs either a
+    higher-order-function lambda (interpreted, NOT whole-stage
+    codegen — measured 222s vs 22s at sf5.0 for the same output) or
+    window leads over posexploded tokens (codegen-fast but costs a
+    full-corpus exchange on doc_id before any duplication evidence
+    exists — wrong at 100 TB); the Arrow pass is both map-only and
+    C-speed (hashlib.md5)."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            d_out, p_out, h1_out, h2_out = [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = (text or "").lower().split(" ")
+                n = len(ts) - k + 1
+                for p in range(max(n, 0)):
+                    dg = hashlib.md5(" ".join(ts[p : p + k]).encode()).digest()
+                    d_out.append(did)
+                    p_out.append(p)
+                    h1_out.append(int.from_bytes(dg[:8], "little", signed=True))
+                    h2_out.append(int.from_bytes(dg[8:], "little", signed=True))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(d_out, dtype="int64"),
+                    "pos": pd.array(p_out, dtype="int32"),
+                    "h1": pd.array(h1_out, dtype="int64"),
+                    "h2": pd.array(h2_out, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, T48_GRAM_SCHEMA)
+
+
 def duplicate_spans(docs: DataFrame, k: int = SPAN_GRAM) -> DataFrame:
     """Maximal duplicated token spans per document — the exact-
     substring member of the dedup family (Lee et al. 2022,
@@ -2629,14 +2680,15 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_GRAM) -> DataFrame:
     k-grams occur >= 2 times corpus-wide (within-doc repeats count,
     as in the paper). The suffix-array step of the paper is factored
     into hash algebra: a token interval is duplicated iff each of its
-    k-grams is, so (1) emit (doc, pos, md5(gram)) for every k-window
-    — map-only; (2) keep grams whose corpus occurrence count >= 2 —
-    one digest-keyed exchange with map-side partial aggregation, then
-    a co-partitioned semi-join (NOT a count-over-window: a boilerplate
-    gram hot in millions of documents would make WindowExec buffer
-    the whole partition; hash-agg + streamed join has no per-key
-    residency); (3) merge surviving positions into maximal spans with
-    the gaps-and-islands window per document — two fixed-length
+    k-grams is, so (1) emit (doc, pos, digest(gram)) for every
+    k-window — one map-only Arrow pass (`_gram_digests`); (2) keep
+    grams whose corpus occurrence count >= 2 — one digest-keyed
+    exchange with map-side partial aggregation, then a co-partitioned
+    semi-join (NOT a count-over-window: a boilerplate gram hot in
+    millions of documents would make WindowExec buffer the whole
+    partition; hash-agg + streamed join has no per-key residency);
+    (3) merge surviving positions into maximal spans with the
+    gaps-and-islands window per document — two fixed-length
     intervals merge iff their starts differ by <= k, so one lag()
     suffices. 100 TB shape: the only corpus-mass exchange is the
     digest one (16-byte keys, the t03 argument); span assembly
@@ -2648,30 +2700,19 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_GRAM) -> DataFrame:
     exactly how the reference would express it."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.col("text")), " ")
     # Both semi-join sides read the gram table; without the persist
-    # Catalyst recomputes the full scan + per-position md5 once per
-    # side. At real scale this staging is written out as the gram
-    # index (bucketed by digest — the m14 signature-table argument),
-    # not cached.
-    grams = scoped_persist(
-        docs.select(
-            "doc_id",
-            F.when(
-                F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-                ),
-            ).alias("hs"),
-        ).select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    # the scan + Arrow hashing pass runs once per side. At real scale
+    # this staging is written out as the gram index (bucketed by
+    # digest — the m14 signature-table argument), not cached.
+    grams = scoped_persist(_gram_digests(docs, k))
+    dup_hashes = (
+        grams.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
     )
-    dup_hashes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(
-        F.col("c") >= 2
-    )
-    dup = grams.join(dup_hashes.select("h"), "h", "left_semi").select(
-        "doc_id", "pos"
-    )
+    dup = grams.join(
+        dup_hashes.select("h1", "h2"), ["h1", "h2"], "left_semi"
+    ).select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     isl = (
         dup.withColumn("prev", F.lag("pos").over(wd))
@@ -2702,10 +2743,12 @@ def duplicate_spans(docs: DataFrame, k: int = SPAN_GRAM) -> DataFrame:
 
 
 def _t48_oracle() -> str:
-    """Analytic replica: the identical gram hashing (md5 over the
-    space-joined k-window — bijective because tokens cannot contain
-    the join character), occurrence counting, and island merge in
-    DuckDB SQL. Window-count here (the oracle runs at verification
+    """Analytic replica: gram occurrence counting on the RAW
+    space-joined k-window string (the digest never reaches the
+    output, so equality of gram STRINGS is the exact semantics the
+    engine's 128-bit digest grouping implements — and the string
+    side is collision-free by construction), then the identical
+    island merge. Window-count here (the oracle runs at verification
     scale); the engine side uses the skew-safe agg + semi-join."""
     k = SPAN_GRAM
     return f"""
@@ -2715,7 +2758,7 @@ def _t48_oracle() -> str:
     g AS (
       SELECT doc_id,
              unnest(generate_series(0, len(ws) - {k})) AS pos,
-             unnest([md5(list_aggregate(ws[i + 1 : i + {k}], 'string_agg', ' '))
+             unnest([list_aggregate(ws[i + 1 : i + {k}], 'string_agg', ' ')
                      for i in generate_series(0, len(ws) - {k})]) AS h
       FROM w WHERE len(ws) >= {k}
     ),
