@@ -480,3 +480,64 @@ def test_no_duckdb_run_never_degrades_committed_detail(tmp_path, monkeypatch):
     # and with no existing file at all
     fake.unlink()
     assert bench._detail_target(False).name == "BENCH_DETAIL.json"
+
+
+def test_group_spread_ratio_flags_dirty_attempt():
+    """r10: a non-streaming row whose in-JVM samples disagree by more
+    than SPREAD_CONTENTION_RATIO marks the attempt dirty even under
+    quiet floor probes (the s07 case — GC/worker pressure the
+    scheduler floor probe cannot see); a clean re-run's timings are
+    used. Streaming rows are exempt: their spread is trigger
+    scheduling jitter by design."""
+    import bench
+
+    quiet = {"load1": 1.0, "load5": 1.0, "floor_ms": 80.0}
+
+    # dirty first attempt (s07 spread 3.4x), clean second
+    snaps = iter([quiet, quiet, quiet, quiet])
+    runs = iter(
+        [
+            {"queries": {"s07": 5.0}, "spread": {"s07": [2.28, 7.77]}},
+            {"queries": {"s07": 1.9}, "spread": {"s07": [1.88, 2.2]}},
+        ]
+    )
+    t, s, meta = bench.measure_group(
+        "s", ["s07"], 3,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"s07": 1.9}
+    assert s == {"s07": [1.88, 2.2]}
+    assert meta["contended"] is False
+    assert len(meta["attempts"]) == 2
+    assert meta["attempts"][0]["worst_spread_ratio"] == 3.41
+
+    # the same spread on a STREAMING row is accepted without a re-run
+    snaps = iter([quiet, quiet])
+    runs = iter(
+        [{"queries": {"st19": 15.0}, "spread": {"st19": [11.37, 29.94]}}]
+    )
+    t, _, meta = bench.measure_group(
+        "stm", ["st19"], 3,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"st19": 15.0}
+    assert meta["contended"] is False
+    assert len(meta["attempts"]) == 1
+
+    # persistently-dirty row: retries exhaust, per-row minimum with
+    # the MATCHING attempt's spread, contended flag set
+    snaps = iter([quiet] * 2 * bench.GROUP_MAX_ATTEMPTS)
+    runs = iter(
+        [
+            {"queries": {"s07": 5.0}, "spread": {"s07": [2.3, 7.8]}},
+            {"queries": {"s07": 4.1}, "spread": {"s07": [1.9, 6.5]}},
+            {"queries": {"s07": 4.8}, "spread": {"s07": [2.0, 7.0]}},
+        ]
+    )
+    t, s, meta = bench.measure_group(
+        "s", ["s07"], 3,
+        _run_once=lambda: next(runs), _snapshot=lambda: dict(next(snaps)),
+    )
+    assert t == {"s07": 4.1}
+    assert s == {"s07": [1.9, 6.5]}
+    assert meta["contended"] is True
