@@ -167,6 +167,7 @@ HEADLINE = [
     "t47_semantic_dedup",
     "t48_duplicate_spans",
     "m15_audio_fingerprint_neardup",
+    "s24_multiprobe_recall_curve",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2967,3 +2967,196 @@ def s23_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _s24_oracle(planes_per_table: int = PLANES_PER_TABLE) -> str:
+    """Recall-curve replica: s21's mask expansion annotated with the
+    mask's position in the probe sequence, candidates reduced to
+    their FIRST surfacing probe, then one ranking per probe budget
+    over the budget's candidate prefix, hit-counted against the s01
+    exact replica. Every sub-replica is the same string the
+    s01/s02/s21 oracles run, so the curve cannot drift from the
+    pipelines it tunes."""
+    masks = multiprobe_masks(planes_per_table)
+    mask_rows = ", ".join(f"({i}, {m})" for i, m in enumerate(masks))
+    budget_rows = ", ".join(f"({b})" for b in range(1, len(masks) + 1))
+    return f"""
+    WITH {lsh_tagged_sql(N_TABLES, planes_per_table)},
+    masks(mrank, m) AS (VALUES {mask_rows}),
+    budgets(n_probes) AS (VALUES {budget_rows}),
+    q AS (
+      SELECT vec_id AS query_id, tbl,
+             xor(bucket::BIGINT, m::BIGINT) AS bucket, mrank
+      FROM tagged CROSS JOIN masks
+      WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT q.query_id, t.vec_id AS neighbor_id,
+             MIN(q.mrank) AS first_probe
+      FROM q JOIN tagged t
+        ON t.tbl = q.tbl AND t.bucket = q.bucket AND t.vec_id <> q.query_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, c.first_probe,
+             {_cosine_sql('qe.embedding', 'ne.embedding')} AS sim
+      FROM cand c
+      JOIN embeddings qe ON c.query_id = qe.vec_id
+      JOIN embeddings ne ON c.neighbor_id = ne.vec_id
+    ),
+    ranked AS (
+      SELECT b.n_probes, s.query_id, s.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.n_probes, s.query_id
+               ORDER BY s.sim DESC, s.neighbor_id
+             ) AS rank
+      FROM budgets b JOIN scored s ON s.first_probe < b.n_probes
+    ),
+    ex AS ({_S01_ORACLE}),
+    tot AS (SELECT COUNT(*) AS n FROM ex),
+    hits AS (
+      SELECT r.n_probes, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ranked r
+      JOIN ex ON ex.query_id = r.query_id AND ex.neighbor_id = r.neighbor_id
+      WHERE r.rank <= {TOP_K}
+      GROUP BY 1
+    ),
+    ncand AS (
+      SELECT b.n_probes, CAST(COUNT(*) AS BIGINT) AS n_candidates
+      FROM budgets b JOIN cand c ON c.first_probe < b.n_probes
+      GROUP BY 1
+    )
+    SELECT CAST(b.n_probes AS BIGINT) AS n_probes,
+           COALESCE(nc.n_candidates, 0) AS n_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) * 1.0 / tot.n, 6) AS recall
+    FROM budgets b CROSS JOIN tot
+    LEFT JOIN ncand nc ON nc.n_probes = b.n_probes
+    LEFT JOIN hits h ON h.n_probes = b.n_probes
+"""
+
+
+def _s24_oracle_for(sf_dir: str) -> str:
+    return _s24_oracle(_s02_planes_for_dir(sf_dir))
+
+
+@register(
+    "s24_multiprobe_recall_curve",
+    oracle_factory=_s24_oracle_for,
+    tags=("similarity", "recall", "audit", "multiprobe"),
+)
+def s24_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} AS A FUNCTION OF PROBE BUDGET — the tuning curve
+    behind s21's fixed budget, and the s-family twin of t46's
+    banding S-curve: for every prefix of the multi-probe sequence
+    (budget b = the own bucket plus the first b−1 single-bit flips,
+    so b=1 IS s02 and b=k+1 IS s21), aggregate recall against the
+    exact s01 baseline plus the candidate mass the budget pays — the
+    two axes an operator trades when choosing a probe budget at
+    cutover (Lv et al. 2007's core plot, measured on the registered
+    pipelines). Candidates are generated ONCE with each pair reduced
+    to its FIRST surfacing probe (monotone: a pair in budget b is in
+    every budget > b), scored exactly once, and ranked per budget
+    over the budget's candidate prefix.
+
+    Scale shape: one broadcast-probe equi-join against the shared
+    tagged index (the s02 plan, probes × masks on the broadcast
+    side), per-pair min-reduce and ONE exact scoring pass; budgets
+    multiply only the ≤ |queries|·candidates ranked rows (tiny), not
+    the corpus work. At 100 TB the probe set is a sample; the curve
+    algebra is unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    k = s02_planes_for(emb.count())
+    masks = multiprobe_masks(k)
+    bucket_ids = _lsh_bucket_udf(N_TABLES, k)
+    indexed = scoped_persist(
+        emb.select("vec_id", "embedding", bucket_ids(F.col("embedding")).alias("bs"))
+    )
+    tagged = indexed.select(
+        "vec_id", "embedding", F.posexplode("bs").alias("tbl", "bucket")
+    )
+    q0 = _probe_set(tagged)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("mrank"),
+                F.col("qbucket").bitwiseXOR(F.lit(m)).alias("pb"),
+            )
+            for i, m in enumerate(masks)
+        ]
+    )
+    q = q0.select(
+        "query_id", "qe", "qtbl", F.explode(probes).alias("x")
+    ).select(
+        "query_id",
+        "qe",
+        "qtbl",
+        F.col("x.mrank").alias("mrank"),
+        F.col("x.pb").alias("qbucket"),
+    )
+    cands = tagged.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl"))
+        & (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "mrank")
+    pairs = cands.groupBy("query_id", "neighbor_id").agg(
+        F.min("mrank").alias("first_probe")
+    )
+    qe = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # pairs ⋈ query embeddings is |queries|·candidates rows — the
+    # broadcast side; the corpus-side embedding lookup streams
+    scored = scoped_persist(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+        .join(F.broadcast(pairs.join(qe, "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "first_probe",
+            cosine(F.col("qe"), F.col("ne")).alias("sim"),
+        )
+    )
+    budgets = spark.range(1, len(masks) + 1).select(
+        F.col("id").cast("int").alias("n_probes")
+    )
+    expanded = scored.crossJoin(F.broadcast(budgets)).where(
+        F.col("first_probe") < F.col("n_probes")
+    )
+    w = W.partitionBy("n_probes", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    approx_topk = (
+        expanded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("n_probes", "query_id", "neighbor_id")
+    )
+    exact = scoped_persist(
+        s01_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    total_exact = exact.count()
+    hits = approx_topk.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "n_probes"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    ncand = (
+        scored.crossJoin(F.broadcast(budgets))
+        .where(F.col("first_probe") < F.col("n_probes"))
+        .groupBy("n_probes")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    )
+    return (
+        budgets.join(ncand, "n_probes", "left")
+        .join(hits, "n_probes", "left")
+        .select(
+            F.col("n_probes").cast("bigint").alias("n_probes"),
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(total_exact)), 6
+            ).alias("recall"),
+        )
+        .orderBy("n_probes")
+    )

@@ -520,6 +520,10 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # family as the exposed m14 image member; round-10 addition,
     # pytest-only per the cadence, rotation candidate for r11)
     "m15_audio_fingerprint_neardup": "m14_image_dhash_neardup",
+    # ...and s24 (recall-vs-probe-budget curve — same audit family as
+    # the exposed s23 fixed-budget recall audit; round-10 addition,
+    # pytest-only per the cadence, rotation candidate for r11)
+    "s24_multiprobe_recall_curve": "s23_recall_audit",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -1077,3 +1077,45 @@ def test_s06_prune_keeps_exact_ties(spark, tmp_path):
     # the smallest neighbor_ids won the boundary
     v1 = [(n, r) for v, n, r, s in got if v == 1 and s == 1.0]
     assert len(v1) == 3 and [n for n, _ in sorted(v1, key=lambda x: x[1])] == [5, 6, 7]
+
+
+def test_s24_recall_curve_monotone_and_anchored(spark):
+    """The probe-budget curve's algebra on the fixture: one row per
+    budget 1..k+1; recall and candidate mass both MONOTONE
+    non-decreasing in the budget (a pair surfaced by probe i is in
+    every budget > i); recall in [0, 1]; the first budget (own
+    bucket only) aggregates exactly s02's recall as s23 measures it,
+    and the full budget aggregates s21's — the curve's endpoints ARE
+    the registered fixed-budget pipelines."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        s21_knn_lsh_multiprobe,
+        s23_recall_audit,
+        s24_multiprobe_recall_curve,
+        s01_knn_bruteforce,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(
+        s24_multiprobe_recall_curve(spark, sf).collect(),
+        key=lambda r: r.n_probes,
+    )
+    assert [r.n_probes for r in rows] == list(range(1, len(rows) + 1))
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert b.recall >= a.recall, (a, b)
+        assert b.n_candidates >= a.n_candidates, (a, b)
+        assert b.n_hits >= a.n_hits, (a, b)
+    # endpoint anchors: budget 1 == s02 (via s23's per-query audit),
+    # full budget == s21's hits against the same exact baseline
+    s23 = s23_recall_audit(spark, sf).collect()
+    assert rows[0].n_hits == sum(r.n_hits for r in s23)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in s01_knn_bruteforce(spark, sf).collect()
+    }
+    s21_hits = sum(
+        1
+        for r in s21_knn_lsh_multiprobe(spark, sf).collect()
+        if (r.query_id, r.neighbor_id) in exact
+    )
+    assert rows[-1].n_hits == s21_hits
