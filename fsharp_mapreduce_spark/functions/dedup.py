@@ -2474,13 +2474,17 @@ def semantic_dedup(
     import pandas as pd
 
     from fsharp_mapreduce_spark.functions.similarity import (
-        N_CELLS,
         _assign_cells,
         _kmeans_centroids,
         cosine,
+        semdedup_cells_for,
     )
 
-    cents = _kmeans_centroids(emb, n_cells or N_CELLS)
+    # K scales with the corpus (semdedup_cells_for — one footer-cheap
+    # count): per-cell work is a dense (n/K)^2 GEMM, so a fixed K
+    # makes the curve quadratic (measured per-row 0.99x at sf10 with
+    # K=16; 0.16x at sf5.0 once K follows the capacity rule).
+    cents = _kmeans_centroids(emb, n_cells or semdedup_cells_for(emb.count()))
     assigned = scoped_persist(
         _assign_cells(emb.select("vec_id", "embedding"), cents)
     )
@@ -2543,9 +2547,14 @@ def _t47_oracle_for(sf_dir: str) -> str | None:
         _DOT_SQL,
         _replay_centroid_fit,
         _seq_norm,
+        parquet_num_rows,
+        semdedup_cells_for,
     )
 
-    cents = _replay_centroid_fit(sf_dir)
+    cents = _replay_centroid_fit(
+        sf_dir,
+        k=semdedup_cells_for(parquet_num_rows(f"{sf_dir}/embeddings.parquet")),
+    )
     cent_rows = ", ".join(
         "({}, [{}], {})".format(
             i, ", ".join(repr(float(v)) for v in c), repr(_seq_norm(c))

@@ -487,6 +487,26 @@ KMEANS_SAMPLE = 4096  # driver-side fit sample cap
 KMEANS_ITERS = 15
 KMEANS_SEED = 0x5EED
 
+# SemDeDup cell-count capacity rule (t47): per-cell work is a dense
+# (n/K)^2 GEMM, so K must scale WITH the corpus or the curve goes
+# quadratic — measured: fixed K=16 read per-row 0.99x at sf10 (the
+# s06/adaptive-planes lesson repeated for cells; SemDeDup itself runs
+# 50k+ clusters at billion-doc scale for exactly this reason). The
+# fit stays sample-bounded, so K is capped at KMEANS_SAMPLE // 8 —
+# beyond that a production fit shards the sample (not needed at any
+# fixture SF: sf10 asks for 100 cells).
+SEMDEDUP_TARGET_CELL_ROWS = 2000
+
+
+def semdedup_cells_for(n_vectors: int) -> int:
+    """Cells for a SemDeDup pass over ``n_vectors``: the N_CELLS floor
+    (the registered IVF tuning point), one cell per
+    {SEMDEDUP_TARGET_CELL_ROWS} vectors above it, sample-bounded."""
+    return max(
+        N_CELLS,
+        min(-(-n_vectors // SEMDEDUP_TARGET_CELL_ROWS), KMEANS_SAMPLE // 8),
+    )
+
 
 def _seq_norm(c) -> float:
     """L2 norm via the SEQUENTIAL left fold both engines use
@@ -577,11 +597,15 @@ def _replay_sample_embeddings(sf_dir: str, base_only: bool = False) -> np.ndarra
     return np.array([e for _, e in keyed], dtype=np.float64)
 
 
-def _replay_centroid_fit(sf_dir: str, base_only: bool = False) -> np.ndarray:
+def _replay_centroid_fit(
+    sf_dir: str, base_only: bool = False, k: int | None = None
+) -> np.ndarray:
     """Replay `_kmeans_centroids`' fit on the shared deterministic
-    sample — the oracle side of the centroid-literal pattern."""
+    sample — the oracle side of the centroid-literal pattern. ``k``
+    overrides the IVF default for callers with their own capacity
+    rule (t47's `semdedup_cells_for`)."""
     return _fit_spherical_kmeans(
-        _replay_sample_embeddings(sf_dir, base_only), N_CELLS
+        _replay_sample_embeddings(sf_dir, base_only), k or N_CELLS
     )
 
 

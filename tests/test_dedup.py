@@ -1663,3 +1663,21 @@ def test_t48_duplicate_spans_planted(spark):
     assert got[(9, 8)] == (15, 8, 1)
     assert not any(d == 4 for d, _ in got), got  # unique doc: no rows
     assert len(got) == 9, got
+
+
+def test_semdedup_cell_capacity_rule():
+    """The t47 cell-count rule: the N_CELLS floor at fixture scale
+    (gate SF unchanged — 2k vectors / 2000 target = 1 -> floor 16),
+    one cell per SEMDEDUP_TARGET_CELL_ROWS above it (sf5.0 100k ->
+    50, sf10 200k -> 100), sample-bounded at KMEANS_SAMPLE // 8."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        KMEANS_SAMPLE,
+        N_CELLS,
+        semdedup_cells_for,
+    )
+
+    assert semdedup_cells_for(200) == N_CELLS
+    assert semdedup_cells_for(2_000) == N_CELLS
+    assert semdedup_cells_for(100_000) == 50
+    assert semdedup_cells_for(200_000) == 100
+    assert semdedup_cells_for(10**9) == KMEANS_SAMPLE // 8
