@@ -168,6 +168,15 @@ HEADLINE = [
     "t48_duplicate_spans",
     "m15_audio_fingerprint_neardup",
     "s24_multiprobe_recall_curve",
+    # rotation-#8 rotate-ins (r11): own rows so the gate-exposed set
+    # keeps measured curves — all six are cheap non-streaming ops
+    # (index probes / re-rank fusions / a vocabulary-grain audit)
+    "s12_knn_lsh_index_probe",
+    "s15_knn_filtered",
+    "s16_hybrid_rrf",
+    "s17_mmr_rerank",
+    "s18_knn_binary_hamming",
+    "t36_distribution_drift",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its
@@ -558,16 +567,40 @@ GROUP_MAX_ATTEMPTS = 3
 SPREAD_CONTENTION_RATIO = 2.5
 
 
+def _is_streaming_row(name: str) -> bool:
+    """Streaming exemption derived from the registry's tag, not the
+    name prefix (ADVICE r10: a future non-streaming query that happens
+    to start with 'st' must not silently dodge the contention
+    criterion). Falls back to the prefix only if the registry can't
+    resolve the name at all."""
+    try:
+        from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+        load_all_query_modules()
+        spec = QUERIES.get(name)
+        if spec is not None:
+            return "streaming" in spec.tags
+    except Exception:
+        pass
+    return name.startswith("st")
+
+
 def _worst_spread_ratio(payload: dict) -> float:
     """Max over non-streaming rows of max/min across the run's
-    samples (1.0 when no spread was recorded)."""
+    samples (1.0 when no spread was recorded). A row whose fastest
+    sample is at or below clock resolution (lo <= 0) with any slower
+    sample is treated as maximally dirty rather than silently skipped
+    (ADVICE r10) — a sub-resolution min next to a real max is exactly
+    the disagreement the criterion exists to catch."""
     worst = 1.0
     for name, bounds in (payload.get("spread") or {}).items():
-        if name.startswith("st"):
+        if _is_streaming_row(name):
             continue
         lo, hi = bounds
         if lo > 0:
             worst = max(worst, hi / lo)
+        elif hi > 0:
+            worst = float("inf")
     return worst
 
 

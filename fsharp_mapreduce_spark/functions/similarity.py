@@ -3160,6 +3160,16 @@ def s24_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         s01_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     )
     total_exact = exact.count()
+    # ADVICE r10: on a degenerate corpus where the exact baseline is
+    # empty, recall would otherwise divide by zero and emit NaN (and
+    # the oracle's tot.n = 0 would diverge identically). An empty
+    # baseline means the fixture itself is unusable for a recall
+    # curve — fail loudly rather than emit a NaN-valued curve.
+    if total_exact == 0:
+        raise ValueError(
+            "s24: exact kNN baseline is empty for this fixture; "
+            "recall-vs-probe curve is undefined"
+        )
     hits = approx_topk.join(exact, ["query_id", "neighbor_id"]).groupBy(
         "n_probes"
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
