@@ -177,6 +177,9 @@ HEADLINE = [
     "s17_mmr_rerank",
     "s18_knn_binary_hamming",
     "t36_distribution_drift",
+    # r11 addition (pytest-only this round, rotation candidate for
+    # r12) — benched from day one so its curve has history
+    "t49_pii_redact",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -2671,3 +2671,154 @@ def t45_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# t49: PII detection / redaction (VERDICT r10 #4 — the one standard
+# LLM-pipeline stage the suite lacked; completes the preprocessing set
+# alongside dedup / quality / decontamination / mixture. The reference
+# user would write this as a map closure, Worker.fs:20.)
+#
+# Pattern notes: every pattern is deliberately restricted to syntax
+# with IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB) —
+# character classes, bounded repetition, \d, \b word boundaries; no
+# backreferences, no lookaround (RE2 has neither).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"      # 3-2-4: disjoint from phone's 3-3-4
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Redaction applies in a FIXED sequence (email → ssn → phone → ipv4) on
+# both engines, so any theoretical pattern interplay is replayed
+# identically; with these shapes the four pattern families are in fact
+# mutually non-overlapping (tested on planted fixtures).
+PII_REDACTIONS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_SSN, "<ID>"),
+    (PII_PHONE, "<PHONE>"),
+    (PII_IPV4, "<IP>"),
+)
+
+
+def _t49_oracle() -> str:
+    """DuckDB twin. The fixture corpus is a PII-free word grammar, so
+    the query PLANTS deterministic PII derived from doc_id (pure SQL
+    string algebra, identical on both engines) before detecting — the
+    detection/redaction machinery is exercised non-vacuously at every
+    SF instead of hashing an all-zero report."""
+    aug = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 3 THEN ' call 555-' ||"
+        " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 2 THEN ' from 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+        " CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||"
+        " CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 4 THEN ' id ' ||"
+        " lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||"
+        " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    redacted = "aug"
+    for pat, tok in PII_REDACTIONS:
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + pat + "', '" + tok + "', 'g')"
+        )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(aug, '" + pat + "')) AS BIGINT) AS " + name
+        for name, pat in (
+            ("n_email", PII_EMAIL),
+            ("n_phone", PII_PHONE),
+            ("n_ipv4", PII_IPV4),
+            ("n_ssn", PII_SSN),
+        )
+    )
+    return (
+        "WITH aug_t AS (SELECT doc_id, " + aug + " AS aug FROM documents), "
+        "det AS (SELECT doc_id, " + counts + ", " + redacted
+        + " AS redacted FROM aug_t) "
+        "SELECT doc_id, n_email, n_phone, n_ipv4, n_ssn, redacted FROM det "
+        "WHERE n_email + n_phone + n_ipv4 + n_ssn > 0"
+    )
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Library entry: per-document PII match counts + redacted text
+    over an arbitrary corpus (no planting — that is t49's fixture
+    story). Pure-expression regex work: detection via
+    regexp_extract_all + size, redaction via a chained regexp_replace
+    — a map-only projection, whole-stage-codegen eligible like t18's
+    cleaner, zero exchanges at any corpus size."""
+    c = F.col(text_col)
+    out = docs.withColumn("n_email", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), F.lit(0))).cast("bigint"))
+    out = out.withColumn("n_phone", F.size(F.regexp_extract_all(c, F.lit(PII_PHONE), F.lit(0))).cast("bigint"))
+    out = out.withColumn("n_ipv4", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), F.lit(0))).cast("bigint"))
+    out = out.withColumn("n_ssn", F.size(F.regexp_extract_all(c, F.lit(PII_SSN), F.lit(0))).cast("bigint"))
+    red = c
+    for pat, tok in PII_REDACTIONS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn("redacted", red)
+
+
+@register(
+    "t49_pii_redact",
+    oracle=_t49_oracle(),
+    tags=("text", "pii", "map-only"),
+)
+def t49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — emails, phone shapes, IPv4
+    literals, SSN-shaped ids — emitting per-document match counts and
+    the redacted text (both value-hash-checked against DuckDB's
+    regexp engine, not just counts).
+
+    The fixture corpus is a PII-free word grammar, so the registered
+    query first PLANTS deterministic PII derived from doc_id (pure
+    string algebra replayed identically by the oracle); the library
+    entry ``pii_redact`` is the production surface and plants
+    nothing. Plan shape at 100 TB: one map-only projection + filter —
+    no exchange, no state; survivors stream straight into the t18 /
+    t20 cleaning funnel. Reference parity: a user would express this
+    as a map closure over the corpus (Worker.fs:20,75-87)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+
+    def pad(expr: Column, n: int) -> Column:
+        return F.lpad(expr.cast("string"), n, "0")
+
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 3,
+            F.concat(F.lit(" call 555-"), pad(d % 1000, 3), F.lit("-"), pad(d % 10000, 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 2,
+            F.concat(
+                F.lit(" from 10."),
+                (d % 256).cast("string"),
+                F.lit("."),
+                ((d * 7) % 256).cast("string"),
+                F.lit("."),
+                ((d * 13) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 4,
+            F.concat(
+                F.lit(" id "), pad(d % 1000, 3), F.lit("-"), pad(d % 100, 2),
+                F.lit("-"), pad(d % 10000, 4),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    det = pii_redact(docs.select("doc_id", aug.alias("text")))
+    return det.select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn", "redacted"
+    ).where(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ssn")) > 0
+    )

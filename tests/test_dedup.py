@@ -1498,6 +1498,42 @@ def test_t02_blocked_counts_sparse_hashed_ids(spark):
         assert want[k] == v, (k, v, want[k])
 
 
+def test_t02_block_boundaries_driver_size_and_coverage(spark):
+    """VERDICT r10 #3: boundary derivation must collect O(n_blocks)
+    rows, not the full id list. _block_boundaries returns exactly
+    ceil(n_docs / block_docs) disjoint sorted intervals, each holding
+    ≤ block_docs distinct ids (the broadcast bound), jointly covering
+    every id — for dense AND sparse/hashed id spaces."""
+    from fsharp_mapreduce_spark.functions import dedup as D
+
+    for ids in (
+        list(range(25)),  # dense
+        [(i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1) for i in range(25)],
+    ):
+        hsets = spark.createDataFrame(
+            [(i, [1, 2]) for i in ids], "doc_id long, hs array<long>"
+        )
+        for block_docs in (7, 25, 100):
+            bounds = D._block_boundaries(hsets, block_docs)
+            n_blocks = -(-len(ids) // block_docs)
+            assert len(bounds) == n_blocks, (block_docs, bounds)
+            s = sorted(ids)
+            covered = []
+            prev_hi = None
+            for lo, hi in bounds:
+                assert lo <= hi
+                if prev_hi is not None:
+                    assert lo > prev_hi, "intervals must be disjoint+sorted"
+                prev_hi = hi
+                members = [x for x in s if lo <= x <= hi]
+                assert 0 < len(members) <= block_docs, (lo, hi, members)
+                covered.extend(members)
+            assert covered == s, "blocks must cover every distinct id"
+    assert D._block_boundaries(
+        spark.createDataFrame([], "doc_id long, hs array<long>"), 8
+    ) == []
+
+
 def test_t45_vocab_growth_zero_token_docs(spark):
     """ADVICE r8 (medium): a zero-token document (empty or
     whitespace-only text) must yield an EMPTY bigram list — the raw
@@ -1681,3 +1717,43 @@ def test_semdedup_cell_capacity_rule():
     assert semdedup_cells_for(100_000) == 50
     assert semdedup_cells_for(200_000) == 100
     assert semdedup_cells_for(10**9) == KMEANS_SAMPLE // 8
+
+
+def test_t49_pii_planted_fixture(spark):
+    """Planted-PII fixture (VERDICT r10 #4): exact match counts AND
+    exact redacted strings for each pattern class, multi-hit docs,
+    adjacency (SSN next to phone — the 3-2-4 / 3-3-4 shapes must not
+    cross-match), and a PII-free doc that must emit zero everywhere."""
+    from fsharp_mapreduce_spark.functions.text import pii_redact
+
+    rows = [
+        (1, "write to alice.smith+x@sub.example.org today"),
+        (2, "call 555-867-5309 or 555-123-4567 now"),
+        (3, "server at 192.168.10.7 and 10.0.0.1 responded"),
+        (4, "ssn 123-45-6789 on file"),
+        (5, "mix bob@ex.co 555-111-2222 172.16.254.3 987-65-4321 end"),
+        (6, "no pii here just words"),
+        (7, "adjacent 123-45-6789 555-123-4567 shapes"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in pii_redact(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    want = {
+        1: (1, 0, 0, 0, "write to <EMAIL> today"),
+        2: (0, 2, 0, 0, "call <PHONE> or <PHONE> now"),
+        3: (0, 0, 2, 0, "server at <IP> and <IP> responded"),
+        4: (0, 0, 0, 1, "ssn <ID> on file"),
+        5: (1, 1, 1, 1, "mix <EMAIL> <PHONE> <IP> <ID> end"),
+        6: (0, 0, 0, 0, "no pii here just words"),
+        7: (0, 1, 0, 1, "adjacent <ID> <PHONE> shapes"),
+    }
+    for doc_id, (ne, np_, ni, ns, red) in want.items():
+        r = got[doc_id]
+        assert (r.n_email, r.n_phone, r.n_ipv4, r.n_ssn) == (ne, np_, ni, ns), (
+            doc_id,
+            r,
+        )
+        assert r.redacted == red, (doc_id, r.redacted)

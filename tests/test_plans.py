@@ -1001,3 +1001,16 @@ def test_s21_multiprobe_adds_no_corpus_exchange(spark):
     assert "SinglePartition" not in p, p
     s02 = q("s02_knn_lsh", spark)
     assert exchange_count(df) <= exchange_count(s02) + 1, p
+
+
+def test_t49_pii_redact_is_map_only(spark):
+    """t49: detection (regexp_extract_all + size) and redaction
+    (chained regexp_replace) are pure expressions — the only exchange
+    is the fan_out repartition of the single-split scan, and no
+    Python evaluator node appears (whole-stage-codegen eligible like
+    t18's cleaner)."""
+    df = q("t49_pii_redact", spark)
+    plan = formatted_plan(df)
+    assert exchange_count(df) <= 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
