@@ -1510,29 +1510,49 @@ def t31_count_min_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 100 TB story is the sketch's whole point: the counter table
     is d×w = {CMS_DEPTH * CMS_WIDTH} cells REGARDLESS of token
-    cardinality — one keyed exchange of (row, cell) partial counts
-    with map-side combine replaces a billions-of-keys exact count
-    when only the heavy tail matters; the estimate is
-    min_i(cell[i, h_i(token)]), an overestimate by at most εN with
-    ε ≈ e/w (pinned by tests/test_dedup.py::test_t31_cms_bounds
-    together with est_n ≥ exact_n). The audit emits est vs exact for
-    the top-{CMS_TOP} tokens; at 100 TB the exact side exists only
-    for the audited keys (a broadcast-sized lookup), never globally.
+    cardinality — a stream ingests instances straight into (row,
+    cell) partials with O(d·w) state and map-side combine; the
+    estimate is min_i(cell[i, h_i(token)]), an overestimate by at
+    most εN with ε ≈ e/w (pinned by
+    tests/test_dedup.py::test_t31_cms_bounds together with
+    est_n ≥ exact_n).
+
+    This registered query is the batch AUDIT of that sketch, and the
+    audit needs exact counts anyway — so it fuses everything onto ONE
+    corpus-mass token aggregation (VERDICT r10 #6: the previous shape
+    paid TWO instance-mass exchanges, 4×instances of (r, c) structs
+    into the sketch agg plus instances into the exact agg, and ran
+    the d md5 hashes once per token INSTANCE). The (token, n) table
+    is vocabulary-sized (Heaps' law: ∝ corpus^~0.5), the d-row cell
+    mapping and its md5s now run per DISTINCT token, and the sketch
+    cells are the n-weighted sum — bit-identical counter values, ~5×
+    less exchange mass, d× less hashing. The audit emits est vs
+    exact for the top-{CMS_TOP} tokens.
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
     )
-    # the sketch: one exchange keyed (r, c), ≤ d×w rows out
-    cells = (
-        toks.select(F.explode(cms_cells(F.col("token"))).alias("rc"))
-        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus-mass exchange: (token, count) with map-side combine.
+    # Persisted — it feeds both the sketch build and the top-k.
+    tok_counts = scoped_persist(
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
     )
-    # audited keys: top-N exact tokens (deterministic tie-break)
+    # the sketch: built from the vocabulary-sized count table — the
+    # (r, c) explode and its md5s touch each distinct token once; the
+    # counter values equal the instance-stream ingest by linearity
+    cells = (
+        tok_counts.select(
+            F.col("exact_n"), F.explode(cms_cells(F.col("token"))).alias("rc")
+        )
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.sum("exact_n").alias("n"))
+    )
+    # audited keys: top-N exact tokens (deterministic tie-break;
+    # vocabulary-sized global window, the t19 bounded-dim pattern)
     from pyspark.sql import Window as W
 
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    exact = tok_counts
     w = W.orderBy(F.col("exact_n").desc(), "token")
     heavy = (
         exact.withColumn("rk", F.row_number().over(w))

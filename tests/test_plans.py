@@ -1014,3 +1014,17 @@ def test_t49_pii_redact_is_map_only(spark):
     assert exchange_count(df) <= 1, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_t31_single_corpus_pass(spark):
+    """t31 (VERDICT r10 #6): the sketch build and the exact top-k must
+    BOTH read the cached (token, count) aggregate — one corpus-mass
+    exchange total, with the d-row cell explode and its md5 hashes
+    running per DISTINCT token. A second live corpus scan would mean
+    the fused shape regressed to the old two-pass instance-mass plan."""
+    df = q("t31_count_min_heavy_hitters", spark)
+    plan = formatted_plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert plan.count("Scan parquet") <= plan.count("InMemoryRelation"), plan
+    assert has_broadcast_join(df), plan  # sketch broadcasts into the probes
+    spark.catalog.clearCache()
