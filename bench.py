@@ -177,9 +177,10 @@ HEADLINE = [
     "s17_mmr_rerank",
     "s18_knn_binary_hamming",
     "t36_distribution_drift",
-    # r11 addition (pytest-only this round, rotation candidate for
-    # r12) — benched from day one so its curve has history
+    # r11 additions (pytest-only this round, rotation candidates for
+    # r12) — benched from day one so their curves have history
     "t49_pii_redact",
+    "m16_video_fingerprint_neardup",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

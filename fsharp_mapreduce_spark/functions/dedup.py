@@ -844,7 +844,7 @@ def _minhash_common_ctes() -> str:
     sz AS MATERIALIZED (SELECT doc_id, len(hs) AS n FROM sh WHERE len(hs) > 0)"""
 
 
-def _t03_oracle() -> str:
+def _t03_oracle(slice_mod: int | None = None, residue: int = 0) -> str:
     """DuckDB replica of the full MinHash+LSH pipeline in the
     cross-engine family — md5-sliced shingle hashes, multiply-mod
     minhash signatures, polynomial band signatures, bucket join,
@@ -853,7 +853,18 @@ def _t03_oracle() -> str:
     shared count over ``eh`` (identical to len(list_intersect(…)) on
     the distinct per-doc lists; a candidate sharing zero shingles
     drops out of the count, and out of the ≥threshold result either
-    way)."""
+    way).
+
+    ``slice_mod`` (the t02/t22 sampled-slice protocol, VERDICT r10
+    #5): restricts the CANDIDATE join to doc_a % mod = residue LEFT
+    endpoints while every upstream stage (shingle hashes, minhash
+    signatures, band table) still covers the FULL corpus — a hash
+    match against the engine's full run filtered to the same slice is
+    exact value evidence under the full-scale banding structure, at
+    ~1/mod of the bucket-join + verification mass."""
+    cand_slice = (
+        f"AND x.doc_id % {slice_mod} = {residue}" if slice_mod else ""
+    )
     return f"""
     WITH {_minhash_common_ctes()},
     cand AS (
@@ -861,6 +872,7 @@ def _t03_oracle() -> str:
       FROM bd x JOIN bd y
         ON x.band = y.band AND x.band_sig = y.band_sig
        AND x.doc_id < y.doc_id
+       {cand_slice}
     ),
     shr AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS shared

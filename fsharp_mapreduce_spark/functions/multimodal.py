@@ -2551,3 +2551,264 @@ def m15_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.where(F.col("hamming") <= M15_HAM_MAX).select(
         "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+# --- m16: video-fingerprint near-duplicate detection over REAL AVI
+# bytes — the VIDEO member of the near-dup family, closing the last
+# modality gap (text t02/t03, embedding t09/t10/t47, image m14, audio
+# m15, video m16): the same banded-LSH candidate shape, fingerprint
+# computed from DECODED frames so the oracle is a codec check too ---
+M16_FRAMES = 16        # video frames (temporal axis)
+M16_SIDE = 8           # 8×8 gray pixels per frame (stride 8 — no pad)
+M16_CELLS = M16_FRAMES * M16_SIDE * M16_SIDE  # 1024 raster cells
+M16_BANDS = 4          # 16 frames × 4 quadrant-gradient bits → 4×16
+M16_HAM_MAX = 4        # near-dup hamming threshold (measured below)
+M16_MIN_TOKENS = 5     # docs below this many BIGRAMS are too sparse
+
+M16_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType(), False)]
+    + [
+        T.StructField(f"b{i}", T.IntegerType(), False)
+        for i in range(M16_BANDS)
+    ]
+)
+
+
+def video_fingerprint_bands(cells_df: DataFrame) -> DataFrame:
+    """(doc_id, cells:[(cell, cnt)]) → (doc_id, b0..b3): rasterize the
+    bigram→cell counts into {M16_FRAMES} frames of
+    {M16_SIDE}×{M16_SIDE} gray pixels (pixel = clipped count — m14's
+    spatial bag raster extended with m15's temporal axis), round-trip
+    the clip through the REAL AVI codec (stdlib RIFF writer →
+    chunk-walking `decode_avi`), recover per-frame quadrant sums as
+    integer SUMS over the DECODED pixels (byte-exact uncompressed DIB
+    frames — any defect in the chunk walk, avih fields, bottom-up row
+    order or stride handling breaks the value hash), then the
+    fingerprint: per frame f, the wraparound quadrant gradient — bit
+    (f·4+j) is qsum[f][j] > qsum[f][(j+1) % 4] over the TL/TR/BL/BR
+    quadrants — packed into four 16-bit bands. mapInPandas, zero
+    exchanges."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(cells_df.sparkSession)
+    n_frames, side, n_bands = M16_FRAMES, M16_SIDE, M16_BANDS
+    half = side // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands = [], [[] for _ in range(n_bands)]
+            for did, cells in zip(pdf["doc_id"], pdf["cells"]):
+                amp = np.zeros(n_frames * side * side, dtype=np.uint8)
+                for e in cells:
+                    amp[e["cell"]] = min(int(e["cnt"]), 255)
+                frames = amp.reshape(n_frames, side, side)
+                avi = encode_avi_gray(frames)
+                parsed, _fps = decode_avi(avi)
+                px = parsed.astype(np.int64)
+                q = np.stack(
+                    [
+                        px[:, :half, :half].sum(axis=(1, 2)),
+                        px[:, :half, half:].sum(axis=(1, 2)),
+                        px[:, half:, :half].sum(axis=(1, 2)),
+                        px[:, half:, half:].sum(axis=(1, 2)),
+                    ],
+                    axis=1,
+                )  # (n_frames, 4)
+                bits = (q > np.roll(q, -1, axis=1)).reshape(-1)  # 64 bits
+                ids.append(did)
+                for b in range(n_bands):
+                    val = 0
+                    for k in range(b * 16, (b + 1) * 16):
+                        if bits[k]:
+                            val |= 1 << (k % 16)
+                    bands[b].append(val)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    **{
+                        f"b{b}": pd.array(bands[b], dtype="int32")
+                        for b in range(n_bands)
+                    },
+                }
+            )
+
+    return cells_df.mapInPandas(run, M16_SCHEMA)
+
+
+def m16_signatures(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, b0..b3) video fingerprints: bigram →
+    raster-cell counting (partial-agg groupBy; cell = first 3 md5 hex
+    chars mod {M16_CELLS} — 4096 % 1024 = 0, exactly uniform), then
+    the AVI round-trip fingerprint pass."""
+    from fsharp_mapreduce_spark.functions.text import bigram_strings_col
+
+    tok = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("ws"),
+    ).select("doc_id", F.explode(bigram_strings_col("ws")).alias("tk"))
+    counts = tok.groupBy(
+        "doc_id",
+        (F.conv(F.substring(F.md5("tk"), 1, 3), 16, 10) % M16_CELLS)
+        .cast("int")
+        .alias("cell"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("cell", "cnt")).alias("cells"),
+            F.sum("cnt").alias("n_tok"),
+        )
+        .where(F.col("n_tok") >= M16_MIN_TOKENS)
+        .select("doc_id", "cells")
+    )
+    return video_fingerprint_bands(per_doc)
+
+
+def _m16_oracle() -> str:
+    """Analytic replica: reconstruct the 1024-cell raster from the
+    bigram→cell counts (cell = first 3 md5 hex chars mod 1024,
+    amplitude = clipped count), replay the per-frame quadrant sums,
+    the wraparound quadrant-gradient bit algebra, the 16-bit band
+    packing, the band-bucket candidate join and the hamming cut. The
+    quadrant sums are computed from the amplitudes directly — the
+    engine computes them from DECODED AVI pixels, which are
+    byte-identical for uncompressed DIB frames — so any defect in the
+    AVI round-trip (chunk walk, avih fields, bottom-up rows, stride)
+    breaks the value hash."""
+    side, half, n_frames = M16_SIDE, M16_SIDE // 2, M16_FRAMES
+    hexpos = "(strpos('0123456789abcdef', substr(md5(tk), {p}, 1)) - 1)"
+    cell = (
+        f"(({hexpos.format(p=1)} * 256 + {hexpos.format(p=2)} * 16 + "
+        f"{hexpos.format(p=3)}) % {M16_CELLS})"
+    )
+    band_cols = ", ".join(
+        f"MAX(CASE WHEN band_idx = {b} THEN band_val END) AS b{b}"
+        for b in range(M16_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.b{b}, sb.b{b}))" for b in range(M16_BANDS)
+    )
+    return f"""
+    WITH tok0 AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(ts) >= 2 THEN
+               [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts) - 1)]
+             ELSE [] END) AS tk
+      FROM tok0
+    ),
+    docs_ok AS (
+      SELECT doc_id FROM tok GROUP BY doc_id
+      HAVING COUNT(*) >= {M16_MIN_TOKENS}
+    ),
+    ccnt AS (
+      SELECT doc_id, {cell} AS cell, COUNT(*) AS cnt
+      FROM tok GROUP BY 1, 2
+    ),
+    -- quadrant sums only need cells with nonzero amplitude: empty
+    -- cells add 0 to every sum, so no dense grid is materialized
+    qsum0 AS (
+      SELECT d.doc_id,
+             c.cell // {side * side} AS frame,
+             ((c.cell % {side * side}) // {side}) // {half} * 2
+               + (c.cell % {side}) // {half} AS quad,
+             SUM(LEAST(c.cnt, 255)) AS s
+      FROM docs_ok d JOIN ccnt c USING (doc_id)
+      GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT d.doc_id, g.frame, g2.quad
+      FROM docs_ok d
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_frames - 1})) AS frame) g
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS quad) g2
+    ),
+    qsum AS (
+      SELECT gr.doc_id, gr.frame, gr.quad, COALESCE(q.s, 0) AS s
+      FROM grid gr
+      LEFT JOIN qsum0 q
+        ON q.doc_id = gr.doc_id AND q.frame = gr.frame AND q.quad = gr.quad
+    ),
+    bits AS (
+      SELECT a.doc_id, a.frame * 4 + a.quad AS k,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM qsum a JOIN qsum b
+        ON b.doc_id = a.doc_id AND b.frame = a.frame
+       AND b.quad = (a.quad + 1) % 4
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (k % 16))) AS INTEGER) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, {band_cols} FROM bands GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON y.band_idx = x.band_idx AND y.band_val = x.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE {ham} <= {M16_HAM_MAX}
+"""
+
+
+@register(
+    "m16_video_fingerprint_neardup",
+    oracle=_m16_oracle(),
+    tags=("multimodal", "dedup", "video", "lsh"),
+)
+def m16_video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-fingerprint near-duplicate detection — the VIDEO member
+    of the dedup family, closing the last modality gap (text t02/t03,
+    embedding t09/t10/t47, image m14, audio m15, video m16). Each
+    document becomes a {M16_FRAMES}-frame {M16_SIDE}×{M16_SIDE} gray
+    clip (cell = first 3 md5 hex chars of the adjacent-token bigram
+    mod {M16_CELLS}, pixel = clipped count — m14's spatial raster
+    with m15's temporal axis), encoded to REAL AVI bytes, decoded
+    back through the chunk-walking parser, fingerprinted by per-frame
+    wraparound QUADRANT gradients on the DECODED pixels (4 bits ×
+    {M16_FRAMES} frames = 64 bits), and banded 4×16 for the LSH
+    candidate join (exact-hamming verified, ≤ {M16_HAM_MAX}).
+
+    Scale shape: bigram→cell counting is a partial-agg groupBy; the
+    raster + AVI round-trip + fingerprint is one Arrow batch pass
+    (mapInPandas, zero exchanges); the candidate join shuffles on
+    (band_idx, band_val) with occupancy n/2^16 per band — the
+    t03/m14/m15 argument unchanged. Reference parity: map closure +
+    hash-shuffle + per-key reduce (Worker.fs:20,39-43,89-96)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sig = scoped_persist(m16_signatures(docs))
+    buckets = sig.select(
+        "doc_id",
+        *[f"b{i}" for i in range(M16_BANDS)],
+        F.posexplode(F.array(*[f"b{i}" for i in range(M16_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                F.expr(f"bit_count(a.b{i} ^ b.b{i})") for i in range(M16_BANDS)
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= M16_HAM_MAX).select(
+        "doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -549,6 +549,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # pytest-only per the cadence, rotation candidate for r11)
     # (s24, the recall-vs-probe-budget curve member of the recall-
     # audit family, rotated INTO the gate window in r11 — rotation #8.)
+    # ...and m16 (video-fingerprint near-dup — the VIDEO member of
+    # the same banded-LSH dedup family as the exposed m15 audio
+    # capstone, closing the last near-dup modality gap; round-11
+    # addition, pytest-only per the cadence, rotation candidate
+    # for r12)
+    "m16_video_fingerprint_neardup": "m15_audio_fingerprint_neardup",
     # ...and t49 (PII detection/redaction — regex match counts +
     # chained regexp_replace, the same map-only single-scan
     # per-document expression shape as the exposed t20; round-11

@@ -845,3 +845,93 @@ def test_m15_envelope_survives_codec(spark):
                 val |= 1 << (k % 16)
         expect.append(val)
     assert [row[f"b{b}"] for b in range(M15_BANDS)] == expect
+
+
+def test_m16_planted_neardups(spark, tmp_path):
+    """m16 semantics on a planted corpus (the m14/m15 pins repeated
+    for the video path): an exact duplicate pairs at hamming 0; a
+    one-token substitution pairs within the threshold; an unrelated
+    document does not pair with the base; a 3-token doc is excluded
+    by the sparsity guard. The fingerprint is computed on per-frame
+    quadrant sums of pixels that round-tripped the REAL AVI codec, so
+    this also exercises encode_avi_gray/decode_avi on the synthesized
+    clip."""
+    import random
+
+    from fsharp_mapreduce_spark.registry import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+
+    rng = random.Random(16)
+    vocab = [f"w{i}" for i in range(40)]
+    base_tokens = [rng.choice(vocab) for _ in range(60)]
+    base = " ".join(base_tokens)
+    perturbed_tokens = list(base_tokens)
+    perturbed_tokens[7] = "zzz"
+    perturbed = " ".join(perturbed_tokens)
+    unrelated = " ".join(f"x{i}" for i in range(60))
+    rows = [
+        (0, base, "en", "synth", len(base)),
+        (1, base, "en", "synth", len(base)),
+        (2, perturbed, "en", "synth", len(perturbed)),
+        (3, unrelated, "en", "synth", len(unrelated)),
+        (4, "a b c", "en", "synth", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = QUERIES["m16_video_fingerprint_neardup"].fn(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert pairs.get((0, 1)) == 0, pairs  # identical text → identical clip
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 4, pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs, pairs
+    assert all(4 not in p for p in pairs), pairs  # sparsity guard
+
+
+def test_m16_raster_survives_codec(spark):
+    """video_fingerprint_bands' quadrant recovery is exact: a cell
+    table with known amplitudes (including the 255 clip) yields band
+    bits equal to the direct quadrant-gradient computation — pinned
+    against an independent numpy replay, not the engine's own code
+    path."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.multimodal import (
+        M16_BANDS,
+        M16_CELLS,
+        M16_FRAMES,
+        M16_SIDE,
+        video_fingerprint_bands,
+    )
+
+    rng = np.random.RandomState(9)
+    amps = rng.randint(0, 300, size=M16_CELLS)  # some clip at 255
+    cells = [
+        {"cell": int(j), "cnt": int(c)} for j, c in enumerate(amps) if c > 0
+    ]
+    df = spark.createDataFrame(
+        [(1, cells)],
+        "doc_id long, cells array<struct<cell:int,cnt:bigint>>",
+    )
+    row = video_fingerprint_bands(df).collect()[0]
+    clipped = np.minimum(amps, 255).reshape(M16_FRAMES, M16_SIDE, M16_SIDE)
+    h = M16_SIDE // 2
+    q = np.stack(
+        [
+            clipped[:, :h, :h].sum(axis=(1, 2)),
+            clipped[:, :h, h:].sum(axis=(1, 2)),
+            clipped[:, h:, :h].sum(axis=(1, 2)),
+            clipped[:, h:, h:].sum(axis=(1, 2)),
+        ],
+        axis=1,
+    )
+    bits = (q > np.roll(q, -1, axis=1)).reshape(-1)
+    expect = []
+    for b in range(M16_BANDS):
+        val = 0
+        for k in range(b * 16, (b + 1) * 16):
+            if bits[k]:
+                val |= 1 << (k % 16)
+        expect.append(val)
+    assert [row[f"b{b}"] for b in range(M16_BANDS)] == expect
