@@ -221,6 +221,13 @@ FAMILY_COVERAGE = {
     # trigger) rather than adding another ~10-trigger scheduling
     # floor to the streaming total (VERDICT r9 #7)
     "st14_stream_ann_probe": "st15_stream_anti_join_dedup",
+    # r11: st22's per-batch PII regex pass is st12's map-only
+    # micro-batch loop with t49's detector in place of the quality
+    # rules — it rides st12's row rather than adding another
+    # ~10-trigger scheduling floor to the streaming total (the st14
+    # precedent, VERDICT r9 #7); t49's own HEADLINE row prices the
+    # detector itself
+    "st22_stream_pii_audit": "st12_stream_quality_filter",
 }
 
 

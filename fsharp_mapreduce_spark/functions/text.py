@@ -2719,13 +2719,11 @@ PII_REDACTIONS = (
 )
 
 
-def _t49_oracle() -> str:
-    """DuckDB twin. The fixture corpus is a PII-free word grammar, so
-    the query PLANTS deterministic PII derived from doc_id (pure SQL
-    string algebra, identical on both engines) before detecting — the
-    detection/redaction machinery is exercised non-vacuously at every
-    SF instead of hashing an all-zero report."""
-    aug = (
+def _pii_aug_sql() -> str:
+    """The deterministic PII-planting expression, SQL side — shared
+    by the t49 oracle and the st22 streaming-audit oracle so the two
+    cannot drift (Spark twin: ``pii_plant_expr``)."""
+    return (
         "text"
         " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||"
         " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
@@ -2741,6 +2739,15 @@ def _t49_oracle() -> str:
         " lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||"
         " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
     )
+
+
+def _t49_oracle() -> str:
+    """DuckDB twin. The fixture corpus is a PII-free word grammar, so
+    the query PLANTS deterministic PII derived from doc_id (pure SQL
+    string algebra, identical on both engines) before detecting — the
+    detection/redaction machinery is exercised non-vacuously at every
+    SF instead of hashing an all-zero report."""
+    aug = _pii_aug_sql()
     redacted = "aug"
     for pat, tok in PII_REDACTIONS:
         redacted = (
@@ -2782,32 +2789,15 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", red)
 
 
-@register(
-    "t49_pii_redact",
-    oracle=_t49_oracle(),
-    tags=("text", "pii", "map-only"),
-)
-def t49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction — emails, phone shapes, IPv4
-    literals, SSN-shaped ids — emitting per-document match counts and
-    the redacted text (both value-hash-checked against DuckDB's
-    regexp engine, not just counts).
-
-    The fixture corpus is a PII-free word grammar, so the registered
-    query first PLANTS deterministic PII derived from doc_id (pure
-    string algebra replayed identically by the oracle); the library
-    entry ``pii_redact`` is the production surface and plants
-    nothing. Plan shape at 100 TB: one map-only projection + filter —
-    no exchange, no state; survivors stream straight into the t18 /
-    t20 cleaning funnel. Reference parity: a user would express this
-    as a map closure over the corpus (Worker.fs:20,75-87)."""
-    docs = fan_out(table(spark, sf_dir, "documents"))
+def pii_plant_expr() -> Column:
+    """The deterministic PII-planting expression, Spark side — shared
+    by t49 and the st22 streaming audit (SQL twin: ``_pii_aug_sql``)."""
     d = F.col("doc_id")
 
     def pad(expr: Column, n: int) -> Column:
         return F.lpad(expr.cast("string"), n, "0")
 
-    aug = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             d % 7 == 0,
@@ -2836,7 +2826,29 @@ def t49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    det = pii_redact(docs.select("doc_id", aug.alias("text")))
+
+
+@register(
+    "t49_pii_redact",
+    oracle=_t49_oracle(),
+    tags=("text", "pii", "map-only"),
+)
+def t49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — emails, phone shapes, IPv4
+    literals, SSN-shaped ids — emitting per-document match counts and
+    the redacted text (both value-hash-checked against DuckDB's
+    regexp engine, not just counts).
+
+    The fixture corpus is a PII-free word grammar, so the registered
+    query first PLANTS deterministic PII derived from doc_id (pure
+    string algebra replayed identically by the oracle); the library
+    entry ``pii_redact`` is the production surface and plants
+    nothing. Plan shape at 100 TB: one map-only projection + filter —
+    no exchange, no state; survivors stream straight into the t18 /
+    t20 cleaning funnel. Reference parity: a user would express this
+    as a map closure over the corpus (Worker.fs:20,75-87)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    det = pii_redact(docs.select("doc_id", pii_plant_expr().alias("text")))
     return det.select(
         "doc_id", "n_email", "n_phone", "n_ipv4", "n_ssn", "redacted"
     ).where(

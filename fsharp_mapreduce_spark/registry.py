@@ -549,6 +549,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # pytest-only per the cadence, rotation candidate for r11)
     # (s24, the recall-vs-probe-budget curve member of the recall-
     # audit family, rotated INTO the gate window in r11 — rotation #8.)
+    # ...and st22 (streaming PII audit — t49's detector per
+    # micro-batch, the same map-only-expressions-over-a-stream member
+    # of the streaming-quality family whose slot-holder is the
+    # exposed st16; round-11 addition, pytest-only per the cadence,
+    # rotation candidate for r12)
+    "st22_stream_pii_audit": "st16_stream_drift_audit",
     # ...and m16 (video-fingerprint near-dup — the VIDEO member of
     # the same banded-LSH dedup family as the exposed m15 audio
     # capstone, closing the last near-dup modality gap; round-11

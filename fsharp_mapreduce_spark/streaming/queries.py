@@ -1314,3 +1314,81 @@ def st21_stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_ts").alias("first_unconverted"),
         F.max("c_ts").alias("last_unconverted"),
     )
+
+
+from fsharp_mapreduce_spark.functions.text import (
+    PII_EMAIL as _PII_EMAIL,
+    PII_IPV4 as _PII_IPV4,
+    PII_PHONE as _PII_PHONE,
+    PII_SSN as _PII_SSN,
+    _pii_aug_sql as _pii_aug,
+)
+
+
+@register(
+    "st22_stream_pii_audit",
+    # the oracle interpolates the SAME planting SQL and the SAME
+    # pattern constants the Spark side imports (the st12 discipline):
+    # tuning a pattern in text.py changes both sides together
+    oracle=f"""
+    WITH aug_t AS (
+      SELECT doc_id, source, {_pii_aug()} AS aug FROM documents
+    ),
+    det AS (
+      SELECT source,
+             len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(aug, '{_PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(aug, '{_PII_IPV4}')) AS n_ipv4,
+             len(regexp_extract_all(aug, '{_PII_SSN}')) AS n_ssn
+      FROM aug_t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 + n_ssn > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+           CAST(SUM(n_ssn) AS BIGINT) AS n_ssn
+    FROM det GROUP BY source
+    """,
+    tags=("streaming", "pii", "pipeline"),
+)
+def st22_stream_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t49's PII detector running UNCHANGED over a stream — the st12
+    property (pure column expressions drop into a readStream and
+    execute per micro-batch with zero state) extended to the
+    compliance stage a live ingest runs BEFORE anything else touches
+    the text: per-source document counts, PII-document counts and
+    per-class match totals, aggregated with state bounded by the
+    number of sources. The planted-PII augmentation is the shared
+    t49 expression (`pii_plant_expr`), so stream and batch audit the
+    identical corpus and the oracle doubles as stream/batch parity.
+    At 100 TB: map-only regex per batch (whole-stage codegen, no
+    Python), one tiny keyed aggregate — the st12 shape with t49's
+    detector in place of the quality rules."""
+    from fsharp_mapreduce_spark.functions.text import pii_plant_expr, pii_redact
+
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "documents"), n_chunks=4, memo_key=(sf_dir, "documents")
+    )
+    docs = read_pull_stream(spark, staged)
+    det = pii_redact(
+        docs.select("doc_id", "source", pii_plant_expr().alias("text"))
+    )
+    agg = det.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ssn"))
+                > 0
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+    )
+    return run_to_completion(agg, "st22_out", output_mode="complete")

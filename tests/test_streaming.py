@@ -803,3 +803,38 @@ def test_st20_st21_join_matrix_consistency(spark):
     assert {r["user_id"] for r in right} == purchasers
     # every output row accounts its purchases: pairs + orphans ≥ 1
     assert all(r["n_pairs"] + r["n_orphans"] >= 1 for r in right)
+
+
+def test_st22_stream_pii_audit_equals_batch(spark):
+    """st22's per-micro-batch PII audit must be row-identical to the
+    one-shot batch aggregation of t49's detector over the same planted
+    corpus — the compliance stage loses nothing to chunked replay, and
+    the stream sees every match class the batch detector sees."""
+    from fsharp_mapreduce_spark.functions.text import pii_plant_expr, pii_redact
+
+    docs = table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", pii_plant_expr().alias("text")
+    )
+    det = pii_redact(docs)
+    batch = det.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            (
+                (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ssn"))
+                > 0
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("n_email"),
+        F.sum("n_phone").cast("bigint").alias("n_phone"),
+        F.sum("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+    )
+    stream = QUERIES["st22_stream_pii_audit"].fn(spark, SF_SMOKE)
+    assert rows_as_set(stream) == rows_as_set(batch)
+    # non-vacuous: the planted corpus has PII in every class
+    totals = batch.agg(
+        F.sum("n_email"), F.sum("n_phone"), F.sum("n_ipv4"), F.sum("n_ssn")
+    ).collect()[0]
+    assert all(v > 0 for v in totals), totals
