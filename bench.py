@@ -181,6 +181,7 @@ HEADLINE = [
     # r12) — benched from day one so their curves have history
     "t49_pii_redact",
     "m16_video_fingerprint_neardup",
+    "t50_bigram_perplexity",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

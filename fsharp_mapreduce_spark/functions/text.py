@@ -2854,3 +2854,140 @@ def t49_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(
         (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ssn")) > 0
     )
+
+
+# --- t50: bigram-LM perplexity scoring (CCNet-style quality filter) ---
+#
+# The standard LM-based quality stage a corpus run applies alongside
+# the heuristic lenses (t06/t20/t21): train an add-one-smoothed bigram
+# model ON the corpus itself and score every document's per-bigram
+# cross-entropy — fluent/boilerplate text scores low, token soup
+# scores high. Float discipline: each bigram's log-probability is
+# rounded ONCE into a scaled BIGINT (floor(ln(p)*1e6 + 0.5) — the
+# explicit-floor form so both engines round halves identically), the
+# per-doc reduction is an exact integer sum (no float-accumulation
+# order dependence across partitions), and the final cross-entropy is
+# one IEEE division of identical integers on both engines.
+LM_SCALE = 1_000_000
+LN2_LIT = "0.6931471805599453"
+# broadcast the (w1,w2,c12) model when it is vocab-bounded small; at
+# web scale (billions of distinct bigrams) fall back to a shuffle join
+LM_BROADCAST_CAP = 4_000_000
+
+
+def _t50_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL UNNEST(range(1, len(t))) AS r(i)
+      WHERE len(t) >= 2
+    ),
+    lm AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1 FROM lm GROUP BY 1),
+    vocab AS (
+      SELECT COUNT(DISTINCT w2) AS v
+      FROM (SELECT w1 AS w2 FROM big UNION ALL SELECT w2 FROM big)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(LN((lm.c12 + 1.0) / (ctx.c1 + vocab.v))
+                        * {LM_SCALE} + 0.5) AS BIGINT) AS lp
+      FROM big b
+      JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      JOIN ctx ON b.w1 = ctx.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS BIGINT) AS sum_logp_scaled,
+           ROUND(-SUM(lp) / (COUNT(*) * {LM_SCALE}.0 * {LN2_LIT}), 4)
+             AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Score each document's cross-entropy (bits per bigram) under an
+    add-one-smoothed bigram LM trained on the corpus itself.
+
+    100 TB shape: ONE corpus-mass exchange builds the (w1, w2, c12)
+    model (map-side combined); the context totals and vocabulary size
+    are re-aggregations of that vocab²-bounded table, not of the
+    corpus. Scoring explodes bigrams map-side, meets the model via a
+    BROADCAST join while it fits (LM_BROADCAST_CAP; shuffle join with
+    AQE beyond), and reduces per doc with map-side partial aggregation
+    — two corpus-mass exchanges total, both keyed and combinable.
+    Reference parity: map + keyed reduce (Worker.fs:20,89-96)."""
+    toks = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.expr("slice(t, 2, size(t) - 1)").alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    lm = scoped_persist(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    n_lm = lm.count()  # vocab²-bounded; also materializes the persist
+    ctx = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = (
+        lm.select(F.col("w1").alias("w"))
+        .unionAll(lm.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0][0]
+    )  # one scalar to the driver — the vocabulary size, not data
+
+    join_lm = F.broadcast(lm) if n_lm <= LM_BROADCAST_CAP else lm
+    join_ctx = F.broadcast(ctx) if n_lm <= LM_BROADCAST_CAP else ctx
+    scored = (
+        big.join(join_lm, ["w1", "w2"])
+        .join(join_ctx, ["w1"])
+        .select(
+            "doc_id",
+            F.floor(
+                F.ln(
+                    (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(float(v)))
+                )
+                * LM_SCALE
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp").cast("bigint").alias("sum_logp_scaled"),
+        F.round(
+            -F.sum("lp")
+            / (F.count(F.lit(1)) * F.lit(float(LM_SCALE)) * F.expr(LN2_LIT)),
+            4,
+        ).alias("cross_entropy"),
+    )
+
+
+@register(
+    "t50_bigram_perplexity",
+    oracle=_t50_oracle(),
+    tags=("text", "quality", "lm"),
+)
+def t50_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality scoring — the LM lens the heuristic
+    quality stack (t06/t20/t21) lacks: per-document cross-entropy in
+    bits per bigram under a corpus-trained add-one bigram model, with
+    the exact integer log-mass alongside so downstream mixture /
+    filtering stages can re-threshold without re-scoring. Every value
+    (including the float) is hash-checked against DuckDB replaying the
+    identical model fit. Reference parity: a user would express the
+    model build and the scoring as two map+reduce passes
+    (Worker.fs:20,89-96; Example-Job.fs:57-61 for the frequency
+    count)."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return bigram_lm_score(docs)

@@ -567,6 +567,11 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # addition, pytest-only per the cadence, rotation candidate
     # for r12)
     "t49_pii_redact": "t20_repetition_filter",
+    # ...and t50 (bigram-LM perplexity scoring — the LM member of the
+    # quality-lens family whose heuristic members t06/t20/t21 the
+    # exposed t20 represents; round-11 addition, pytest-only per the
+    # cadence, rotation candidate for r12)
+    "t50_bigram_perplexity": "t20_repetition_filter",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

@@ -1757,3 +1757,45 @@ def test_t49_pii_planted_fixture(spark):
             r,
         )
         assert r.redacted == red, (doc_id, r.redacted)
+
+
+def test_t50_bigram_lm_exact_values(spark):
+    """t50's model fit and integer log-mass replayed in pure Python on
+    a hand-built corpus: exact lp sums (the scaled-BIGINT discipline),
+    exact bigram counts, and the ordering property the filter exists
+    for — a predictable doc scores strictly lower cross-entropy than a
+    doc of one-off bigrams under the SAME corpus model."""
+    import math
+    from collections import Counter
+
+    from fsharp_mapreduce_spark.functions.text import LM_SCALE, bigram_lm_score
+
+    rows = [(1, "a b a b a b a b"), (2, "c d e f g h i j")]
+    got = {
+        r.doc_id: r
+        for r in bigram_lm_score(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+    # pure-python replay of the documented algorithm
+    docs = {i: t.split(" ") for i, t in rows}
+    bigrams = {i: list(zip(t, t[1:])) for i, t in docs.items()}
+    lm = Counter(b for bs in bigrams.values() for b in bs)
+    ctx = Counter()
+    for (w1, _), c in lm.items():
+        ctx[w1] += c
+    vocab = {w for (w1, w2) in lm for w in (w1, w2)}
+    for i, bs in bigrams.items():
+        lps = [
+            math.floor(
+                math.log((lm[b] + 1.0) / (ctx[b[0]] + len(vocab))) * LM_SCALE + 0.5
+            )
+            for b in bs
+        ]
+        assert got[i].n_bigrams == len(bs), (i, got[i])
+        assert got[i].sum_logp_scaled == sum(lps), (i, got[i], sum(lps))
+        want_xent = round(-sum(lps) / (len(lps) * LM_SCALE * math.log(2)), 4)
+        assert abs(got[i].cross_entropy - want_xent) < 1e-9, (i, got[i], want_xent)
+    # the point of the filter: repetitive/predictable < token soup
+    assert got[1].cross_entropy < got[2].cross_entropy, got

@@ -1028,3 +1028,16 @@ def test_t31_single_corpus_pass(spark):
     assert plan.count("Scan parquet") <= plan.count("InMemoryRelation"), plan
     assert has_broadcast_join(df), plan  # sketch broadcasts into the probes
     spark.catalog.clearCache()
+
+
+def test_t50_lm_broadcast_and_no_python(spark):
+    """t50: the vocab²-bounded LM meets the corpus-mass bigram stream
+    via a BROADCAST join under LM_BROADCAST_CAP (no corpus-mass
+    shuffle on the bigram key), and the whole pipeline is expression
+    work — no Python evaluator anywhere."""
+    df = q("t50_bigram_perplexity", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    spark.catalog.clearCache()
