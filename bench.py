@@ -182,6 +182,7 @@ HEADLINE = [
     "t49_pii_redact",
     "m16_video_fingerprint_neardup",
     "t50_bigram_perplexity",
+    "s25_embedding_outliers",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -3194,3 +3194,153 @@ def s24_multiprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probes")
     )
+
+
+# --- s25: embedding outlier scoring (curation / mislabel detection) ---
+#
+# The data-curation stage the similarity family lacked: score every
+# vector's squared distance to its LABEL centroid and flag the ones
+# whose distance exceeds OUTLIER_FACTOR x the label mean — the
+# standard first pass for mislabeled / corrupted samples before
+# training. Float discipline (the t50 pattern): components quantize
+# ONCE into scaled ints (floor(x*1e4 + 0.5) — 1e4 keeps the per-label
+# BIGINT distance sums exact through ~1e9 vectors per label), the
+# centroid is an exact-integer-sum division, each squared diff rounds
+# to an int, and the per-vector reduction is an exact integer sum —
+# no float-accumulation order anywhere.
+OUTLIER_SCALE = 10_000
+OUTLIER_FACTOR = 2.0
+OUTLIER_PLANT_MOD = 97  # registered-query planting (the t49 precedent)
+
+
+def _s25_oracle() -> str:
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % {OUTLIER_PLANT_MOD} = 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 3)
+                  ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, i AS pos,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {OUTLIER_SCALE} + 0.5)
+                  AS BIGINT) AS ev
+      FROM aug, LATERAL UNNEST(range(1, len(embedding) + 1)) AS r(i)
+    ),
+    cent AS (SELECT label, pos, SUM(ev) AS s, COUNT(*) AS n FROM ex GROUP BY 1, 2),
+    dist AS (
+      SELECT ex.vec_id, ex.label,
+             SUM(CAST(FLOOR(
+               (ex.ev - cent.s / CAST(cent.n AS DOUBLE))
+               * (ex.ev - cent.s / CAST(cent.n AS DOUBLE)) + 0.5) AS BIGINT)) AS d2
+      FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      GROUP BY 1, 2
+    ),
+    lab AS (
+      SELECT label, SUM(d2) / CAST(COUNT(*) AS DOUBLE) AS mean_d2 FROM dist GROUP BY 1
+    )
+    SELECT d.vec_id, d.label, d.d2 AS dist_sq_scaled,
+           ROUND(d.d2 / lab.mean_d2, 6) AS rel_dist,
+           CAST(d.d2 AS DOUBLE) > {OUTLIER_FACTOR} * lab.mean_d2 AS is_outlier
+    FROM dist d JOIN lab ON d.label = lab.label
+    """
+
+
+def embedding_outliers(
+    emb: DataFrame, id_col: str = "vec_id", group_col: str = "label"
+) -> DataFrame:
+    """Per-group centroid-distance outlier scoring.
+
+    100 TB shape: ONE corpus-mass exchange builds the (group, dim)
+    centroid sums (posexplode is map-side and the partial agg combines
+    down to groups x d rows per partition); the centroid table and the
+    per-group distance stats are both tiny and BROADCAST back, so the
+    scoring and flagging passes are map-only over the corpus scan.
+    Reference parity: map + keyed reduce twice (Worker.fs:20,89-96)."""
+    ev = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * OUTLIER_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    base = emb.select(F.col(id_col), F.col(group_col), ev.alias("ev"))
+
+    ex = base.select(group_col, F.posexplode("ev").alias("pos", "v"))
+    cent = ex.groupBy(group_col, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent_arr = cent.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("pos", (F.col("s") / F.col("n")).alias("c"))
+                )
+            ),
+            lambda st: st.getField("c"),
+        ).alias("cent")
+    )
+
+    dist = (
+        base.join(F.broadcast(cent_arr), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.aggregate(
+                F.zip_with(
+                    "ev",
+                    "cent",
+                    lambda e, c: F.floor((e - c) * (e - c) + F.lit(0.5)).cast(
+                        "bigint"
+                    ),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    lab = dist.groupBy(group_col).agg(
+        (F.sum("d2") / F.count(F.lit(1))).alias("mean_d2")
+    )
+    return dist.join(F.broadcast(lab), group_col).select(
+        id_col,
+        group_col,
+        F.col("d2").alias("dist_sq_scaled"),
+        F.round(F.col("d2") / F.col("mean_d2"), 6).alias("rel_dist"),
+        (F.col("d2").cast("double") > OUTLIER_FACTOR * F.col("mean_d2")).alias(
+            "is_outlier"
+        ),
+    )
+
+
+@register(
+    "s25_embedding_outliers",
+    oracle=_s25_oracle(),
+    tags=("similarity", "curation", "outliers"),
+)
+def s25_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-outlier curation: distance-to-label-centroid scoring
+    with a per-label relative threshold — mislabeled or corrupted
+    vectors surface as is_outlier before any training run consumes
+    them. The fixture embeddings are homogeneous noise, so the
+    registered query PLANTS deterministic corruption (every
+    OUTLIER_PLANT_MOD-th vector scaled x3 — pure arithmetic replayed
+    identically by the oracle, the t49 precedent); the library entry
+    ``embedding_outliers`` is the production surface and plants
+    nothing. Every column including the float ratio and the flag is
+    value-hash-checked against DuckDB."""
+    emb = table(spark, sf_dir, "embeddings")
+    # the x3 plant runs in DOUBLE on both engines: a float32 multiply
+    # rounds to 24 bits where DuckDB's double path keeps the exact
+    # product, and that disagreement straddles quantization boundaries
+    planted = emb.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % OUTLIER_PLANT_MOD == 0,
+            F.transform("embedding", lambda x: x.cast("double") * F.lit(3.0)),
+        )
+        .otherwise(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("embedding"),
+    )
+    return embedding_outliers(planted)

@@ -572,6 +572,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # exposed t20 represents; round-11 addition, pytest-only per the
     # cadence, rotation candidate for r12)
     "t50_bigram_perplexity": "t20_repetition_filter",
+    # ...and s25 (embedding-outlier curation — centroid-distance
+    # scoring, the audit/curation member of the similarity family
+    # whose exposed slot-holder is the s23 recall audit; round-11
+    # addition, pytest-only per the cadence, rotation candidate for
+    # r12)
+    "s25_embedding_outliers": "s23_recall_audit",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(

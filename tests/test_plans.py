@@ -1041,3 +1041,15 @@ def test_t50_lm_broadcast_and_no_python(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_s25_broadcast_scoring_no_python(spark):
+    """s25: the centroid and label-stats tables broadcast back into
+    map-only scoring passes (no corpus-mass shuffle after the single
+    centroid-build exchange) and the whole pipeline is expression
+    work — no Python evaluator."""
+    df = q("s25_embedding_outliers", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan

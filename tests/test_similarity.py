@@ -1119,3 +1119,47 @@ def test_s24_recall_curve_monotone_and_anchored(spark):
         if (r.query_id, r.neighbor_id) in exact
     )
     assert rows[-1].n_hits == s21_hits
+
+
+def test_s25_planted_outliers_exact(spark):
+    """s25: with the x3 plant, EXACTLY the vec_id % OUTLIER_PLANT_MOD
+    == 0 vectors flag as outliers at sf0.001 — perfect separation, no
+    false positives — and every rel_dist sits where the flag says."""
+    from fsharp_mapreduce_spark.functions.similarity import (
+        OUTLIER_FACTOR,
+        OUTLIER_PLANT_MOD,
+    )
+    from fsharp_mapreduce_spark.registry import QUERIES
+
+    rows = QUERIES["s25_embedding_outliers"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.is_outlier == (r.vec_id % OUTLIER_PLANT_MOD == 0), r
+        assert (r.rel_dist > OUTLIER_FACTOR) == r.is_outlier, r
+        assert r.dist_sq_scaled > 0
+
+
+def test_s25_handbuilt_group_isolation(spark):
+    """The production surface on a hand-built fixture: outliers are
+    judged against THEIR OWN group's centroid — a vector normal for
+    group B but far from group A's centroid must not flag in B."""
+    from fsharp_mapreduce_spark.functions.similarity import embedding_outliers
+
+    rows = [
+        # group a: tight cluster at ~(1, 0) plus one far point
+        (1, "a", [1.0, 0.0]), (2, "a", [1.1, 0.0]), (3, "a", [0.9, 0.0]),
+        (4, "a", [1.0, 0.1]), (5, "a", [10.0, 10.0]),
+        # group b: tight cluster at ~(10, 10) — same coords as a's outlier
+        (6, "b", [10.0, 10.0]), (7, "b", [10.1, 10.0]), (8, "b", [9.9, 10.0]),
+        (9, "b", [10.0, 10.1]), (10, "b", [10.0, 9.9]),
+    ]
+    got = {
+        r.vec_id: r.is_outlier
+        for r in embedding_outliers(
+            spark.createDataFrame(
+                rows, "vec_id long, label string, embedding array<double>"
+            )
+        ).collect()
+    }
+    assert got[5] is True, got
+    assert all(got[i] is False for i in (1, 2, 3, 4, 6, 7, 8, 9, 10)), got
