@@ -1343,10 +1343,22 @@ def connected_components(
     large-star/small-star variant (Kiveris et al., "Connected
     Components in MapReduce and Beyond") halves path lengths per round
     — same join/agg building blocks, O(log n) rounds, worth swapping
-    in only if diameter is genuinely unbounded. The per-round
-    convergence probe is a scalar count — the one driver-side action
-    an iterative algorithm cannot avoid. Labels persist across rounds;
-    superseded cache entries are released eagerly."""
+    in only if diameter is genuinely unbounded.
+
+    Two per-round costs are paid ONCE instead of once per round
+    (r11 — the iterative-floor analogue of the r10 streaming
+    state-partition fix):
+    - the symmetrized edge set is hash-partitioned on its join key
+      before caching, so when labels outgrow the broadcast threshold
+      (any real corpus — labels is ALL vertices) the per-round join
+      reuses E's partitioning and only the label side exchanges:
+      E shuffles once, not diameter times;
+    - the convergence probe rides the round's own checkpoint as a
+      changed-flag column reduced by a map-only scalar agg, instead
+      of a second join of new labels against old (which re-shuffled
+      both label sets every round).
+    Labels persist across rounds; superseded cache entries are
+    released eagerly."""
     # persist + eagerly materialize the EDGE INPUT before symmetrizing:
     # the union below expands `edges` into both branches, and if edges
     # is an expensive pipeline (t12 feeds the whole t03 MinHash+LSH
@@ -1360,6 +1372,7 @@ def connected_components(
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("w"))
         .union(edges.select(F.col("dst").alias("u"), F.col("src").alias("w")))
+        .repartition("u")
         .persist()
     )
     labels = vertices.select("v", F.col("v").alias("label")).persist()
@@ -1383,15 +1396,16 @@ def connected_components(
             .select(
                 "v",
                 F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+                # strict decrease — the convergence signal, carried on
+                # the round's own materialization so no second
+                # label-vs-label join is needed
+                (F.coalesce("nl", "label") < F.col("label"))
+                .cast("long")
+                .alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.select(F.col("v"), F.col("label").alias("n"))
-            .join(labels.select(F.col("v"), F.col("label").alias("o")), "v")
-            .where(F.col("n") < F.col("o"))
-            .count()
-        )
+        changed = int(new.agg(F.sum("chg")).collect()[0][0] or 0)
         labels.unpersist()
         labels = new
         if changed == 0:
@@ -1410,7 +1424,7 @@ def connected_components(
             f"({changed} labels still changing); graph diameter exceeds "
             "max_iter — raise it or use a star-contraction variant"
         )
-    return labels
+    return labels.select("v", "label")
 
 
 def _star_checksum(e: DataFrame) -> tuple:
