@@ -352,26 +352,33 @@ T02_BLOCK_DOCS = 8192
 def _block_boundaries(hsets: DataFrame, block_docs: int) -> list[tuple[int, int]]:
     """Disjoint [lo, hi] doc-id intervals covering the distinct doc-id
     set in chunks of ≤ block_docs, derived DISTRIBUTIVELY (VERDICT r10
-    #3): ntile(n_blocks) over the sorted id set assigns block
-    membership executor-side and only the n_blocks (lo, hi) boundary
-    rows reach the driver — O(n_docs / block_docs) driver memory
-    instead of the previous O(n_docs) full-id collect. ntile splits n
-    rows into tiles of floor/ceil(n/k), so every tile is ≤ block_docs
-    when k = ceil(n / block_docs), and tiles of a sorted sequence are
-    disjoint id intervals — each pass downstream stays a pushdown-
-    friendly BETWEEN. The global-order window sorts ids on one
-    partition, but it carries ONLY the bigint id column and this is
-    the declared exact-verification path (t03/t34 are the 100 TB
+    #3): floor((row_number-1)/block_docs) over the sorted id set
+    assigns block membership executor-side and only the
+    ceil(n / block_docs) (lo, hi) boundary rows reach the driver —
+    O(n_docs / block_docs) driver memory instead of the pre-r11
+    O(n_docs) full-id collect. Tiles of a sorted sequence are disjoint
+    id intervals, each holding exactly block_docs ids (the last one
+    fewer), so every pass downstream stays a pushdown-friendly BETWEEN
+    within the broadcast bound. The global-order window sorts ids on
+    one partition, but it carries ONLY the bigint id column and this
+    is the declared exact-verification path (t03/t34 are the 100 TB
     dedup path); the driver-side structure is what had to go."""
-    n_docs = hsets.count()
-    if n_docs == 0:
-        return []
-    n_blocks = -(-n_docs // block_docs)
     from pyspark.sql import Window
 
+    # ONE job, not count-then-ntile (r11: each driver-synchronous job
+    # in this chain pays a scheduling floor — the count existed only
+    # to size ntile's k, but floor((row_number-1)/block_docs) cuts the
+    # same ceil(n/block_docs) tiles without knowing n upfront, and its
+    # tiles are exactly block_docs (all but the last) instead of
+    # ntile's floor/ceil split, so the broadcast bound is unchanged).
     rows = (
         hsets.select("doc_id")
-        .withColumn("blk", F.ntile(n_blocks).over(Window.orderBy("doc_id")))
+        .withColumn(
+            "blk",
+            F.floor(
+                (F.row_number().over(Window.orderBy("doc_id")) - 1) / block_docs
+            ),
+        )
         .groupBy("blk")
         .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
         .orderBy("blk")
@@ -1326,6 +1333,33 @@ def t10_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with A≉C must still collapse to one cluster).
 
 
+def _cc_round(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label-propagation round as an UNMATERIALIZED plan:
+    neighbor-min join + agg, then the label update carrying the
+    convergence flag. Factored out of connected_components so the
+    plan test can pin the round's exchange shape on the REAL code
+    (tests/test_plans.py::test_cc_round_never_reshuffles_edges):
+    with broadcast off (labels is all vertices — never broadcastable
+    on a real corpus), the cached symmetrized edge set's hash
+    partitioning on `u` must be REUSED, so no `Exchange
+    hashpartitioning(u...)` appears — E shuffles once at build,
+    not once per round."""
+    nbr = (
+        e.join(labels, e.u == labels.v)
+        .select(F.col("w").alias("v2"), "label")
+        .groupBy("v2")
+        .agg(F.min("label").alias("nl"))
+    )
+    return labels.join(nbr, labels.v == nbr.v2, "left").select(
+        "v",
+        F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
+        # strict decrease — the convergence signal, carried on the
+        # round's own materialization so no second label-vs-label
+        # join is needed
+        (F.coalesce("nl", "label") < F.col("label")).cast("long").alias("chg"),
+    )
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -1378,12 +1412,6 @@ def connected_components(
     labels = vertices.select("v", F.col("v").alias("label")).persist()
     changed = 0
     for _ in range(max_iter):
-        nbr = (
-            e.join(labels, e.u == labels.v)
-            .select(F.col("w").alias("v2"), "label")
-            .groupBy("v2")
-            .agg(F.min("label").alias("nl"))
-        )
         # localCheckpoint (eager), not persist: each round's plan embeds
         # the previous round's, so persist alone grows the lineage (and
         # the driver's plan/AQE bookkeeping) linearly in rounds — a
@@ -1391,20 +1419,7 @@ def connected_components(
         # materializes the round AND truncates lineage to the stored
         # blocks; on a real cluster with executor churn, swap for
         # reliable checkpointing to a cluster store.
-        new = (
-            labels.join(nbr, labels.v == nbr.v2, "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce("nl", "label")).alias("label"),
-                # strict decrease — the convergence signal, carried on
-                # the round's own materialization so no second
-                # label-vs-label join is needed
-                (F.coalesce("nl", "label") < F.col("label"))
-                .cast("long")
-                .alias("chg"),
-            )
-            .localCheckpoint()
-        )
+        new = _cc_round(e, labels).localCheckpoint()
         changed = int(new.agg(F.sum("chg")).collect()[0][0] or 0)
         labels.unpersist()
         labels = new

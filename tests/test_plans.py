@@ -1053,3 +1053,104 @@ def test_s25_broadcast_scoring_no_python(spark):
     assert has_broadcast_join(df), plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
+
+
+def test_cc_round_never_reshuffles_edges(spark):
+    """r11 iterative-floor fix, part 1: inside connected_components'
+    loop the symmetrized edge set must NOT re-shuffle each round. e is
+    hash-partitioned on the join key `u` before caching, so with
+    broadcast off (labels is all vertices — never broadcastable on a
+    real corpus) the round join reuses E's partitioning and only the
+    label side exchanges. Pinned on the EnsureRequirements tag: a
+    per-round re-shuffle of E would plan as an `Exchange
+    hashpartitioning(u...) ENSURE_REQUIREMENTS` node (E's one-time
+    build exchange inside the cached subtree is REPARTITION_BY_COL, so
+    the two are distinguishable however much of the InMemoryRelation
+    the explain output prints); the same round over an UNpartitioned
+    cache must plan exactly one such node — proving the pattern
+    detects the re-shuffle it guards against."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions.dedup import _cc_round
+
+    def u_reshuffles(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(
+            re.findall(
+                r"Exchange hashpartitioning\(u#\d+L?, \d+\), ENSURE_REQUIREMENTS",
+                plan,
+            )
+        )
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "src long, dst long"
+        )
+        sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("w")).union(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+        )
+        labels = spark.createDataFrame(
+            [(v,) for v in range(65)], "v long"
+        ).select("v", F.col("v").alias("label"))
+
+        e_part = sym.repartition("u").persist()
+        e_part.count()
+        e_flat = sym.persist()
+        e_flat.count()
+        try:
+            n_part = u_reshuffles(_cc_round(e_part, labels))
+            n_flat = u_reshuffles(_cc_round(e_flat, labels))
+        finally:
+            e_part.unpersist()
+            e_flat.unpersist()
+        assert n_part == 0, (
+            f"round join re-shuffles the pre-partitioned edge set "
+            f"{n_part} time(s) — E must shuffle once at build, not per round"
+        )
+        assert n_flat == 1, (
+            f"unpartitioned control planned {n_flat} u-reshuffles, expected "
+            "exactly 1 — the detector no longer sees the re-shuffle it "
+            "guards against"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.catalog.clearCache()
+
+
+def test_cc_convergence_probe_is_joinless(spark):
+    """r11 iterative-floor fix, part 2: the convergence probe must ride
+    the round's own output as a map-only scalar agg over the chg flag —
+    no second label-vs-label join. The round plan itself contains
+    exactly the two algorithmic joins (neighbor-min, label update);
+    aggregating chg adds no join and no exchange beyond the scalar
+    gather."""
+    from pyspark.sql import functions as F
+
+    from fsharp_mapreduce_spark.functions.dedup import _cc_round
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("w")).union(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("w"))
+    )
+    labels = spark.createDataFrame([(v,) for v in (1, 2, 3)], "v long").select(
+        "v", F.col("v").alias("label")
+    )
+    e = sym.repartition("u").persist()
+    e.count()
+    try:
+        rnd = _cc_round(e, labels).localCheckpoint()
+        probe = rnd.agg(F.sum("chg"))
+        plan = formatted_plan(probe)
+        for node in ("Join", "SortMergeJoin", "BroadcastHashJoin"):
+            assert node not in plan, (
+                "convergence probe plans a join — it must be a map-only "
+                f"agg over the checkpointed round:\n{plan}"
+            )
+        assert int(probe.collect()[0][0]) == 2, "chain 1-2-3: two labels drop"
+    finally:
+        e.unpersist()
+    spark.catalog.clearCache()
