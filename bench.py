@@ -183,6 +183,8 @@ HEADLINE = [
     "m16_video_fingerprint_neardup",
     "t50_bigram_perplexity",
     "s25_embedding_outliers",
+    "t51_nb_classifier",
+    "q71_data_profile",
 ]
 
 # Every gate-exposed query → the HEADLINE row that benchmarks its

@@ -128,3 +128,138 @@ def q48_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fk = fk_violations(li, o, "l_orderkey", "o_orderkey")
     return single_pass.crossJoin(fk)
+
+
+# ---------------------------------------------------------------------------
+# q71: per-column data profiling — the Analyzer half of the Deequ
+# shape (q48 is the Check half). A 100 TB ingest runs this BEFORE
+# writing constraints: it tells you what the data looks like
+# (completeness, cardinality, ranges) so the q48 check list has
+# something to assert. One aggregation pass over the table computes
+# every metric for every profiled column (map-side combined; the
+# exact distinct counts plan as ONE Expand — swap
+# `F.count_distinct` for `F.approx_count_distinct` at true corpus
+# scale where ±2% cardinality is acceptable and the Expand factor
+# matters); a `stack` generator unpivots the single metrics row to
+# one row per column without re-executing the aggregate.
+
+PROFILE_NUMERIC = ["l_orderkey", "l_quantity", "l_extendedprice"]
+PROFILE_STRING = ["l_returnflag", "l_linestatus"]
+PROFILE_TS = ["l_shipdate"]
+
+
+def profile(df: DataFrame, numeric: list[str], string: list[str],
+            ts: list[str]) -> DataFrame:
+    """One-pass column profile: (column_name, n_rows, n_null,
+    n_distinct, min_num, max_num, min_str, max_str) per profiled
+    column. Numeric mins/maxes round to 4 dp (the repo's cross-engine
+    double discipline); timestamps profile as exact epoch-microsecond
+    integers; strings profile lexicographically."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in numeric + string + ts:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}__nulls")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"))
+        if c in numeric:
+            aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
+            aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
+        elif c in ts:
+            # parquet timestamps arrive NTZ; unix_micros needs LTZ —
+            # the session zone is UTC, so the cast is the identity
+            # wall-clock mapping DuckDB's epoch_us applies
+            aggs.append(
+                F.unix_micros(F.min(c).cast("timestamp_ltz"))
+                .cast("double")
+                .alias(f"{c}__min")
+            )
+            aggs.append(
+                F.unix_micros(F.max(c).cast("timestamp_ltz"))
+                .cast("double")
+                .alias(f"{c}__max")
+            )
+        else:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in numeric + string + ts:
+        is_str = c in string
+        rows.append(
+            f"'{c}', {c}__nulls, {c}__nd, "
+            + (
+                "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                f"{c}__min, {c}__max"
+                if is_str
+                else f"{c}__min, {c}__max, "
+                "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            )
+        )
+    n = len(numeric) + len(string) + len(ts)
+    stack = (
+        f"stack({n}, " + ", ".join(rows) + ") AS "
+        "(column_name, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return one.select("n_rows", F.expr(stack)).select(
+        "column_name", "n_rows", "n_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
+def _q71_oracle() -> str:
+    base_metrics = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    selects = []
+    for c in PROFILE_NUMERIC + PROFILE_STRING + PROFILE_TS:
+        base_metrics.append(
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}__nulls"
+        )
+        base_metrics.append(
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}__nd"
+        )
+        if c in PROFILE_NUMERIC:
+            base_metrics.append(f"ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS {c}__min")
+            base_metrics.append(f"ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS {c}__max")
+        elif c in PROFILE_TS:
+            base_metrics.append(f"CAST(epoch_us(MIN({c})) AS DOUBLE) AS {c}__min")
+            base_metrics.append(f"CAST(epoch_us(MAX({c})) AS DOUBLE) AS {c}__max")
+        else:
+            base_metrics.append(f"MIN({c}) AS {c}__min")
+            base_metrics.append(f"MAX({c}) AS {c}__max")
+        num = c not in PROFILE_STRING
+        selects.append(
+            f"SELECT '{c}' AS column_name, n_rows, {c}__nulls AS n_null, "
+            f"{c}__nd AS n_distinct, "
+            + (
+                f"{c}__min AS min_num, {c}__max AS max_num, "
+                "CAST(NULL AS VARCHAR) AS min_str, "
+                "CAST(NULL AS VARCHAR) AS max_str"
+                if num
+                else "CAST(NULL AS DOUBLE) AS min_num, "
+                f"CAST(NULL AS DOUBLE) AS max_num, "
+                f"{c}__min AS min_str, {c}__max AS max_str"
+            )
+            + " FROM base"
+        )
+    return (
+        "WITH base AS (SELECT " + ", ".join(base_metrics) + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register(
+    "q71_data_profile",
+    oracle=_q71_oracle(),
+    tags=("quality", "audit", "profiling"),
+)
+def q71_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass profile of six lineitem columns (int, double,
+    string, and timestamp representatives): completeness, exact
+    cardinality, and ranges, unpivoted to one row per column. Plan-
+    pinned one scan; every metric value-hash-checked against DuckDB
+    computing the identical aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    return profile(li, PROFILE_NUMERIC, PROFILE_STRING, PROFILE_TS)

@@ -2991,3 +2991,214 @@ def t50_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     count)."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     return bigram_lm_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# t51: multinomial Naive-Bayes classifier — the LEARNED filter that
+# completes the quality/filtering stack. Everything before it is a
+# fixed rule (t06/t20/t21 heuristics, t05's stopword language-ID,
+# t50's LM lens); production corpus pipelines (the CCNet /
+# fastText-filter precedent) additionally TRAIN a classifier on
+# labeled data and apply it corpus-wide. The machinery below is that
+# stage end-to-end on Spark: a distributive model fit (hash
+# aggregations), a broadcast-joined map-only scorer, and a
+# deterministic argmax — demonstrated on the `lang` label (the same
+# code is the quality filter when the label is wiki-vs-crawl).
+# Log-probabilities use t50's integer-scaling discipline (floor(ln·1e6
+# + 0.5) summed exactly as BIGINT) so DuckDB replays the identical
+# fit and scores bit-for-bit.
+
+NB_SCALE = 1_000_000
+# broadcast the (class, token) model while it is vocab-bounded small;
+# at web scale fall back to a shuffle join on the token key
+NB_BROADCAST_CAP = 4_000_000
+
+
+def _t51_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    cls AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    pri AS (
+      SELECT c, CAST(FLOOR(LN(CAST(n_docs AS DOUBLE)
+                              / CAST(SUM(n_docs) OVER () AS DOUBLE))
+                           * {NB_SCALE} + 0.5) AS BIGINT) AS prior_scaled
+      FROM cls
+    ),
+    cnt AS (
+      SELECT lang AS c, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT c, CAST(SUM(m) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+    probe AS (
+      SELECT tk.doc_id, tk.lang, cl.c, tk.w
+      FROM toks tk CROSS JOIN (SELECT c FROM cls) cl
+    ),
+    lp AS (
+      SELECT p.doc_id, p.lang, p.c,
+             CAST(FLOOR(LN((COALESCE(cnt.m, 0) + 1.0)
+                           / CAST(tot.t + vocab.v AS DOUBLE))
+                        * {NB_SCALE} + 0.5) AS BIGINT) AS lp
+      FROM probe p
+      LEFT JOIN cnt ON p.c = cnt.c AND p.w = cnt.w
+      JOIN tot ON p.c = tot.c
+      CROSS JOIN vocab
+    ),
+    per_class AS (
+      SELECT l.doc_id, l.lang, l.c,
+             CAST(SUM(l.lp) AS BIGINT) + pri.prior_scaled AS score_scaled
+      FROM lp l JOIN pri ON l.c = pri.c
+      GROUP BY l.doc_id, l.lang, l.c, pri.prior_scaled
+    ),
+    ranked AS (
+      SELECT doc_id, lang, c, score_scaled,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_scaled DESC, c) AS rn,
+             score_scaled
+               - LEAD(score_scaled) OVER (PARTITION BY doc_id
+                                          ORDER BY score_scaled DESC, c)
+               AS margin
+      FROM per_class
+    )
+    SELECT doc_id, lang, c AS pred_lang, score_scaled,
+           CAST(COALESCE(margin, 0) AS BIGINT) AS margin_scaled,
+           (c = lang) AS is_correct
+    FROM ranked WHERE rn = 1
+    """
+
+
+def nb_classify(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Train an add-one-smoothed multinomial Naive-Bayes classifier on
+    the labeled corpus and score every document, emitting the argmax
+    class, its integer-scaled log-posterior, the margin over the
+    runner-up (so downstream stages re-threshold without re-scoring),
+    and the self-classification flag.
+
+    100 TB shape: the fit is ONE corpus-mass exchange (the (class,
+    token) hash aggregation, map-side combined); the per-class totals,
+    priors, and vocabulary size are re-aggregations of that
+    vocab×classes-bounded model table, not of the corpus. Scoring
+    explodes tokens map-side, fans each across the class list (a
+    class-cardinality broadcast, ×2 for a binary quality filter),
+    meets the model via a BROADCAST join while it fits
+    (NB_BROADCAST_CAP; shuffle join with AQE beyond), and reduces per
+    (doc, class) with map-side partial aggregation — the second and
+    last corpus-mass exchange. The argmax window runs over docs ×
+    classes skinny rows. Reference parity: a reference user would
+    write the fit and the scorer as two map+keyed-reduce jobs
+    (Worker.fs:20,89-96)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.col(label_col).alias("lang"),
+        F.explode(tokens_col(F.col(text_col))).alias("w"),
+    )
+    cls = scoped_persist(
+        docs.groupBy(F.col(label_col).alias("c")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+    )
+    pri = cls.crossJoin(
+        cls.agg(F.sum("n_docs").cast("bigint").alias("n_all"))
+    ).select(
+        "c",
+        F.floor(
+            F.ln(F.col("n_docs").cast("double") / F.col("n_all").cast("double"))
+            * NB_SCALE
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("prior_scaled"),
+    )
+
+    cnt = scoped_persist(
+        toks.groupBy(F.col("lang").alias("c"), "w").agg(
+            F.count(F.lit(1)).cast("bigint").alias("m")
+        )
+    )
+    n_model = cnt.count()  # vocab×classes-bounded; materializes the persist
+    tot = cnt.groupBy("c").agg(F.sum("m").cast("bigint").alias("t"))
+    # vocabulary size off the MODEL table (distinct w over (c, w) ≡
+    # distinct w over the corpus) — one scalar to the driver
+    v = cnt.agg(F.count_distinct("w").alias("v")).collect()[0][0]
+
+    join_cnt = F.broadcast(cnt) if n_model <= NB_BROADCAST_CAP else cnt
+    join_tot = F.broadcast(tot)
+    scored = (
+        toks.crossJoin(F.broadcast(cls.select("c")))
+        .join(join_cnt, ["c", "w"], "left")
+        .join(join_tot, ["c"])
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            F.floor(
+                F.ln(
+                    (F.coalesce(F.col("m"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("t") + F.lit(int(v))).cast("double")
+                )
+                * NB_SCALE
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    per_class = (
+        scored.groupBy("doc_id", "lang", "c")
+        .agg(F.sum("lp").cast("bigint").alias("sum_lp"))
+        .join(F.broadcast(pri), ["c"])
+        .select(
+            "doc_id",
+            "lang",
+            "c",
+            (F.col("sum_lp") + F.col("prior_scaled")).alias("score_scaled"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_scaled"), F.asc("c")
+    )
+    ranked = per_class.select(
+        "doc_id",
+        "lang",
+        "c",
+        "score_scaled",
+        F.row_number().over(win).alias("rn"),
+        F.coalesce(
+            F.col("score_scaled") - F.lead("score_scaled").over(win), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("margin_scaled"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "doc_id",
+        "lang",
+        F.col("c").alias("pred_lang"),
+        "score_scaled",
+        "margin_scaled",
+        (F.col("c") == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "t51_nb_classifier",
+    oracle=_t51_oracle(),
+    tags=("text", "quality", "classifier", "learned"),
+)
+def t51_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned corpus filter: train multinomial NB on the `lang` label
+    and classify every document (see ``nb_classify``). Every column —
+    the prediction, the exact integer log-posterior, the runner-up
+    margin, and the correctness flag — is value-hash-checked against
+    DuckDB replaying the identical fit, smoothing, and tie-break."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    return nb_classify(docs)

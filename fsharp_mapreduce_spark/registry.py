@@ -578,6 +578,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # addition, pytest-only per the cadence, rotation candidate for
     # r12)
     "s25_embedding_outliers": "s23_recall_audit",
+    # ...and t51 (learned multinomial-NB classifier — the trained
+    # member of the quality/filtering family whose heuristic members
+    # the exposed t20 represents, and whose model-fit + broadcast-
+    # score shape is t50's; round-11 addition, pytest-only per the
+    # cadence, rotation candidate for r12)
+    "t51_nb_classifier": "t20_repetition_filter",
 }
 
 PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
@@ -594,6 +600,11 @@ PYTEST_ONLY: frozenset[str] = frozenset(PYTEST_ONLY_FAMILY) | frozenset(
         "q62_sole_late_supplier",
         "q65_value_concentration",
         "q69_exact_percentile_scalable",
+        # per-column data profiling (round-11 addition, q-family
+        # fold per the birth cadence; q48 — the Check half of the
+        # same Deequ shape — held a gate slot r5-r7 and q01 keeps
+        # the aggregation-family slot)
+        "q71_data_profile",
         # ROTATION #7 q-family folds (r10, VERDICT r9 "Next round"
         # #1), each driver-green for 3+ rounds, each family still
         # represented: q17 global top-k (green r1-r9; the

@@ -1799,3 +1799,107 @@ def test_t50_bigram_lm_exact_values(spark):
         assert abs(got[i].cross_entropy - want_xent) < 1e-9, (i, got[i], want_xent)
     # the point of the filter: repetitive/predictable < token soup
     assert got[1].cross_entropy < got[2].cross_entropy, got
+
+
+def test_t51_nb_classifier_exact_replay(spark):
+    """t51's NB fit, smoothing, integer log-mass, argmax tie-break,
+    and margin replayed in pure Python on a hand-built labeled corpus
+    — plus the semantic property the classifier exists for: a document
+    made of class-x tokens predicts class x under the corpus model."""
+    import math
+    from collections import Counter
+
+    from fsharp_mapreduce_spark.functions.text import NB_SCALE, nb_classify
+
+    rows = [
+        (1, "a a b", "x"),
+        (2, "b b c c c", "y"),
+        (3, "a b a", "x"),
+        (4, "c c b", "y"),
+        (5, "a a a", "x"),
+    ]
+    got = {
+        r.doc_id: r
+        for r in nb_classify(
+            spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        ).collect()
+    }
+
+    docs = {i: (t.split(" "), c) for i, t, c in rows}
+    cnt: Counter = Counter()
+    n_docs: Counter = Counter()
+    for toks, c in docs.values():
+        n_docs[c] += 1
+        for w in toks:
+            cnt[(c, w)] += 1
+    classes = sorted(n_docs)
+    tot = {c: sum(m for (cc, _), m in cnt.items() if cc == c) for c in classes}
+    vocab = {w for (_, w) in cnt}
+    n_all = sum(n_docs.values())
+    pri = {
+        c: math.floor(math.log(n_docs[c] / n_all) * NB_SCALE + 0.5)
+        for c in classes
+    }
+    for i, (toks, actual) in docs.items():
+        scores = {}
+        for c in classes:
+            lp = sum(
+                math.floor(
+                    math.log((cnt[(c, w)] + 1.0) / (tot[c] + len(vocab)))
+                    * NB_SCALE
+                    + 0.5
+                )
+                for w in toks
+            )
+            scores[c] = lp + pri[c]
+        ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        pred, best = ordered[0]
+        margin = best - ordered[1][1] if len(ordered) > 1 else 0
+        r = got[i]
+        assert r.pred_lang == pred, (i, r, ordered)
+        assert r.score_scaled == best, (i, r, ordered)
+        assert r.margin_scaled == margin, (i, r, ordered)
+        assert r.is_correct == (pred == actual), (i, r)
+        assert r.lang == actual
+    # the filter's point: the all-'a' doc lands in the a-heavy class
+    assert got[5].pred_lang == "x", got[5]
+    assert got[2].pred_lang == "y", got[2]
+
+
+def test_q71_profile_counts_nulls_and_ranges(spark):
+    """q71's profile() on a crafted frame with planted nulls and known
+    ranges: null counts, exact cardinalities, 4-dp numeric rounding,
+    epoch-microsecond timestamp ranges, lexicographic string ranges,
+    and the NULL-typed off-diagonal columns of the unpivot."""
+    import datetime
+
+    from fsharp_mapreduce_spark.functions.audit import profile
+
+    rows = [
+        (1, 2.5004999, "b", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, None, "a", datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (None, 7.25, None, None),
+        (1, 2.5004999, "c", datetime.datetime(2024, 1, 1, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, x double, s string, ts timestamp"
+    )
+    got = {
+        r.column_name: r
+        for r in profile(df, ["k", "x"], ["s"], ["ts"]).collect()
+    }
+    assert set(got) == {"k", "x", "s", "ts"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_null, got["k"].n_distinct) == (1, 2)
+    assert (got["k"].min_num, got["k"].max_num) == (1.0, 2.0)
+    assert got["k"].min_str is None and got["k"].max_str is None
+    assert (got["x"].n_null, got["x"].n_distinct) == (1, 2)
+    assert (got["x"].min_num, got["x"].max_num) == (2.5005, 7.25)
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 3)
+    assert (got["s"].min_str, got["s"].max_str) == ("a", "c")
+    assert got["s"].min_num is None and got["s"].max_num is None
+    epoch = datetime.datetime(1970, 1, 1)
+    lo = (datetime.datetime(2024, 1, 1) - epoch).total_seconds() * 1_000_000
+    hi = (datetime.datetime(2024, 1, 2, 3, 4, 5) - epoch).total_seconds() * 1_000_000
+    assert (got["ts"].n_null, got["ts"].n_distinct) == (1, 2)
+    assert (got["ts"].min_num, got["ts"].max_num) == (lo, hi)

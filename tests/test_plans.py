@@ -1154,3 +1154,29 @@ def test_cc_convergence_probe_is_joinless(spark):
     finally:
         e.unpersist()
     spark.catalog.clearCache()
+
+
+def test_t51_nb_broadcast_and_no_python(spark):
+    """t51: the vocab×classes-bounded model meets the corpus-mass
+    token stream via BROADCAST joins under NB_BROADCAST_CAP (no
+    corpus-mass shuffle on the token key), and the whole pipeline is
+    expression work — no Python evaluator anywhere."""
+    df = q("t51_nb_classifier", spark)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
+    spark.catalog.clearCache()
+
+
+def test_q71_profile_single_scan(spark):
+    """q71 (data profile): every metric for every profiled column
+    rides ONE scan of lineitem (the multi-distinct aggregation plans
+    as a single Expand — N analyzers ≠ N scans), and the unpivot is a
+    generator over the one-row aggregate, not a re-execution."""
+    df = q("q71_data_profile", spark)
+    plan = formatted_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Expand" in plan, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, plan
