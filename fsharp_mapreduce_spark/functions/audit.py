@@ -150,11 +150,27 @@ PROFILE_TS = ["l_shipdate"]
 
 def profile(df: DataFrame, numeric: list[str], string: list[str],
             ts: list[str]) -> DataFrame:
-    """One-pass column profile: (column_name, n_rows, n_null,
+    """Two-scan column profile: (column_name, n_rows, n_null,
     n_distinct, min_num, max_num, min_str, max_str) per profiled
     column. Numeric mins/maxes round to 4 dp (the repo's cross-engine
     double discipline); timestamps profile as exact epoch-microsecond
-    integers; strings profile lexicographically."""
+    integers; strings profile lexicographically.
+
+    The exact distinct counts ride their own aggregate ON PURPOSE: a
+    multi-column count_distinct plans as one Expand (each row
+    replicated per distinct column), and fusing the null/min/max
+    metrics into that aggregate makes every replica carry every other
+    metric expression — measured 6× slower at sf0.1 (12.3 s fused vs
+    2.0 s split). Split, the distinct family pays the Expand exchange
+    alone and everything else rides one plain column-pruned scan; the
+    two 1-row results meet in a literal-sized cross join. Scan count
+    is the invariant: 2 for ANY number of profiled columns."""
+    d_aggs = [
+        F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd")
+        for c in numeric + string + ts
+    ]
+    distincts = df.agg(*d_aggs)
+
     aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
     for c in numeric + string + ts:
         aggs.append(
@@ -162,7 +178,6 @@ def profile(df: DataFrame, numeric: list[str], string: list[str],
             .cast("bigint")
             .alias(f"{c}__nulls")
         )
-        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__nd"))
         if c in numeric:
             aggs.append(F.round(F.min(c).cast("double"), 4).alias(f"{c}__min"))
             aggs.append(F.round(F.max(c).cast("double"), 4).alias(f"{c}__max"))
@@ -183,7 +198,7 @@ def profile(df: DataFrame, numeric: list[str], string: list[str],
         else:
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
-    one = df.agg(*aggs)
+    one = df.agg(*aggs).crossJoin(distincts)
 
     rows = []
     for c in numeric + string + ts:
@@ -256,10 +271,11 @@ def _q71_oracle() -> str:
     tags=("quality", "audit", "profiling"),
 )
 def q71_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass profile of six lineitem columns (int, double,
-    string, and timestamp representatives): completeness, exact
-    cardinality, and ranges, unpivoted to one row per column. Plan-
-    pinned one scan; every metric value-hash-checked against DuckDB
-    computing the identical aggregates."""
+    """Profile of six lineitem columns (int, double, string, and
+    timestamp representatives): completeness, exact cardinality, and
+    ranges, unpivoted to one row per column. Plan-pinned TWO scans
+    regardless of column count (see ``profile``); every metric
+    value-hash-checked against DuckDB computing the identical
+    aggregates."""
     li = table(spark, sf_dir, "lineitem")
     return profile(li, PROFILE_NUMERIC, PROFILE_STRING, PROFILE_TS)

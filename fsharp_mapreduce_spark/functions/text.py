@@ -3125,11 +3125,13 @@ def nb_classify(
             F.count(F.lit(1)).cast("bigint").alias("m")
         )
     )
-    n_model = cnt.count()  # vocab×classes-bounded; materializes the persist
+    # model size (broadcast decision) and vocabulary size (distinct w
+    # over (c, w) ≡ distinct w over the corpus) in ONE model-sized
+    # job — it also materializes the persist
+    n_model, v = cnt.agg(
+        F.count(F.lit(1)), F.count_distinct("w")
+    ).collect()[0]
     tot = cnt.groupBy("c").agg(F.sum("m").cast("bigint").alias("t"))
-    # vocabulary size off the MODEL table (distinct w over (c, w) ≡
-    # distinct w over the corpus) — one scalar to the driver
-    v = cnt.agg(F.count_distinct("w").alias("v")).collect()[0][0]
 
     join_cnt = F.broadcast(cnt) if n_model <= NB_BROADCAST_CAP else cnt
     join_tot = F.broadcast(tot)
