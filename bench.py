@@ -232,6 +232,11 @@ FAMILY_COVERAGE = {
     # precedent, VERDICT r9 #7); t49's own HEADLINE row prices the
     # detector itself
     "st22_stream_pii_audit": "st12_stream_quality_filter",
+    # r11: st23's per-batch profile metrics are st16's micro-batch
+    # aggregate machinery with q71's Analyzer columns — it rides
+    # st16's row for the same reason st22 rides st12's (one more
+    # ~10-trigger scheduling floor buys no new curve)
+    "st23_stream_profile_audit": "st16_stream_drift_audit",
 }
 
 

@@ -578,6 +578,12 @@ PYTEST_ONLY_FAMILY: dict[str, str] = {
     # addition, pytest-only per the cadence, rotation candidate for
     # r12)
     "s25_embedding_outliers": "s23_recall_audit",
+    # ...and st23 (streaming profile audit — q71's Analyzer metrics
+    # per micro-batch, the same bounded-state micro-batch aggregate
+    # family whose slot-holder is the exposed st16; round-11
+    # addition, pytest-only per the cadence, rotation candidate
+    # for r12)
+    "st23_stream_profile_audit": "st16_stream_drift_audit",
     # ...and t51 (learned multinomial-NB classifier — the trained
     # member of the quality/filtering family whose heuristic members
     # the exposed t20 represents, and whose model-fit + broadcast-

@@ -1392,3 +1392,72 @@ def st22_stream_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ssn").cast("bigint").alias("n_ssn"),
     )
     return run_to_completion(agg, "st22_out", output_mode="complete")
+
+
+# every ST23_NULL_PLANT_MOD-th document's text is nulled on BOTH
+# engines (pure doc_id arithmetic — the t49/s25 planting precedent)
+# so the completeness metric is non-vacuous at every SF
+ST23_NULL_PLANT_MOD = 101
+
+
+@register(
+    "st23_stream_profile_audit",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % {ST23_NULL_PLANT_MOD} = 0
+                  THEN NULL ELSE text END AS text
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM planted GROUP BY source
+    """,
+    tags=("streaming", "quality", "profiling"),
+)
+def st23_stream_profile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q71's Analyzer stage running AS THE STREAM LANDS — the
+    streaming half of the Deequ pair (st22 is to t49 what this is to
+    q71): per-source completeness and ranges aggregated across micro-
+    batches with state bounded by sources × metrics, so a live ingest
+    watches its profile drift without re-scanning the corpus. Exact
+    distinct counts are deliberately absent: streaming aggregation
+    cannot hold exact per-column distinct state (unsupported by the
+    engine, unbounded by definition); the batch q71 owns cardinality,
+    and `approx_count_distinct` is the streaming-cardinality path
+    when ±2% suffices. The null plant is shared doc_id arithmetic, so
+    stream and batch profile the identical corpus and the oracle
+    doubles as stream/batch parity. At 100 TB: map-only projection
+    per batch, one source-keyed aggregate — the st12 shape with
+    profile metrics in place of the quality rules."""
+    staged = stage_as_chunked_files(
+        table(spark, sf_dir, "documents"), n_chunks=4, memo_key=(sf_dir, "documents")
+    )
+    docs = read_pull_stream(spark, staged)
+    planted = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % ST23_NULL_PLANT_MOD == 0, F.lit(None)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    agg = planted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_text"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+    return run_to_completion(agg, "st23_out", output_mode="complete")

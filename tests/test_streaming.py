@@ -838,3 +838,37 @@ def test_st22_stream_pii_audit_equals_batch(spark):
         F.sum("n_email"), F.sum("n_phone"), F.sum("n_ipv4"), F.sum("n_ssn")
     ).collect()[0]
     assert all(v > 0 for v in totals), totals
+
+
+def test_st23_stream_profile_audit_equals_batch(spark):
+    """st23's per-micro-batch profile must be row-identical to the
+    one-shot batch aggregation of the same planted corpus — the
+    Analyzer stage loses nothing to chunked replay — and the null
+    plant must be non-vacuous (some source really has missing text)
+    while leaving the n_chars/doc_id ranges intact."""
+    from fsharp_mapreduce_spark.streaming.queries import ST23_NULL_PLANT_MOD
+
+    docs = table(spark, SF_SMOKE, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") % ST23_NULL_PLANT_MOD == 0, F.lit(None))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    batch = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_text"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+    stream = QUERIES["st23_stream_profile_audit"].fn(spark, SF_SMOKE)
+    assert rows_as_set(stream) == rows_as_set(batch)
+    rows = batch.collect()
+    assert sum(r.n_null_text for r in rows) > 0, rows
+    assert all(r.n_null_text < r.n_docs for r in rows), rows
+    assert all(r.min_chars <= r.max_chars for r in rows), rows
