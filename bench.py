@@ -854,6 +854,13 @@ def main() -> None:
         # + 40M-row RDD heap churn linger). Process isolation makes
         # both readings quiet-JVM numbers, comparable to BASELINE.md.
         dice, dice_attempts = measure_dice_anchor(args.runs)
+        # Post-anchor settle (r11): the anchor's subprocess JVM tears
+        # down 32 Python workers + a 40M-row RDD heap, and the q group
+        # (which runs FIRST) repeatedly started into that drain — both
+        # r11 124-row records show a first q attempt with load1 2.9-12
+        # and worst-row spread ~4×, then a quiet re-run. Waiting the
+        # drain out here costs less than the group re-run it prevents.
+        wait_snaps += _wait_for_quiet_box(max_wait_s=60.0)
         # Headline queries run in a few namespace-grouped subprocess
         # JVMs (VERDICT r3 #4): r3 measured all 37 in ONE JVM and the
         # sub-second floor-bound queries read 1.3-1.6× their
