@@ -1305,22 +1305,26 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit = mat / norms[:, None]
 
         def topk_rows(ids_l, ids_r, sims):
-            # local top-k of each LEFT vector against the RIGHT block.
-            # Guards: an empty right block (non-dense vec_id space can
-            # leave a block pair one-sided) yields no candidates, and
-            # -inf entries (the masked diagonal) must never survive —
-            # when a diagonal block holds <= k rows, argpartition would
-            # otherwise emit the (v, v) self-pair, which re-scores to
-            # cosine 1.0 and displaces a true neighbor.
+            # local top-k of each LEFT vector against the RIGHT block,
+            # MARGIN-CERTIFIED: everything within S06_PRUNE_MARGIN of
+            # the row's k-th largest GEMM score survives the cut. A
+            # sharp `argsort[:, :k]` cut silently relies on the GEMM
+            # scoring identical columns identically, which BLAS does
+            # NOT guarantee — measured on this box: two exact copies of
+            # one vector score 1.0 vs 0.9999999999999999 depending on
+            # which register block their column lands in, so a sharp
+            # cut drops true ties and the final neighbor_id tie-break
+            # diverges from the oracle (the r9 prune's certification
+            # argument, now applied to the cut it sat above). Guards:
+            # an empty right block (non-dense vec_id space can leave a
+            # block pair one-sided) yields no candidates, and -inf
+            # entries (the masked diagonal) never survive isfinite.
             if sims.shape[1] == 0:
                 return ids_l[:0], ids_r[:0], sims[:0, :0].ravel()
             kk = min(k, sims.shape[1])
-            # stable sort, ids_r ascending by column ⇒ tied sims keep
-            # ascending neighbor_id (argpartition has no tie order)
-            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            li = np.repeat(np.arange(len(ids_l)), kk)
-            a, b = ids_l[li], ids_r[part.ravel()]
-            s = sims[li, part.ravel()]
+            kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            li, ci = np.nonzero(sims >= (kth[:, None] - S06_PRUNE_MARGIN))
+            a, b, s = ids_l[li], ids_r[ci], sims[li, ci]
             keep = np.isfinite(s)
             return a[keep], b[keep], s[keep]
 
@@ -1460,9 +1464,14 @@ def _knn_join_lsh_candidates(
             rows = np.arange(s, min(s + chunk, m))
             sims = unit[rows] @ unit.T  # (c, m)
             sims[np.arange(len(rows)), rows] = -np.inf  # mask self
-            part = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            li = np.repeat(np.arange(len(rows)), kk)
-            cols = part.ravel()
+            # margin-certified local cut (s06's topk_rows): a sharp
+            # argsort[:, :k] cut assumes the GEMM ties identical
+            # columns, which BLAS register blocking does not guarantee
+            # — keep everything within S06_PRUNE_MARGIN of the row's
+            # k-th score so exact duplicates at the boundary reach the
+            # fold re-score + neighbor_id tie-break downstream
+            kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+            li, cols = np.nonzero(sims >= (kth[:, None] - S06_PRUNE_MARGIN))
             keep = np.isfinite(sims[li, cols])  # s06's -inf guard
             out_a.append(ids[rows[li[keep]]])
             out_b.append(ids[cols[keep]])
