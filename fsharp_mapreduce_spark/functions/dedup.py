@@ -923,8 +923,21 @@ def t03_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted lambdas). The JVM side upstream stays expression-only
     # (split/slice/md5), riding the fan_out partitioning.
     # persist: feeds the band posexplode (both sides of the self-join)
-    # AND the verification hs-lookup joins — one materialization, three
+    # AND the verification hs-lookup joins — one materialization, four
     # consumers, slim (doc_id, hs, bands) rows.
+    # NOTE (r11 optimization round, measured and deliberately NOT
+    # "fixed"): the final plan's four independent subtrees (two
+    # exchange map stages of the band self-join + two broadcast builds
+    # of the hs lookups) launch as CONCURRENT jobs against the
+    # still-empty cache, each recomputing the Arrow signature pass —
+    # profiled as 4 overlapping 64-task ~700 ms jobs at sf0.1. Adding
+    # a count() barrier (the t46 pattern) makes t03 2× SLOWER
+    # (2.0 s → 4.1 s): the barrier serializes AQE's stage scheduling
+    # into count → sequential broadcast builds, and reading the fat
+    # array<bigint> hs column back out of the columnar cache costs as
+    # much as recomputing it (776 ms broadcast build off the cache vs
+    # ~700 ms compute). The racy overlap is the wall-clock optimum
+    # here; the duplicated CPU is bounded by the 4 fixed consumers.
     sigs = scoped_persist(minhash_band_signatures(ce_hashed_shingle_sets(docs)))
     bands = sigs.select(
         "doc_id",

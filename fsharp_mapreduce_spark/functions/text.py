@@ -703,7 +703,64 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     {WINNOW_K}-gram polynomial rolling hashes (t08's 31/1e9+7 family,
     exact BIGINT mod arithmetic — cross-engine bit-identical), minimum
     per {WINNOW_W}-wide window, ≈ 2/(w+1) of positions survive — an 8×
-    sketch compression, all expression-only map work."""
+    sketch compression.
+
+    One vectorized Arrow pass (r11 optimization — the t48 gram-digest
+    lesson applied to the last HOF hotspot): the expression
+    formulation (`transform(sequence(...), aggregate(slice(...)))`,
+    kept below as `_expression_winnow_fingerprints` and
+    equality-pinned) runs on Catalyst's INTERPRETED path — one lambda
+    eval per (gram position × k chars), O(chars × {WINNOW_K}) per
+    document, the dominant cost of the t22 bench row. Here the
+    rolling hashes are one numpy sliding-window dot per document
+    (int64 — products ≤ 255·31⁷·{WINNOW_K} < 2⁶³ before the single
+    mod, so the arithmetic is exact and bit-identical to the
+    per-char fold), window minima one strided min, distinct one
+    np.unique. Codepoints via utf-32-le == F.ascii per split char on
+    every plane. Embarrassingly parallel, no shuffle; integer
+    semantics unchanged, DuckDB oracle untouched."""
+    from fsharp_mapreduce_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        w = np.array(
+            [31 ** (WINNOW_K - 1 - j) for j in range(WINNOW_K)], dtype=np.int64
+        )
+        for pdf in batches:
+            ids, out = [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                cs = np.frombuffer(
+                    (text or "").encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if len(cs) < WINNOW_K:
+                    ids.append(did)
+                    out.append([])
+                    continue
+                hs = (sliding_window_view(cs, WINNOW_K) * w).sum(axis=1) % WINNOW_MOD
+                if len(hs) < WINNOW_W:
+                    fps = hs.min(keepdims=True)
+                else:
+                    fps = sliding_window_view(hs, WINNOW_W).min(axis=1)
+                ids.append(did)
+                out.append(np.unique(fps).tolist())
+            yield pd.DataFrame({"doc_id": ids, "fps": out})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, fps array<long>"
+    )
+
+
+def _expression_winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """The pure-Catalyst-expression formulation of the identical
+    fingerprint set (the `_expression_simhash_signatures` pattern:
+    kept as the differential twin — tests/test_dedup.py::
+    test_winnow_vectorized_matches_expression pins vectorized ==
+    expression semantics; fps ORDER may differ, the set may not)."""
     codes = F.transform(
         F.filter(F.split("text", ""), lambda x: x != F.lit("")),
         lambda x: F.ascii(x).cast("long"),

@@ -2158,11 +2158,45 @@ def exact_percentile_scalable(
     out: list[tuple[float, int, float]] = []
     import math
 
+    # r11 (driver-synchronous job-count trim, guide §1.2 step 1): each
+    # pass's histogram now carries per-bucket (cnt, MIN, MAX) in ONE
+    # map-side-combined aggregate, so the picked bucket's [mn, mx] ARE
+    # the next [lo, hi] — the old separate min/max re-anchor scan (one
+    # extra full job per pass per percentile) is gone. Identical
+    # doubles by construction: grouping by the bucket expression and
+    # taking MIN/MAX per group aggregates exactly the rows the old
+    # `cur.where(b_expr == i).agg(min, max)` scanned. The FIRST pass is
+    # additionally shared across percentiles — all start from the same
+    # [lo, hi], so its histogram is the same table walked to different
+    # ranks (3 first-pass scans fold into 1).
+    def _hist(cur: DataFrame, lo: float, w: float):
+        b_expr = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int"),
+            F.lit(buckets - 1),
+        )
+        return sorted(
+            (r["b"], r["cnt"], r["mn"], r["mx"])
+            for r in cur.groupBy(b_expr.alias("b"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        )
+
+    shared_first_hist = None
+    if n and first["lo"] != first["hi"]:
+        w0 = (first["hi"] - first["lo"]) / buckets
+        if w0 > 0.0 and math.isfinite(w0):
+            shared_first_hist = _hist(base, first["lo"], w0)
+
     for p in percentiles:
         k = max(1, math.ceil(p * n))
         lo, hi, rem = first["lo"], first["hi"], k
         cur = base
         val = None
+        first_pass = True
         for _ in range(Q69_MAX_PASSES):
             if lo == hi:
                 val = lo
@@ -2184,28 +2218,27 @@ def exact_percentile_scalable(
                     )
                 val = _kth_smallest_collected(cur, rem)
                 break
-            b_expr = F.least(
-                F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int"),
-                F.lit(buckets - 1),
+            hist = (
+                shared_first_hist
+                if first_pass and shared_first_hist is not None
+                else _hist(cur, lo, w)
             )
-            hist = sorted(
-                (r["b"], r["cnt"])
-                for r in cur.groupBy(b_expr.alias("b"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-            if sum(cnt for _, cnt in hist) <= Q69_EXACT_FALLBACK_ROWS:
+            first_pass = False
+            if sum(cnt for _, cnt, _, _ in hist) <= Q69_EXACT_FALLBACK_ROWS:
                 val = _kth_smallest_collected(cur, rem)
                 break
             cum = 0
-            for i, cnt in hist:
+            for i, cnt, mn, mx in hist:
                 if cum + cnt >= rem:
                     rem -= cum
                     break
                 cum += cnt
+            b_expr = F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(w)).cast("int"),
+                F.lit(buckets - 1),
+            )
             cur = cur.where(b_expr == F.lit(i))
-            mm = cur.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).first()
-            lo, hi = mm["mn"], mm["mx"]
+            lo, hi = mn, mx
         if val is None:
             # Passes exhausted without lo == hi. This is reachable on
             # log-spaced adversarial doubles (e.g. 2^-500 .. 2^500): the
@@ -2391,6 +2424,12 @@ def grouped_exact_percentile(
         scand = base.join(active, "g").where(
             F.col("v").between(F.col("lo"), F.col("hi"))
         )
+        # r11 optimization round note: a fused single-probe variant
+        # (counts keyed on (g, uf), one agg answering emptiness + the
+        # underflow pre-check) was tried and REVERTED with evidence —
+        # it forces full eager materialization inside the driver loop
+        # where isEmpty/limit-collect short-circuit, and measured q70
+        # 4.0 s → 5.6 s at sf0.1. The lazy probes stay.
         counts = scoped_persist(
             scand.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -130,12 +130,33 @@ def read_pull_stream(
 # + 32 state-store commits per stateful stage per trigger — measured
 # 4.2s → 2.0s on st01 just by sizing this to 8 (VERDICT r9 #7: the
 # streaming bench rows were ~10 triggers × ~1.4s of exactly this).
-# This is the same sizing rule as everywhere else in the repo: fit
-# partitions to the data in flight, not to the box. A production
-# deployment at 100 TB sizes UP from its own trigger volume; results
-# are partition-count-invariant (stream-batch parity oracles + the
-# partition-invariance tests pin that).
-STREAM_FIXTURE_SHUFFLE_PARTITIONS = 8
+# r11 optimization round: the same curve continues — on the r11 box
+# st01 read 5.6s/3.8s/2.8s at 8/4/2 partitions (st04 8.9/7.3/7.0),
+# results bit-identical at every setting (asserted in the experiment
+# and pinned by the partition-invariance tests), so the fixture
+# default drops to 2: a ~15k-row micro-batch does not need more than
+# two state-store instances per stateful operator. parts=1 measured
+# within noise of 2 — kept at 2 so the keyed-exchange path stays
+# exercised. This is the same sizing rule as everywhere else in the
+# repo: fit partitions to the data in flight, not to the box. A
+# production deployment at 100 TB sizes UP from its own trigger
+# volume (env-overridable here); results are partition-count-
+# invariant (stream-batch parity oracles + partition-invariance
+# tests pin that).
+STREAM_FIXTURE_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2")
+)
+
+# applyInPandasWithState queries are the exception to the 2-partition
+# fixture default: their per-trigger cost is the PYTHON worker loop
+# over state keys (one fold call per key through the Arrow bridge), so
+# partitions buy key-level parallelism, not just smaller state files.
+# Measured fresh-process A/B on st04 (r11): parts=8 → 6.0-7.1 s,
+# parts=2 → 10.7-11.3 s — opposite direction to every JVM-stateful
+# row. Production sizing follows keys-per-worker, not bytes.
+STREAM_PANDAS_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_PANDAS_PARTITIONS", "8")
+)
 
 
 @contextmanager
@@ -154,12 +175,23 @@ def stream_shuffle_sizing(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete"):
+def run_to_completion(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
+):
     """Drive a bounded stream to exhaustion into an in-memory sink and
     return the final result table (the batch-equivalent answer). The
     reference's completion detection (ack counting,
-    Orchestrator.fs:142-163) is Spark's processAllAvailable."""
-    with stream_shuffle_sizing(stream_df.sparkSession):
+    Orchestrator.fs:142-163) is Spark's processAllAvailable.
+    ``shuffle_partitions`` overrides the fixture default for queries
+    with a different parallelism economics (the pandas-stateful pair —
+    see STREAM_PANDAS_STATE_PARTITIONS)."""
+    with stream_shuffle_sizing(
+        stream_df.sparkSession,
+        shuffle_partitions or STREAM_FIXTURE_SHUFFLE_PARTITIONS,
+    ):
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")

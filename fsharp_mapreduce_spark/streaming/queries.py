@@ -169,7 +169,19 @@ def _stateful_running_totals(
     folded = ev.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = run_to_completion(folded, query_name, output_mode="update")
+    # pandas-stateful: per-trigger cost is the Python per-key fold loop,
+    # so partitions buy key parallelism (STREAM_PANDAS_STATE_PARTITIONS
+    # — measured 2x faster than the 2-partition fixture default)
+    from fsharp_mapreduce_spark.streaming.loader import (
+        STREAM_PANDAS_STATE_PARTITIONS,
+    )
+
+    out = run_to_completion(
+        folded,
+        query_name,
+        output_mode="update",
+        shuffle_partitions=STREAM_PANDAS_STATE_PARTITIONS,
+    )
     last = F.max(F.struct("n_events", "max_value", "total_value")).alias("s")
     return out.groupBy("user_id").agg(last).select(
         "user_id",
@@ -1063,7 +1075,17 @@ def st18_stream_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = ev.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = run_to_completion(folded, "st18_out", output_mode="update")
+    # pandas-stateful partition economics — see _stateful_running_totals
+    from fsharp_mapreduce_spark.streaming.loader import (
+        STREAM_PANDAS_STATE_PARTITIONS,
+    )
+
+    out = run_to_completion(
+        folded,
+        "st18_out",
+        output_mode="update",
+        shuffle_partitions=STREAM_PANDAS_STATE_PARTITIONS,
+    )
     last = F.max(F.struct("n_events", "sm", "anchor_us")).alias("s")
     return (
         out.groupBy("user_id")

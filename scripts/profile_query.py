@@ -60,15 +60,29 @@ class _ProgressCapture:
 
 def _jobs_from_eventlog(app_id: str, t0_ms: float, t1_ms: float) -> list[dict]:
     """Parse the event log for jobs that ran inside [t0, t1]."""
-    path = Path(EVDIR) / app_id
-    if not path.exists():
-        candidates = sorted(Path(EVDIR).glob(f"{app_id}*"))
-        if not candidates:
-            return []
-        path = candidates[-1]
+    candidates = sorted(Path(EVDIR).glob(f"*{app_id}*"))
+    if not candidates:
+        return []
+    path = candidates[-1]
+    def read_part(p: Path) -> str:
+        data = p.read_bytes()
+        if p.name.endswith(".zstd"):
+            import zstandard
+
+            data = zstandard.ZstdDecompressor().decompressobj().decompress(data)
+        return data.decode("utf-8", "replace")
+
+    if path.is_dir():  # Spark 4 rolling event log v2: a directory of
+        # events_N_<appid>[.codec] part files
+        parts = sorted(
+            path.glob("events_*"), key=lambda p: int(p.name.split("_")[1])
+        )
+        text = "".join(read_part(p) for p in parts)
+    else:
+        text = read_part(path)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    for line in path.read_text().splitlines():
+    for line in text.splitlines():
         try:
             ev = json.loads(line)
         except json.JSONDecodeError:
@@ -137,6 +151,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{EVDIR}",
+            "spark.eventLog.compress": "false",
         },
     )
     app_id = spark.sparkContext.applicationId

@@ -615,6 +615,32 @@ def test_winnow_cap_keeps_true_dups_exact(spark, winnow_skew_docs):
     assert all((a, b) == (300, 301) for a, b in pairs)
 
 
+def test_winnow_vectorized_matches_expression(spark, winnow_skew_docs):
+    """The r11 vectorized winnow kernel (numpy sliding-window rolling
+    hashes) computes the IDENTICAL fingerprint set per document as the
+    pure-expression formulation it replaced — the simhash
+    vectorized-vs-expression pin, winnowing flavor. Sets compared
+    (fps array order is not part of the contract: every consumer
+    explodes or sizes the array). Edge docs included: empty text,
+    sub-k text, k ≤ len < w+k−1 (single-window fallback)."""
+    from fsharp_mapreduce_spark.functions.text import (
+        _expression_winnow_fingerprints,
+        winnow_fingerprints,
+    )
+
+    edge = spark.createDataFrame(
+        [(900, ""), (901, "abc"), (902, "abcdefgh"), (903, "abcdefghij")],
+        "doc_id long, text string",
+    )
+    docs = winnow_skew_docs.unionByName(edge)
+    vec = {r.doc_id: sorted(r.fps) for r in winnow_fingerprints(docs).collect()}
+    expr = {
+        r.doc_id: sorted(r.fps)
+        for r in _expression_winnow_fingerprints(docs).collect()
+    }
+    assert vec == expr
+
+
 def test_decontaminate_with_external_eval_table(spark):
     """The real decontamination API (VERDICT r3 #8): the eval set is a
     SECOND DataFrame, not a doc_id slice. A training doc sharing an
