@@ -477,7 +477,9 @@ def summary_obj(result: dict) -> dict:
         "unit": result["unit"],
         "sf": result["sf"],
         "n_queries": len(result["queries"]),
-        "detail": "BENCH_DETAIL.json",
+        # names the file that actually holds this run's per-query map
+        # (per-cpu driver siblings included — VERDICT r11 #2)
+        "detail": result.get("detail_file", "BENCH_DETAIL.json"),
     }
     for k in ("dice_mr_compat_5m", "duckdb_value"):
         if k in result:
@@ -768,11 +770,21 @@ def _detail_target(will_have_duckdb: bool) -> Path:
     No-degrade rule (VERDICT r9 #3): a full run WITHOUT --duckdb must
     not overwrite a committed record that carries a duckdb_queries map
     — the r9 driver run (no --duckdb) dropped the committed 104-row
-    table's baseline column this way. Such runs write the sibling
-    ``BENCH_DETAIL_driver.json`` instead; --duckdb runs (the builder's
+    table's baseline column this way. Such runs write a sibling
+    ``BENCH_DETAIL_driver*.json`` instead; --duckdb runs (the builder's
     table-of-record runs) own ``BENCH_DETAIL.json``. Resolved ONCE per
     run and shared by the incremental per-group flush and the final
-    write, so partial flushes can't clobber the record either."""
+    write, so partial flushes can't clobber the record either.
+
+    Per-cpu sibling rule (VERDICT r11 #1a/#2): the driver benches the
+    SAME tree at two ``SPARK_GRAFT_CPUS`` settings (main + a scaling
+    run), and in r11 the 8-cpu run overwrote the 32-cpu per-query
+    detail — the only per-query record of the round. A driver run at a
+    non-default core count now writes ``BENCH_DETAIL_driver_c{cpus}.
+    json`` so each cpu setting keeps its own per-query map; the
+    default-cpus run keeps the unsuffixed name the driver already
+    reads. The summary line's ``detail`` field names the actual file
+    (summary_obj reads it from the resolved path)."""
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     if not will_have_duckdb and detail_path.exists():
         try:
@@ -780,6 +792,9 @@ def _detail_target(will_have_duckdb: bool) -> Path:
         except Exception:
             prior = {}
         if prior.get("duckdb_queries"):
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            if cpus != "32":
+                return detail_path.with_name(f"BENCH_DETAIL_driver_c{cpus}.json")
             return detail_path.with_name("BENCH_DETAIL_driver.json")
     return detail_path
 
@@ -925,6 +940,8 @@ def main() -> None:
         "spread": {n: spread[n] for n in timings if n in spread},
         "sf": sf,
     }
+    if args.queries is None and not args.child:
+        result["detail_file"] = _detail_target(args.duckdb).name
     if dice is not None:
         result["dice_mr_compat_5m"] = dice
         result["dice_anchor_band"] = list(DICE_ANCHOR_BAND)

@@ -1196,6 +1196,37 @@ S07_TARGET_BUCKET_ROWS = 500
 S07_MAX_PLANES = 16
 
 
+def cap_exact_tie_admission(row_idx, col_cls, col_ids, cap: int):
+    """Boolean keep-mask bounding margin-cut tie admission (ADVICE r11):
+    among one left row's admitted candidates whose RAW embeddings are
+    bit-identical (``col_cls`` — the `np.unique(mat, axis=0)` inverse),
+    keep only the ``cap`` smallest neighbor ids. Safe by construction:
+    bit-identical raw embeddings re-score bit-identically in the exact
+    downstream fold, so the final (sim DESC, neighbor_id ASC) top-k can
+    only ever pick the k smallest ids of such a class — the rest are
+    provably dead rows. Without the cap, a bucket of d exact duplicates
+    (the norm in near-dup corpora; LSH always co-buckets identical
+    vectors) admits O(d²) boundary pairs instead of O(k·d). Classes
+    with ≤cap admitted members (every candidate on a dup-free corpus)
+    are untouched, so fixture results are bit-identical."""
+    import numpy as np
+
+    n = len(row_idx)
+    if n == 0:
+        return np.ones(0, dtype=bool)
+    order = np.lexsort((col_ids, col_cls, row_idx))
+    r, c = row_idx[order], col_cls[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+    starts = np.flatnonzero(new_grp)
+    grp_id = np.cumsum(new_grp) - 1
+    rank_in_grp = np.arange(n) - starts[grp_id]
+    keep = np.zeros(n, dtype=bool)
+    keep[order[rank_in_grp < cap]] = True
+    return keep
+
+
 def adaptive_planes_per_table(
     n_vectors: int,
     target_bucket_rows: int = S07_TARGET_BUCKET_ROWS,
@@ -1299,12 +1330,13 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def block_pair_topk(pdf):
         p, q = int(pdf["p"].iloc[0]), int(pdf["q"].iloc[0])
-        # ascending-id column order + STABLE argsort below = exact ties
-        # at the k boundary keep the smallest neighbor_id — the
-        # oracle's ROW_NUMBER(sim DESC, neighbor_id) tiebreak. Without
-        # it duplicate embeddings (cosine exactly tied) survive the
-        # local cut arbitrarily and the final window can diverge from
-        # the oracle (code-review r4).
+        # vec_id sort: deterministic column order per block pair, so
+        # the GEMM (and hence the margin-cut candidate set) is
+        # run-to-run stable. Tie-breaking itself happens DOWNSTREAM:
+        # the margin cut admits every boundary tie and the exact fold
+        # re-score + (sim DESC, neighbor_id) window resolves them in
+        # oracle order (the stable-argsort tiebreak this comment once
+        # described was replaced by the margin cut — ADVICE r11).
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         # normalize-to-unit prologue appears inline in each GEMM UDF
@@ -1314,11 +1346,14 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # split the four sites into two import regimes — reviewed r4,
         # duplication accepted with this pointer.
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        # exact-tie classes by RAW embedding bytes — feeds the bounded
+        # tie admission in topk_rows (cap_exact_tie_admission)
+        cls = np.unique(mat, axis=0, return_inverse=True)[1].ravel()
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0.0] = 1.0
         unit = mat / norms[:, None]
 
-        def topk_rows(ids_l, ids_r, sims):
+        def topk_rows(ids_l, ids_r, sims, cls_r):
             # local top-k of each LEFT vector against the RIGHT block,
             # MARGIN-CERTIFIED: everything within S06_PRUNE_MARGIN of
             # the row's k-th largest GEMM score survives the cut. A
@@ -1338,21 +1373,28 @@ def s06_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             kk = min(k, sims.shape[1])
             kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
             li, ci = np.nonzero(sims >= (kth[:, None] - S06_PRUNE_MARGIN))
-            a, b, s = ids_l[li], ids_r[ci], sims[li, ci]
-            keep = np.isfinite(s)
-            return a[keep], b[keep], s[keep]
+            keep = np.isfinite(sims[li, ci])
+            li, ci = li[keep], ci[keep]
+            # bounded tie admission (ADVICE r11): a class of d exact
+            # duplicates at the boundary would otherwise emit O(d²)
+            # pairs; only the k smallest ids per class can reach the
+            # exact-rescore window, so the rest are dropped here
+            tk = cap_exact_tie_admission(li, cls_r[ci], ids_r[ci], k)
+            li, ci = li[tk], ci[tk]
+            return ids_l[li], ids_r[ci], sims[li, ci]
 
         if p == q:
             sims = unit @ unit.T
             np.fill_diagonal(sims, -np.inf)
-            a, b, s = topk_rows(ids, ids, sims)
+            a, b, s = topk_rows(ids, ids, sims, cls)
         else:
             mask = (ids // bs) == p
             ua, ub = unit[mask], unit[~mask]
             ia, ib = ids[mask], ids[~mask]
+            ca, cb = cls[mask], cls[~mask]
             sims = ua @ ub.T
-            a1, b1, s1 = topk_rows(ia, ib, sims)
-            a2, b2, s2 = topk_rows(ib, ia, sims.T)
+            a1, b1, s1 = topk_rows(ia, ib, sims, cb)
+            a2, b2, s2 = topk_rows(ib, ia, sims.T, ca)
             a, b = np.concatenate([a1, a2]), np.concatenate([b1, b2])
             s = np.concatenate([s1, s2])
         return pd.DataFrame({"vec_id": a, "neighbor_id": b, "gemm_sim": s})
@@ -1425,9 +1467,15 @@ def _knn_join_lsh_candidates(
     """Directed (vec_id → neighbor_id) kNN-join candidates via LSH
     buckets: every vector's local top-k inside each bucket it occupies,
     computed by an in-bucket chunked GEMM (candidate pairs are never
-    materialized before the top-k cut). The candidate stream is bounded
-    by k·L rows per vector BY CONSTRUCTION — linear in the corpus, the
-    law test_s07_candidate_law_linear pins — vs s06's k·n_blocks
+    materialized before the top-k cut). The candidate stream is ~k·L
+    rows per vector — linear in the corpus, the law
+    test_s07_candidate_law_linear pins. The margin cut admits every
+    boundary tie, so the exact per-row bound is k·L plus near-tie
+    admissions; exact-duplicate tie classes (duplicate-heavy corpora,
+    where LSH always co-buckets identical vectors) are capped at k ids
+    per class by cap_exact_tie_admission (ADVICE r11 — previously
+    O(d²) per d-duplicate bucket), pinned by
+    test_s07_candidate_law_duplicate_groups. Vs s06's k·n_blocks
     (quadratic block fan-out).
 
     Safety of the local cut: if n is in v's global top-k among
@@ -1460,14 +1508,20 @@ def _knn_join_lsh_candidates(
                 "neighbor_id": np.array([], dtype=np.int64),
             }
         )
-        # ascending-id column order + stable argsort = oracle tiebreak
-        # for exactly-tied candidates at the k boundary (see s06)
+        # vec_id sort: deterministic column order per bucket (stable
+        # GEMM inputs run to run). Ties are resolved DOWNSTREAM by the
+        # exact fold re-score + (sim DESC, neighbor_id) window — the
+        # margin cut below admits every boundary tie (the old stable-
+        # argsort tiebreak was replaced by it — ADVICE r11).
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = len(ids)
         if m < 2:
             return empty
         mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        # exact-tie classes by RAW embedding bytes (bounded tie
+        # admission — see cap_exact_tie_admission)
+        cls = np.unique(mat, axis=0, return_inverse=True)[1].ravel()
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0.0] = 1.0
         unit = mat / norms[:, None]
@@ -1487,8 +1541,16 @@ def _knn_join_lsh_candidates(
             kth = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
             li, cols = np.nonzero(sims >= (kth[:, None] - S06_PRUNE_MARGIN))
             keep = np.isfinite(sims[li, cols])  # s06's -inf guard
-            out_a.append(ids[rows[li[keep]]])
-            out_b.append(ids[cols[keep]])
+            li, cols = li[keep], cols[keep]
+            # bounded tie admission (ADVICE r11): d exact duplicates
+            # co-bucketed by LSH would otherwise admit O(d²) boundary
+            # pairs; only the k smallest ids per exact-tie class can
+            # reach the exact-rescore window (k·d bound restored —
+            # test_s07_candidate_law_duplicate_groups)
+            tk = cap_exact_tie_admission(li, cls[cols], ids[cols], k)
+            li, cols = li[tk], cols[tk]
+            out_a.append(ids[rows[li]])
+            out_b.append(ids[cols])
         return pd.DataFrame(
             {"vec_id": np.concatenate(out_a), "neighbor_id": np.concatenate(out_b)}
         )

@@ -713,12 +713,16 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     eval per (gram position × k chars), O(chars × {WINNOW_K}) per
     document, the dominant cost of the t22 bench row. Here the
     rolling hashes are one numpy sliding-window dot per document
-    (int64 — products ≤ 255·31⁷·{WINNOW_K} < 2⁶³ before the single
-    mod, so the arithmetic is exact and bit-identical to the
+    (int64 — the dot is ≤ 0x10FFFF·Σⱼ31ʲ ≈ 3.2e16 < 2⁶³ for j <
+    {WINNOW_K}, since codepoints reach 0x10FFFF, not 255 — ADVICE
+    r11 corrected the stated bound; the margin to 2⁶³ is still ~280×,
+    so the single-mod arithmetic is exact and bit-identical to the
     per-char fold), window minima one strided min, distinct one
     np.unique. Codepoints via utf-32-le == F.ascii per split char on
-    every plane. Embarrassingly parallel, no shuffle; integer
-    semantics unchanged, DuckDB oracle untouched."""
+    every plane (pinned incl. astral-plane chars by
+    test_winnow_vectorized_matches_expression). Embarrassingly
+    parallel, no shuffle; integer semantics unchanged, DuckDB oracle
+    untouched."""
     from fsharp_mapreduce_spark.session import ensure_package_shipped
 
     ensure_package_shipped(docs.sparkSession)

@@ -188,9 +188,19 @@ def run_to_completion(
     ``shuffle_partitions`` overrides the fixture default for queries
     with a different parallelism economics (the pandas-stateful pair —
     see STREAM_PANDAS_STATE_PARTITIONS)."""
+    # explicit None check (ADVICE r11): `or` would silently turn an
+    # erroneous 0/falsy override into the fixture default instead of
+    # failing loudly — partition counts must be ≥ 1
+    if shuffle_partitions is None:
+        shuffle_partitions = STREAM_FIXTURE_SHUFFLE_PARTITIONS
+    if shuffle_partitions < 1:
+        raise ValueError(
+            f"run_to_completion: shuffle_partitions must be >= 1, "
+            f"got {shuffle_partitions!r}"
+        )
     with stream_shuffle_sizing(
         stream_df.sparkSession,
-        shuffle_partitions or STREAM_FIXTURE_SHUFFLE_PARTITIONS,
+        shuffle_partitions,
     ):
         q = (
             stream_df.writeStream.outputMode(output_mode)

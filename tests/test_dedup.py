@@ -629,7 +629,19 @@ def test_winnow_vectorized_matches_expression(spark, winnow_skew_docs):
     )
 
     edge = spark.createDataFrame(
-        [(900, ""), (901, "abc"), (902, "abcdefgh"), (903, "abcdefghij")],
+        [
+            (900, ""),
+            (901, "abc"),
+            (902, "abcdefgh"),
+            (903, "abcdefghij"),
+            # non-ASCII (ADVICE r11): the kernel reads codepoints via
+            # utf-32-le while the expression twin reads
+            # split('')/ascii() — pin their agreement beyond ASCII,
+            # including an astral-plane char (🚀 = U+1F680, a
+            # surrogate pair in the JVM's UTF-16)
+            (904, "héllo wörld — мир 你好"),
+            (905, "rocket 🚀 launch 🚀🚀 pad"),
+        ],
         "doc_id long, text string",
     )
     docs = winnow_skew_docs.unionByName(edge)

@@ -272,6 +272,63 @@ def test_s07_candidate_law_linear(spark):
     assert growth < allpairs_growth / 4, (growth, allpairs_growth)
 
 
+def test_s07_candidate_law_duplicate_groups(spark):
+    """ADVICE r11: a planted group of d ≫ k exact duplicates must not
+    blow the candidate stream to O(d²) — LSH always co-buckets
+    identical vectors, so every table's bucket for the group holds all
+    d copies and the margin cut admits every boundary tie. The bounded
+    tie admission (cap_exact_tie_admission) keeps only the k smallest
+    neighbor ids per exact-tie class, restoring the ~k·L·n law; the
+    final result is unchanged because the exact-rescore window resolves
+    equal sims by neighbor_id ASC — exactly the ids the cap keeps
+    (end-to-end pinned vs the DuckDB oracle by
+    test_s06_prune_keeps_exact_ties on the same mechanism)."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        KNN_JOIN_K,
+        S07_TABLES,
+        _knn_join_lsh_candidates,
+    )
+
+    rng = np.random.RandomState(5)
+    d, extra = 64, 32
+    x = rng.normal(size=(extra, 16))
+    dup = rng.normal(size=16)
+    vecs = [dup] * d + [x[i] for i in range(extra)]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, vec in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    n = d + extra
+    c = _knn_join_lsh_candidates(df).count()
+    # pre-cap, the duplicate group ALONE admits d·(d−1) = 4032 directed
+    # boundary pairs (every copy ties at exactly 1.0 with every other);
+    # capped, the whole stream obeys the constructive ~k·L·n bound
+    assert 0 < c <= n * S07_TABLES * KNN_JOIN_K, c
+    assert c < d * (d - 1) / 2, c
+
+
+def test_cap_exact_tie_admission_unit():
+    """The keep-mask law directly: per (row, class) only the cap
+    smallest ids survive; singleton classes are untouched; empty input
+    yields an empty mask."""
+    import numpy as np
+
+    from fsharp_mapreduce_spark.functions.similarity import (
+        cap_exact_tie_admission,
+    )
+
+    rows = np.array([0, 0, 0, 0, 0, 1, 1])
+    cls_ = np.array([7, 7, 7, 7, 3, 7, 7])
+    ids = np.array([40, 10, 30, 20, 5, 2, 1])
+    keep = cap_exact_tie_admission(rows, cls_, ids, 2)
+    # row 0 / class 7: ids {40,10,30,20} → keep 10, 20; class 3
+    # singleton kept; row 1 / class 7: both kept (≤ cap)
+    assert [int(i) for i in ids[keep]] == [10, 20, 5, 2, 1]
+    assert cap_exact_tie_admission(rows[:0], cls_[:0], ids[:0], 2).size == 0
+
+
 def test_adaptive_planes_capacity_rule(spark):
     """The density-adaptive k rule itself: expected bucket occupancy
     n/2^k stays ≈ target as n grows (fixed k lets it grow ∝ n — the
