@@ -749,6 +749,22 @@ def _assign_cells(
     )
 
 
+def _cluster_for_cell_write(assigned: DataFrame, src: DataFrame) -> DataFrame:
+    """Cell-clustered write guard (VERDICT r11 #8 — the s22 rule made
+    input-aware): before a ``partitionBy("cell_id")`` parquet write,
+    repartition by cell_id IFF the source scan is multi-split. Each
+    write task opens one file per cell it holds, so an unclustered
+    multi-split write emits up to splits×cells tiny files (the 100 TB
+    path: thousands of splits × cells — guide §6 small-files); a
+    single-split input already writes one file per cell from its one
+    task, and the r11 A/B measured the extra exchange as pure overhead
+    there. ``getNumPartitions`` reads the planned scan splits — no job
+    runs."""
+    if src.rdd.getNumPartitions() > 1:
+        return assigned.repartition("cell_id")
+    return assigned
+
+
 def build_ivf_index(
     emb: DataFrame, index_path: str, n_cells: int = N_CELLS
 ) -> np.ndarray:
@@ -764,16 +780,17 @@ def build_ivf_index(
     splits scale with nprobe, not corpus size. Returns the centroid
     matrix (the probe's query-side quantizer needs it)."""
     cent_mat = _kmeans_centroids(emb, n_cells)
-    # r11 write-layout note (measured both ways): the build input is
-    # one split at fixture scale, so the write already emits one file
-    # per cell from one task — adding fan_out + a cell_id repartition
-    # here measured SLOWER (64 tiny Python GEMM tasks ~1 s, and AQE
-    # coalesces the keyed shuffle back to one writer anyway). The
-    # cell-clustered write matters when the input is multi-partition —
-    # see rebalance_ivf_index, where it took the write 3.9 s → 1.2 s.
-    _assign_cells(emb, cent_mat).write.mode("overwrite").partitionBy(
-        "cell_id"
-    ).parquet(index_path)
+    # write-layout guard (VERDICT r11 #8, generalizing the s22 rule):
+    # a partitionBy write emits one file per (task, cell), so a
+    # multi-split input writes up to splits×cells tiny files — cluster
+    # by cell first in that case (the rebalance write measured
+    # 3.9 s → 1.2 s from exactly this). At single-split fixture scale
+    # the repartition is pure overhead (r11 measured it SLOWER: 64
+    # tiny Python GEMM tasks + AQE coalescing back to one writer), so
+    # the guard skips it — see _cluster_for_cell_write.
+    _cluster_for_cell_write(
+        _assign_cells(emb, cent_mat), emb
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(index_path)
     return cent_mat
 
 
@@ -971,9 +988,12 @@ def append_ivf_index(
     vectors on their next file listing — the probe path is unchanged
     (`knn_ivf_probe`'s literal cell filter prunes the union index
     exactly as it pruned the base)."""
-    _assign_cells(new_emb, cent_mat).write.mode("append").partitionBy(
-        "cell_id"
-    ).parquet(index_path)
+    # multi-split ingest batches get the cell-clustered write, the
+    # single-split fixture path skips the repartition (VERDICT r11 #8
+    # — same guard as build_ivf_index)
+    _cluster_for_cell_write(
+        _assign_cells(new_emb, cent_mat), new_emb
+    ).write.mode("append").partitionBy("cell_id").parquet(index_path)
 
 
 def _s13_oracle_for(sf_dir: str) -> str | None:
@@ -2854,9 +2874,11 @@ def delete_from_ivf_index(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        survivors.write.mode("overwrite").partitionBy("cell_id").parquet(
-            index_path
-        )
+        # multi-split survivor sets get the cell-clustered rewrite
+        # (VERDICT r11 #8 — same guard as build/append)
+        _cluster_for_cell_write(survivors, survivors).write.mode(
+            "overwrite"
+        ).partitionBy("cell_id").parquet(index_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     for cell in set(affected) - kept_cells:

@@ -2331,6 +2331,15 @@ def grouped_exact_percentile(
     decides membership; the bucket width (hi\u2212lo)/buckets is likewise
     a JVM double expression on both passes.
 
+    Round chaining (r12): each round's candidate set is rebuilt from
+    the PREVIOUS round's persisted candidates, not the full base —
+    sound because a group active at round r+1 has bounds inside its
+    round-r bucket, so its candidate rows are a subset of the round-r
+    set. One pass per round over a geometrically shrinking cached set
+    (MEMORY_AND_DISK — the round-1 set is the active-corpus slice and
+    may spill at scale), and the final assembly reads the caches
+    instead of re-executing every round's base-join subtree.
+
     Scale contract: the per-round exchange is (group, bucket)-keyed
     with map-side combine — state \u2264 groups \u00d7 {1024} cells regardless
     of row count (q29's per-group ObjectAggregation state is O(n_g)
@@ -2402,6 +2411,18 @@ def grouped_exact_percentile(
             f"buckets/passes for this distribution"
         )
 
+    # Candidate-set chaining (r12, VERDICT r11 #3): each round's
+    # candidate rows are a SUBSET of the previous round's (a group
+    # still active at round r+1 narrowed its bounds to the picked
+    # bucket's [mn, mx] ⊆ its round-r [lo, hi], and groups that left
+    # are dropped by the state join), so round r+1 filters the CACHED
+    # round-r candidate set instead of re-scanning the full base.
+    # Before this, every round re-executed the base→join→between
+    # subtree ~3× (counts probe, state pass, and AGAIN per round at
+    # the final sink, where the done-part subtrees re-materialized) —
+    # the sink now reads the per-round caches, and each round's single
+    # rebuild pass runs over a geometrically shrinking set.
+    prev_cand = base
     for _ in range(Q69_MAX_PASSES):
         done_parts.append(
             state.where(F.col("lo") == F.col("hi")).select(
@@ -2421,9 +2442,12 @@ def grouped_exact_percentile(
                 | (F.col("w") == F.lit(float("inf"))),
             )
         )
-        scand = base.join(active, "g").where(
-            F.col("v").between(F.col("lo"), F.col("hi"))
+        scand = scoped_persist(
+            prev_cand.join(active, "g").where(
+                F.col("v").between(F.col("lo"), F.col("hi"))
+            )
         )
+        prev_cand = scand.select("g", "v")
         # r11 optimization round note: a fused single-probe variant
         # (counts keyed on (g, uf), one agg answering emptiness + the
         # underflow pre-check) was tried and REVERTED with evidence —
@@ -2497,7 +2521,9 @@ def grouped_exact_percentile(
             )
         )
         rem = state.where(F.col("lo") != F.col("hi"))
-        scand = base.join(rem, "g").where(
+        # same chaining: rem's bounds are within the last pass's
+        # candidate set, so filter the cache, not the base
+        scand = prev_cand.join(rem, "g").where(
             F.col("v").between(F.col("lo"), F.col("hi"))
         )
         counts = scoped_persist(

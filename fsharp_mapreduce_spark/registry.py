@@ -825,14 +825,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+FAN_OUT_MULT = float(os.environ.get("SPARK_GRAFT_FAN_OUT_MULT", "2"))
+
+
 def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
     """Fan a narrow scan out to the cluster before a CPU-heavy
     projection. Small single-file inputs arrive as ONE split, which
     serializes expression-heavy stages (shingling, hashing, Arrow
     UDFs) onto one core; input-split sizing is byte-based and cannot
     see CPU cost. Explicit numPartitions on purpose: AQE's coalescing
-    also targets bytes and would undo an implicit repartition()."""
-    n = n or df.sparkSession.sparkContext.defaultParallelism * 2
+    also targets bytes and would undo an implicit repartition().
+
+    Width = cores × FAN_OUT_MULT (env SPARK_GRAFT_FAN_OUT_MULT).
+    2× runs every Python/Arrow stage as two task waves — the second
+    wave backfills stragglers when the box is contended (r11 measured
+    1× spiking 3-5× under steal bursts); 1× is one wave and measured
+    ~30% faster on a QUIET box (fewer per-task Arrow worker hops).
+    The knob exists so both regimes are reachable without code edits;
+    the default is re-adjudicated on quiet-box evidence per round."""
+    n = n or max(
+        1, int(df.sparkSession.sparkContext.defaultParallelism * FAN_OUT_MULT)
+    )
     return df.repartition(n)
 
 
